@@ -1,0 +1,52 @@
+"""mini_opt_tpu: a TPU-native constrained nonlinear least-squares framework.
+
+Built from scratch in JAX/XLA/Pallas with the capabilities of
+gareth-cross/mini_opt (see SURVEY.md): sparse-indexed residual costs with
+Gauss-Newton assembly, a dense QP inner solver (interior-point with
+log-barrier / Mehrotra schedules, plus a null-space equality solver), and an
+SQP / Levenberg-Marquardt outer loop with Armijo and polynomial line search --
+all pure, jittable, vmappable functions designed to solve thousands of
+problem instances per chip and shard across TPU pod slices.
+"""
+
+from .qp import (
+    QP,
+    LinearInequalityConstraint,
+    QPInteriorPointParams,
+    Var,
+    build_full_kkt_system,
+    qp_ip_solve,
+    qp_null_space_solve,
+)
+from .residual import (
+    BlockResidual,
+    Residual,
+    accumulate_hessian,
+    accumulate_hessian_block,
+    fill_jacobian_rows,
+    make_residual,
+)
+from .structs import (
+    AlphaValues,
+    BarrierStrategy,
+    DirectionalDerivatives,
+    Errors,
+    InitialGuessMethod,
+    KKTError,
+    LineSearchStrategy,
+    NLSIterationHistory,
+    NLSResult,
+    NLSTerminationState,
+    OptimizerState,
+    QPIPResult,
+    QPIterationHistory,
+    QPLagrangeMultipliers,
+    QPNullSpaceResult,
+    QPNullSpaceTerminationState,
+    QPTerminationState,
+    StepSizeSelectionResult,
+    nls_result_to_string,
+    termination_state_indicates_satisfied_tol,
+)
+
+__version__ = "0.1.0"

@@ -1,0 +1,663 @@
+"""Nonlinear layer: the SQP / Levenberg-Marquardt constrained NLS driver.
+
+TPU-native redesign of the reference outer loop
+(/root/reference/include/mini_opt/nonlinear.hpp:33-157,
+source/nonlinear.cc:13-605). The callback-oriented, exception-throwing C++
+driver becomes one pure function built from nested ``lax.while_loop``s:
+
+* outer loop carry = (x, lambda, penalty, LM state, status, histories); the
+  lambda/restore state machine (nonlinear.cc:296-343) is branchless
+  ``jnp.where`` arithmetic on that carry;
+* the line search (nonlinear.cc:351-443) is an inner while_loop with the
+  quadratic -> cubic polynomial fits in closed form;
+* termination is a status lattice identical to NLSTerminationState
+  (structs.hpp:233-248) -- the semantics the reference test-suite asserts on;
+* the whole solve jits, vmaps over problem batches, and differentiates.
+
+Solving ``min 0.5 sum ||h_i(x)||^2  s.t. g(x) = 0, a x[v] + b >= 0`` via
+linearize -> QP -> L1-merit line search, per Nocedal & Wright ch. 18.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+from .qp import (
+    QP,
+    LinearInequalityConstraint,
+    QPInteriorPointParams,
+    qp_ip_solve,
+    qp_null_space_solve,
+)
+from .residual import (
+    BlockResidual,
+    Residual,
+    accumulate_hessian,
+    accumulate_hessian_block,
+    fill_jacobian_rows,
+)
+from .structs import (
+    DirectionalDerivatives,
+    Errors,
+    InitialGuessMethod,
+    LineSearchHistory,
+    LineSearchStrategy,
+    NLSIterationHistory,
+    NLSResult,
+    NLSTerminationState,
+    OptimizerState,
+    QPNullSpaceTerminationState,
+    QPTerminationState,
+    StepSizeSelectionResult,
+)
+
+Retraction = Callable[[jax.Array, jax.Array, jax.Array], jax.Array]
+CostTerm = Union[Residual, BlockResidual]
+
+
+@dataclasses.dataclass(frozen=True)
+class Problem:
+    """Constrained NLS problem definition (nonlinear.hpp:33-52).
+
+    Static structure; residual functions may close over traced data when the
+    problem is constructed inside a jitted caller.
+    """
+
+    dimension: int
+    costs: Tuple[CostTerm, ...] = ()
+    equality_constraints: Tuple[Residual, ...] = ()
+    inequality_constraints: Tuple[LinearInequalityConstraint, ...] = ()
+
+    @property
+    def total_eq_dim(self) -> int:
+        return sum(c.dim for c in self.equality_constraints)
+
+
+@dataclasses.dataclass(frozen=True)
+class NLSParams:
+    """Outer-loop configuration; analog of the 22-knob Params struct
+    (nonlinear.hpp:64-124), frozen/hashable for use as a jit static arg."""
+
+    max_iterations: int = 10
+    max_qp_iterations: int = 10
+    termination_kkt_tolerance: float = 1.0e-6
+    absolute_exit_tol: float = 1.0e-12
+    relative_exit_tol: float = 1.0e-5
+    absolute_first_derivative_tol: float = 1.0e-6
+    max_line_search_iterations: int = 2
+    line_search_strategy: LineSearchStrategy = (
+        LineSearchStrategy.POLYNOMIAL_APPROXIMATION
+    )
+    armijo_search_tau: float = 0.8
+    equality_penalty_initial: float = 1.0
+    equality_penalty_scale_factor: float = 1.01
+    equality_penalty_rho: float = 0.1
+    lambda_initial: float = 0.0
+    lambda_failure_init: float = 1.0e-2
+    lambda_decrease_on_success: float = 0.1
+    lambda_decrease_on_restore: float = 0.8
+    max_lambda: float = 1.0
+    min_lambda: float = 0.0
+    armijo_c1: float = 1.0e-4
+    kkt_solver: str = "lu"
+
+    def __post_init__(self):
+        # Eager validation mirroring CheckParams (nonlinear.cc:49-73).
+        assert self.max_iterations >= 0
+        assert self.max_qp_iterations >= 1
+        assert self.termination_kkt_tolerance > 0
+        assert self.absolute_exit_tol > 0
+        assert self.max_line_search_iterations >= 0
+        assert 0 <= self.relative_exit_tol <= 1
+        assert self.absolute_first_derivative_tol >= 0
+        assert 0 < self.armijo_search_tau < 1
+        assert self.equality_penalty_initial >= 0
+        assert self.equality_penalty_scale_factor >= 1.0
+        assert 0 <= self.equality_penalty_rho < 1
+        assert self.max_lambda >= 0
+        assert self.min_lambda <= self.max_lambda
+        assert self.min_lambda <= self.lambda_initial <= self.max_lambda
+        assert self.lambda_failure_init >= 0
+        assert 0 <= self.lambda_decrease_on_success < 1.0
+        assert 0 <= self.lambda_decrease_on_restore < 1.0
+
+
+# ---------------------------------------------------------------------------
+# Linearization / evaluation.
+# ---------------------------------------------------------------------------
+
+
+def linearize_and_fill_qp(
+    problem: Problem, x: jax.Array, lam
+) -> Tuple[QP, Errors]:
+    """LinearizeAndFillQP analog (nonlinear.cc:170-214): Gauss-Newton
+    assembly of (G, c), LM damping of the diagonal, equality Jacobian rows,
+    and inequality constraints shifted to the linearization point."""
+    n = problem.dimension
+    dtype = x.dtype
+    G = jnp.zeros((n, n), dtype)
+    c = jnp.zeros((n,), dtype)
+    f_total = jnp.zeros((), dtype)
+    for cost in problem.costs:
+        if isinstance(cost, BlockResidual):
+            G, c, f = accumulate_hessian_block(G, c, cost, x)
+        else:
+            G, c, f = accumulate_hessian(G, c, cost, x)
+        f_total = f_total + f
+    G = G + lam * jnp.eye(n, dtype=dtype)
+
+    k_total = problem.total_eq_dim
+    A_eq = jnp.zeros((k_total, n), dtype)
+    b_eq = jnp.zeros((k_total,), dtype)
+    row = 0
+    for eq in problem.equality_constraints:
+        A_eq, b_eq = fill_jacobian_rows(A_eq, b_eq, eq, x, row)
+        row += eq.dim
+    eq_l1 = jnp.sum(jnp.abs(b_eq)) if k_total > 0 else jnp.zeros((), dtype)
+
+    m = len(problem.inequality_constraints)
+    if m > 0:
+        var = jnp.array(
+            [c_.variable for c_ in problem.inequality_constraints], jnp.int32
+        )
+        a = jnp.stack(
+            [jnp.asarray(c_.a, dtype) for c_ in problem.inequality_constraints]
+        )
+        b = jnp.stack(
+            [jnp.asarray(c_.b, dtype) for c_ in problem.inequality_constraints]
+        )
+        b = a * x[var] + b  # ShiftTo the linearization point (qp.hpp:57-59)
+    else:
+        var = jnp.zeros((0,), jnp.int32)
+        a = jnp.zeros((0,), dtype)
+        b = jnp.zeros((0,), dtype)
+
+    qp = QP(G=G, c=c, A_eq=A_eq, b_eq=b_eq, ineq_var=var, ineq_a=a, ineq_b=b)
+    return qp, Errors(f=f_total, equality=eq_l1)
+
+
+def evaluate_nonlinear_errors(problem: Problem, x: jax.Array) -> Errors:
+    """EvaluateNonlinearErrors analog (nonlinear.cc:279-293)."""
+    dtype = x.dtype
+    f = jnp.zeros((), dtype)
+    for cost in problem.costs:
+        if isinstance(cost, BlockResidual):
+            r = cost.error_vectors(x)
+        else:
+            r = cost.error_vector(x)
+        f = f + 0.5 * jnp.sum(r * r)
+    eq = jnp.zeros((), dtype)
+    for eq_c in problem.equality_constraints:
+        eq = eq + jnp.sum(jnp.abs(eq_c.error_vector(x)))
+    return Errors(f=f, equality=eq)
+
+
+def compute_qp_cost_derivative(qp: QP, dx: jax.Array) -> DirectionalDerivatives:
+    """Directional derivative of cost + L1 equality merit along dx
+    (nonlinear.cc:457-482)."""
+    d_f = jnp.dot(qp.c, dx)
+    if qp.K > 0:
+        d_eq = jnp.sum(jnp.sign(qp.b_eq) * (qp.A_eq @ dx))
+    else:
+        d_eq = jnp.zeros((), dx.dtype)
+    return DirectionalDerivatives(d_f=d_f, d_equality=d_eq)
+
+
+def select_penalty(qp: QP, dx: jax.Array, lagrange_l_inf: Optional[jax.Array], rho):
+    """SelectPenalty analog (nonlinear.cc:484-502): eq 18.32 when Lagrange
+    multipliers are available (IP path), else the eq 18.36 bound."""
+    if lagrange_l_inf is not None:
+        return lagrange_l_inf
+    eps = jnp.finfo(dx.dtype).eps
+    l1_eq = jnp.maximum(jnp.sum(jnp.abs(qp.b_eq)), eps)
+    quad = jnp.dot(qp.c, dx) + 0.5 * jnp.maximum(0.0, jnp.dot(dx, qp.G @ dx))
+    return quad / ((1.0 - rho) * l1_eq)
+
+
+# ---------------------------------------------------------------------------
+# Polynomial line-search fits (nonlinear.cc:504-605).
+# ---------------------------------------------------------------------------
+
+
+def quadratic_approx_minimum(phi_0, phi_prime_0, alpha_0, phi_alpha_0):
+    """Eq 3.57/3.58 quadratic fit; returns (alpha_min, valid)."""
+    numerator = phi_alpha_0 - phi_prime_0 * alpha_0 - phi_0
+    valid = (phi_prime_0 <= 0) & (numerator > 0)
+    alpha = -phi_prime_0 * alpha_0 * alpha_0 / (2.0 * jnp.where(valid, numerator, 1.0))
+    return alpha, valid
+
+
+def cubic_approx_coeffs(phi_0, phi_prime_0, alpha_0, phi_alpha_0, alpha_1, phi_alpha_1):
+    """Solve for [a, b] of phi(a) = a x^3 + b x^2 + x phi'(0) + phi(0)
+    through two probes (closed-form 2x2 inverse)."""
+    a00 = alpha_0 * alpha_0 * alpha_0
+    a01 = alpha_0 * alpha_0
+    a10 = alpha_1 * alpha_1 * alpha_1
+    a11 = alpha_1 * alpha_1
+    r0 = phi_alpha_0 - phi_0 - phi_prime_0 * alpha_0
+    r1 = phi_alpha_1 - phi_0 - phi_prime_0 * alpha_1
+    det = a00 * a11 - a01 * a10
+    a = (a11 * r0 - a01 * r1) / det
+    b = (-a10 * r0 + a00 * r1) / det
+    return a, b
+
+
+def cubic_approx_minimum(phi_prime_0, a, b):
+    """Minimum of the cubic fit; returns (alpha_min, valid)."""
+    arg_sqrt = b * b - 3.0 * a * phi_prime_0
+    neg_tol = -1.0e-12
+    valid = (a != 0.0) & (arg_sqrt >= neg_tol)
+    denom = -b + jnp.sqrt(jnp.maximum(arg_sqrt, 0.0))
+    alpha = denom / (3.0 * jnp.where(valid, a, 1.0))
+    return alpha, valid
+
+
+# ---------------------------------------------------------------------------
+# Line search.
+# ---------------------------------------------------------------------------
+
+
+class _LSCarry(NamedTuple):
+    it: jax.Array  # int32 probe index
+    status: jax.Array  # int32; -1 = keep searching
+    alpha: jax.Array  # alpha of the most recent probe
+    candidate: jax.Array  # x after the most recent retraction
+    # previous two probes for the cubic fit:
+    alpha_prev: jax.Array
+    phi_prev: jax.Array
+    alpha_prev2: jax.Array
+    phi_prev2: jax.Array
+    steps: LineSearchHistory
+
+
+def select_step_size(
+    problem: Problem,
+    params: NLSParams,
+    x: jax.Array,
+    dx: jax.Array,
+    errors_pre: Errors,
+    derivatives: DirectionalDerivatives,
+    penalty,
+    retraction: Optional[Retraction],
+) -> Tuple[jax.Array, jax.Array, Errors, LineSearchHistory]:
+    """SelectStepSize analog (nonlinear.cc:351-416): try alpha = 1, then
+    either Armijo backtracking or quadratic/cubic polynomial minimization,
+    accepting on the Armijo condition over the L1 merit function.
+
+    Returns (status, accepted_candidate, candidate_errors, steps_log).
+    """
+    dtype = x.dtype
+    max_probes = params.max_line_search_iterations + 1
+    phi_0 = errors_pre.total(penalty)
+    dd_total = derivatives.total(penalty)
+    dd_linf = derivatives.l_infinity()
+
+    def retract(alpha):
+        if retraction is None:
+            return x + dx * alpha
+        return retraction(x, dx, alpha)
+
+    def body(c: _LSCarry) -> _LSCarry:
+        it = c.it
+        # --- compute the probe alpha ------------------------------------
+        if params.line_search_strategy == LineSearchStrategy.POLYNOMIAL_APPROXIMATION:
+            qa, q_ok = quadratic_approx_minimum(phi_0, dd_total, c.alpha_prev, c.phi_prev)
+            a_cub, b_cub = cubic_approx_coeffs(
+                phi_0, dd_total, c.alpha_prev2, c.phi_prev2, c.alpha_prev, c.phi_prev
+            )
+            ca, c_ok = cubic_approx_minimum(dd_total, a_cub, b_cub)
+            new_alpha = jnp.where(it == 1, qa, ca)
+            new_ok = jnp.where(it == 1, q_ok, c_ok)
+            new_ok = (
+                new_ok
+                & jnp.isfinite(new_alpha)
+                & (new_alpha > 0.0)
+                & (new_alpha < c.alpha)
+            )
+            alpha = jnp.where(it == 0, jnp.ones((), dtype), new_alpha)
+            invalid = (it > 0) & ~new_ok
+        else:
+            alpha = jnp.where(
+                it == 0, jnp.ones((), dtype), c.alpha * params.armijo_search_tau
+            )
+            invalid = jnp.zeros((), bool)
+
+        # --- evaluate the candidate -------------------------------------
+        candidate = retract(alpha)
+        errs = evaluate_nonlinear_errors(problem, candidate)
+        phi = errs.total(penalty)
+
+        steps = LineSearchHistory(
+            alpha=c.steps.alpha.at[it].set(alpha),
+            f=c.steps.f.at[it].set(errs.f),
+            equality=c.steps.equality.at[it].set(errs.equality),
+            num_steps=c.steps.num_steps + jnp.where(invalid, 0, 1),
+        )
+
+        # --- status lattice, in reference order (nonlinear.cc:374-412) ---
+        armijo = phi <= phi_0 + dd_total * alpha * params.armijo_c1
+        status = jnp.where(
+            invalid,
+            jnp.int32(StepSizeSelectionResult.FAILURE_INVALID_ALPHA),
+            jnp.where(
+                errs.contains_invalid_values(),
+                jnp.int32(StepSizeSelectionResult.FAILURE_NON_FINITE_COST),
+                jnp.where(
+                    dd_linf < params.absolute_first_derivative_tol,
+                    jnp.int32(StepSizeSelectionResult.FIRST_ORDER_SATISFIED),
+                    jnp.where(
+                        dd_total > 0,
+                        jnp.int32(StepSizeSelectionResult.POSITIVE_DERIVATIVE),
+                        jnp.where(
+                            armijo,
+                            jnp.int32(StepSizeSelectionResult.SUCCESS),
+                            jnp.int32(-1),
+                        ),
+                    ),
+                ),
+            ),
+        )
+        return _LSCarry(
+            it=it + 1,
+            status=status,
+            alpha=alpha,
+            candidate=candidate,
+            alpha_prev=alpha,
+            phi_prev=phi,
+            alpha_prev2=c.alpha_prev,
+            phi_prev2=c.phi_prev,
+            steps=steps,
+        )
+
+    def cond(c: _LSCarry):
+        return (c.status < 0) & (c.it < max_probes)
+
+    nan = jnp.full((), jnp.nan, dtype)
+    init = _LSCarry(
+        it=jnp.zeros((), jnp.int32),
+        status=jnp.int32(-1),
+        alpha=jnp.ones((), dtype),
+        candidate=x,
+        alpha_prev=nan,
+        phi_prev=nan,
+        alpha_prev2=nan,
+        phi_prev2=nan,
+        steps=LineSearchHistory.empty(max_probes, dtype),
+    )
+    out = jax.lax.while_loop(cond, body, init)
+    status = jnp.where(
+        out.status < 0, jnp.int32(StepSizeSelectionResult.MAX_ITERATIONS), out.status
+    )
+    final_errors = Errors(
+        f=out.steps.f[out.it - 1], equality=out.steps.equality[out.it - 1]
+    )
+    return status, out.candidate, final_errors, out.steps
+
+
+# ---------------------------------------------------------------------------
+# The outer SQP/LM loop.
+# ---------------------------------------------------------------------------
+
+
+class _NLSCarry(NamedTuple):
+    x: jax.Array
+    lam: jax.Array
+    penalty: jax.Array
+    opt_state: jax.Array  # int32 OptimizerState
+    it: jax.Array  # int32 iterations completed
+    status: jax.Array  # int32 NLSTerminationState; NONE = continue
+    history: NLSIterationHistory
+
+
+def _uses_null_space(problem: Problem) -> bool:
+    """Solver variant choice (nonlinear.cc:83-89): null-space iff there are
+    equality constraints and no inequality constraints."""
+    return (
+        len(problem.inequality_constraints) == 0
+        and len(problem.equality_constraints) > 0
+    )
+
+
+def nls_solve(
+    problem: Problem,
+    params: NLSParams,
+    x0: jax.Array,
+    retraction: Optional[Retraction] = None,
+    exit_callback: Optional[Callable] = None,
+) -> NLSResult:
+    """Solve the constrained NLS problem (nonlinear.cc:75-157) as one pure,
+    jittable, vmappable function.
+
+    Args:
+      problem: static problem structure (residual fns may close over traced
+        per-instance data).
+      params: static solver configuration.
+      x0: initial guess, shape (problem.dimension,).
+      retraction: optional manifold update ``(x, dx, alpha) -> x_new``
+        (nonlinear.hpp:127); default is ``x + alpha * dx``.
+      exit_callback: optional jittable ``f(history_row_pytree) -> bool``;
+        returning False terminates with USER_CALLBACK (the jit-safe analog of
+        SetUserExitCallback, nonlinear.hpp:153-157).
+    """
+    x0 = jnp.asarray(x0)
+    dtype = x0.dtype
+    use_ns = _uses_null_space(problem)
+    has_eq = len(problem.equality_constraints) > 0
+    max_probes = params.max_line_search_iterations + 1
+
+    qp_params = QPInteriorPointParams(
+        max_iterations=params.max_qp_iterations,
+        termination_kkt_tol=params.termination_kkt_tolerance,
+        initial_mu=1.0,
+        sigma=0.1,
+        initialize_mu_with_complementarity=False,
+        initial_guess_method=(
+            InitialGuessMethod.SOLVE_EQUALITY_CONSTRAINED
+            if has_eq
+            else InitialGuessMethod.NAIVE
+        ),
+        kkt_solver=params.kkt_solver,
+    )
+
+    def body(carry: _NLSCarry) -> _NLSCarry:
+        x, lam, penalty, opt_state, i = (
+            carry.x,
+            carry.lam,
+            carry.penalty,
+            carry.opt_state,
+            carry.it,
+        )
+        qp, errors_pre = linearize_and_fill_qp(problem, x, lam)
+
+        # --- step direction (nonlinear.cc:216-259) -----------------------
+        if use_ns:
+            ns = qp_null_space_solve(qp)
+            dx = ns.x
+            qp_indefinite = (
+                ns.termination_state
+                == QPNullSpaceTerminationState.NOT_POSITIVE_DEFINITE
+            )
+            qp_term = ns.termination_state
+            qp_iters = jnp.zeros((), jnp.int32)
+            qp_kkt_final = jnp.zeros((), dtype)
+            lagrange_l_inf = None
+        else:
+            ipres = qp_ip_solve(qp, qp_params)
+            dx = ipres.x
+            # The reference throws FailedFactorization here; we terminate
+            # with QP_INDEFINITE status instead (jit-safe).
+            qp_indefinite = (
+                ipres.termination_state == QPTerminationState.FAILED_FACTORIZATION
+            )
+            qp_term = ipres.termination_state
+            qp_iters = ipres.num_iterations
+            last = jnp.maximum(ipres.num_iterations - 1, 0)
+            qp_kkt_final = jax.tree.map(
+                lambda a: a[last], ipres.iterations.kkt_final
+            ).max()
+            lagrange_l_inf = (
+                ipres.lagrange_multipliers.l_infinity if has_eq else None
+            )
+
+        derivatives = compute_qp_cost_derivative(qp, dx)
+
+        # --- penalty update (nonlinear.cc:112-118) -----------------------
+        if has_eq:
+            new_penalty = select_penalty(
+                qp, dx, lagrange_l_inf, params.equality_penalty_rho
+            )
+            penalty = jnp.where(
+                new_penalty > penalty,
+                new_penalty * params.equality_penalty_scale_factor,
+                penalty,
+            )
+
+        # --- line search -------------------------------------------------
+        step_result, candidate, cand_errors, steps = select_step_size(
+            problem, params, x, dx, errors_pre, derivatives, penalty, retraction
+        )
+
+        # --- lambda update + exit conditions (nonlinear.cc:296-343) ------
+        success = step_result == StepSizeSelectionResult.SUCCESS
+        x_next = jnp.where(success, candidate, x)
+        lam_decrease = jnp.where(
+            opt_state == OptimizerState.ATTEMPTING_RESTORE_LM,
+            params.lambda_decrease_on_restore,
+            params.lambda_decrease_on_success,
+        )
+        lam_on_success = jnp.maximum(lam * lam_decrease, params.min_lambda)
+
+        failed = (step_result == StepSizeSelectionResult.MAX_ITERATIONS) | (
+            step_result == StepSizeSelectionResult.POSITIVE_DERIVATIVE
+        )
+        lam_on_fail = jnp.where(
+            opt_state == OptimizerState.NOMINAL,
+            jnp.maximum(params.lambda_failure_init, lam * 10.0),
+            lam * 10.0,
+        )
+
+        lam_next = jnp.where(success, lam_on_success, jnp.where(failed, lam_on_fail, lam))
+        state_next = jnp.where(
+            success,
+            jnp.int32(OptimizerState.NOMINAL),
+            jnp.where(
+                failed, jnp.int32(OptimizerState.ATTEMPTING_RESTORE_LM), opt_state
+            ),
+        )
+
+        exit_abs = success & (cand_errors.l_infinity() < params.absolute_exit_tol)
+        exit_rel = success & (
+            cand_errors.total(penalty)
+            > errors_pre.total(penalty) * (1.0 - params.relative_exit_tol)
+        )
+        exit_first_order = (
+            step_result == StepSizeSelectionResult.FIRST_ORDER_SATISFIED
+        )
+        exit_max_lambda = failed & (lam_next > params.max_lambda)
+
+        status = jnp.where(
+            qp_indefinite,
+            jnp.int32(NLSTerminationState.QP_INDEFINITE),
+            jnp.where(
+                exit_abs,
+                jnp.int32(NLSTerminationState.SATISFIED_ABSOLUTE_TOL),
+                jnp.where(
+                    exit_rel,
+                    jnp.int32(NLSTerminationState.SATISFIED_RELATIVE_TOL),
+                    jnp.where(
+                        exit_first_order,
+                        jnp.int32(NLSTerminationState.SATISFIED_FIRST_ORDER_TOL),
+                        jnp.where(
+                            exit_max_lambda,
+                            jnp.int32(NLSTerminationState.MAX_LAMBDA),
+                            jnp.int32(NLSTerminationState.NONE),
+                        ),
+                    ),
+                ),
+            ),
+        )
+        # On QP_INDEFINITE nothing is applied (reference returns immediately
+        # before the line search; mask out the state updates).
+        x_next = jnp.where(qp_indefinite, x, x_next)
+        lam_next = jnp.where(qp_indefinite, lam, lam_next)
+        state_next = jnp.where(qp_indefinite, opt_state, state_next)
+
+        # --- record history (nonlinear.cc:132-143) -----------------------
+        h = carry.history
+        h = NLSIterationHistory(
+            optimizer_state=h.optimizer_state.at[i].set(opt_state),
+            lam=h.lam.at[i].set(lam),
+            errors_initial=Errors(
+                h.errors_initial.f.at[i].set(errors_pre.f),
+                h.errors_initial.equality.at[i].set(errors_pre.equality),
+            ),
+            directional_derivatives=DirectionalDerivatives(
+                h.directional_derivatives.d_f.at[i].set(derivatives.d_f),
+                h.directional_derivatives.d_equality.at[i].set(
+                    derivatives.d_equality
+                ),
+            ),
+            penalty=h.penalty.at[i].set(penalty),
+            step_result=h.step_result.at[i].set(step_result),
+            qp_termination_state=h.qp_termination_state.at[i].set(qp_term),
+            qp_num_iterations=h.qp_num_iterations.at[i].set(qp_iters),
+            qp_kkt_final_max=h.qp_kkt_final_max.at[i].set(qp_kkt_final),
+            line_search=LineSearchHistory(
+                alpha=h.line_search.alpha.at[i].set(steps.alpha),
+                f=h.line_search.f.at[i].set(steps.f),
+                equality=h.line_search.equality.at[i].set(steps.equality),
+                num_steps=h.line_search.num_steps.at[i].set(steps.num_steps),
+            ),
+        )
+
+        if exit_callback is not None:
+            row = jax.tree.map(lambda a: a[i], h)
+            proceed = exit_callback(row)
+            status = jnp.where(
+                (status == NLSTerminationState.NONE) & ~proceed,
+                jnp.int32(NLSTerminationState.USER_CALLBACK),
+                status,
+            )
+
+        return _NLSCarry(
+            x=x_next,
+            lam=lam_next,
+            penalty=penalty,
+            opt_state=state_next,
+            it=i + 1,
+            status=status,
+            history=h,
+        )
+
+    def cond(carry: _NLSCarry):
+        return (carry.status == NLSTerminationState.NONE) & (
+            carry.it < params.max_iterations
+        )
+
+    init = _NLSCarry(
+        x=x0,
+        lam=jnp.asarray(params.lambda_initial, dtype),
+        penalty=jnp.asarray(params.equality_penalty_initial, dtype),
+        opt_state=jnp.int32(OptimizerState.NOMINAL),
+        it=jnp.zeros((), jnp.int32),
+        status=jnp.int32(NLSTerminationState.NONE),
+        history=NLSIterationHistory.empty(params.max_iterations, max_probes, dtype),
+    )
+    out = jax.lax.while_loop(cond, body, init)
+    status = jnp.where(
+        out.status == NLSTerminationState.NONE,
+        jnp.int32(NLSTerminationState.MAX_ITERATIONS),
+        out.status,
+    )
+    final_errors = evaluate_nonlinear_errors(problem, out.x)
+    return NLSResult(
+        termination_state=status,
+        num_iterations=out.it,
+        x=out.x,
+        errors=final_errors,
+        iterations=out.history,
+    )

@@ -1,0 +1,126 @@
+"""Pluggable linear-solve kernels for the condensed KKT system.
+
+The reference factors its condensed (N+K)x(N+K) system with Eigen's dense
+LDLT and forms H^-1 explicitly (qp.cc:275-316). Here the factorization is a
+pure function chosen by name:
+
+* ``"lu"``     -- partial-pivot LU via jax.scipy (robust generic path; this is
+                  also the brute-force oracle the tests compare against).
+* ``"ldlt"``   -- unpivoted LDL^T in pure jnp, written as a masked column
+                  recurrence (O(D) steps of O(D^2) vector work) so it lowers
+                  to VPU-friendly code and batches under ``vmap``. Valid for
+                  the quasi-definite KKT matrices this solver produces
+                  (G PD + LM damping, fraction-to-boundary keeps s, z > 0).
+* ``"pallas_ldlt"`` -- the same recurrence as a lane-batched Pallas TPU
+                  kernel: one (D, D, lanes) tile per grid step, batch
+                  instances on the 128-wide lane axis (see ops/pallas_ldlt).
+
+All three share the (factorize, solve) interface; factorize returns
+``(fact, ok)`` where ``ok`` is the jittable replacement for the reference's
+FailedFactorization exception (qp.cc:303-307).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+SOLVERS = ("lu", "ldlt", "pallas_ldlt")
+
+
+# ---------------------------------------------------------------------------
+# LU (generic fallback / oracle).
+# ---------------------------------------------------------------------------
+
+
+def _lu_factorize(H: jax.Array):
+    lu, piv = jax.scipy.linalg.lu_factor(H)
+    diag = jnp.diagonal(lu)
+    # Deliberately lenient: interior-point Sigma terms legitimately span ~18
+    # orders of magnitude, so a relative pivot test mis-flags healthy systems.
+    # An exactly-singular factorization (zero pivot / non-finite) is caught
+    # here; near-singular ones surface as non-finite steps in the caller.
+    ok = jnp.all(jnp.isfinite(lu)) & jnp.all(
+        jnp.abs(diag) > jnp.finfo(H.dtype).tiny
+    )
+    return (lu, piv), ok
+
+
+def _lu_solve(fact, rhs: jax.Array) -> jax.Array:
+    return jax.scipy.linalg.lu_solve(fact, rhs)
+
+
+# ---------------------------------------------------------------------------
+# Unpivoted LDL^T (quasi-definite KKT path; maps 1:1 onto the Pallas kernel).
+# ---------------------------------------------------------------------------
+
+
+def ldlt_factorize(H: jax.Array) -> Tuple[Tuple[jax.Array, jax.Array], jax.Array]:
+    """Unpivoted LDL^T: H = L diag(d) L^T with unit-lower L.
+
+    Column recurrence with masking instead of dynamic slices so the loop body
+    is fixed-shape (required under jit and in the Pallas port):
+
+      c_j   = H[:, j] - L @ (d * L[j, :] masked to columns < j)
+      d_j   = c_j[j]
+      L[:, j] = c_j / d_j on rows > j, 1 at j, 0 above.
+    """
+    D = H.shape[-1]
+    dtype = H.dtype
+    rows = jnp.arange(D)
+
+    def body(j, carry):
+        L, d = carry
+        mask = (rows < j).astype(dtype)
+        c = H[:, j] - L @ (d * L[j, :] * mask)
+        dj = c[j]
+        col = jnp.where(rows > j, c / dj, jnp.where(rows == j, 1.0, 0.0))
+        return L.at[:, j].set(col), d.at[j].set(dj)
+
+    L0 = jnp.zeros((D, D), dtype)
+    d0 = jnp.zeros((D,), dtype)
+    L, d = jax.lax.fori_loop(0, D, body, (L0, d0))
+    # Lenient pivot test; see _lu_factorize for rationale.
+    ok = jnp.all(jnp.isfinite(L)) & jnp.all(jnp.abs(d) > jnp.finfo(dtype).tiny)
+    return (L, d), ok
+
+
+def ldlt_solve(fact, rhs: jax.Array) -> jax.Array:
+    L, d = fact
+    w = jax.scipy.linalg.solve_triangular(L, rhs, lower=True, unit_diagonal=True)
+    w = w / d
+    return jax.scipy.linalg.solve_triangular(
+        L.T, w, lower=False, unit_diagonal=True
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dispatch.
+# ---------------------------------------------------------------------------
+
+
+def kkt_factorize(H: jax.Array, solver: str):
+    if solver == "lu":
+        return _lu_factorize(H)
+    if solver == "ldlt":
+        return ldlt_factorize(H)
+    if solver == "pallas_ldlt":
+        from . import pallas_ldlt
+
+        return pallas_ldlt.factorize(H)
+    raise ValueError(f"unknown kkt solver: {solver!r}")
+
+
+def kkt_solve(fact, rhs: jax.Array, solver: str) -> jax.Array:
+    if solver == "lu":
+        return _lu_solve(fact, rhs)
+    if solver == "ldlt":
+        return ldlt_solve(fact, rhs)
+    if solver == "pallas_ldlt":
+        from . import pallas_ldlt
+
+        return pallas_ldlt.solve(fact, rhs)
+    raise ValueError(f"unknown kkt solver: {solver!r}")

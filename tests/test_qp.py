@@ -1,0 +1,389 @@
+"""QP layer tests, mirroring the reference's qp_test.cc strategy:
+
+* constraint DSL semantics (qp_test.cc:27-45),
+* oracle test: the condensed-system step must match a brute-force LU solve of
+  the full (N+2M+K) KKT system of eq 19.12 (qp_test.cc:99-138), across
+  no/eq/ineq/all-constraint structures (qp_test.cc:168-241),
+* fraction-to-boundary unit test (qp_test.cc:243-249),
+* end-to-end interior-point convergence on problems with known solutions,
+* randomized QP sweep with seeded problems (qp_test.cc:483-574), vmapped,
+* null-space solver vs closed-form minima (qp_test.cc:576-707).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mini_opt_tpu import (
+    QP,
+    BarrierStrategy,
+    InitialGuessMethod,
+    QPInteriorPointParams,
+    QPNullSpaceTerminationState,
+    QPTerminationState,
+    Var,
+    build_full_kkt_system,
+    qp_ip_solve,
+    qp_null_space_solve,
+)
+from mini_opt_tpu.qp import (
+    _IPState,
+    _build_condensed,
+    _compute_alpha_vec,
+    _kkt_conditions,
+    _solve_for_update,
+)
+from mini_opt_tpu.ops import kkt as kkt_ops
+
+
+def random_pd_matrix(rng, n, scale=1.0):
+    """Sum of rank-1 updates, as in test_utils.cc:19-34."""
+    A = np.zeros((n, n))
+    for _ in range(n * 3):
+        v = rng.standard_normal(n)
+        A += np.outer(v, v)
+    return A * scale / n
+
+
+# ---------------------------------------------------------------------------
+# Constraint DSL (qp_test.cc:27-45).
+# ---------------------------------------------------------------------------
+
+
+def test_var_dsl():
+    c = Var(3) >= 2.0
+    assert c.variable == 3 and c.a == 1.0 and c.b == -2.0
+    assert bool(c.is_feasible(2.5)) and not bool(c.is_feasible(1.0))
+
+    c2 = Var(1) <= 5.0
+    assert c2.variable == 1 and c2.a == -1.0 and c2.b == 5.0
+    assert bool(c2.is_feasible(4.0)) and not bool(c2.is_feasible(6.0))
+
+    # clamp
+    assert float(c.clamp_x(0.0)) == pytest.approx(2.0)
+    assert float(c.clamp_x(3.0)) == pytest.approx(3.0)
+    assert float(c2.clamp_x(9.0)) == pytest.approx(5.0)
+
+    # shift: a*(x + dx) + b >= 0 -> a*dx + (a*x+b) >= 0
+    shifted = c.shift_to(4.0)
+    assert float(shifted.b) == pytest.approx(1.0 * 4.0 - 2.0)
+
+
+# ---------------------------------------------------------------------------
+# Oracle: condensed step == brute-force full-system solve (qp_test.cc:99-241).
+# ---------------------------------------------------------------------------
+
+
+def _oracle_check(qp: QP, state: _IPState, mu: float, solver: str, tol=1e-10):
+    r = _kkt_conditions(qp, state)
+    H = _build_condensed(qp, state, include_inequalities=True)
+    fact, ok = kkt_ops.kkt_factorize(H, solver)
+    assert bool(ok)
+    M = qp.M
+    zeros_aff = (jnp.zeros((M,), qp.G.dtype), jnp.zeros((M,), qp.G.dtype))
+    delta = _solve_for_update(qp, state, fact, r, jnp.asarray(mu, qp.G.dtype), zeros_aff, solver)
+
+    # Brute force: solve the full 19.12 system with mu folded into the rhs.
+    H_full, r_full = build_full_kkt_system(qp, state.x, state.s, state.y, state.z)
+    N, K = qp.N, qp.K
+    r_full = np.array(r_full)
+    if M > 0:
+        r_full[N : N + M] -= mu / np.asarray(state.s)  # diag(s)^-1 * (r_comp - mu)
+    sol = np.linalg.solve(np.asarray(H_full), -r_full)
+    np.testing.assert_allclose(np.asarray(delta.x), sol[:N], atol=tol)
+    if M > 0:
+        np.testing.assert_allclose(np.asarray(delta.s), sol[N : N + M], atol=tol)
+        np.testing.assert_allclose(np.asarray(delta.z), -sol[N + M + K :], atol=tol)
+    if K > 0:
+        np.testing.assert_allclose(
+            np.asarray(delta.y), -sol[N + M : N + M + K], atol=tol
+        )
+
+
+def _random_problem(seed, n, k, m):
+    rng = np.random.default_rng(seed)
+    G = random_pd_matrix(rng, n)
+    c = rng.standard_normal(n)
+    A_eq = rng.standard_normal((k, n)) if k else None
+    b_eq = rng.standard_normal(k) if k else None
+    constraints = []
+    vars_ = rng.permutation(n)[:m]
+    for v in vars_:
+        a = rng.choice([-1.0, 1.0]) * rng.uniform(0.5, 2.0)
+        b = rng.uniform(-1.0, 1.0)
+        constraints.append(Var(int(v)) >= 0.0)
+        constraints[-1] = constraints[-1]._replace(a=a, b=b)
+    return QP.create(G, c, A_eq, b_eq, constraints, dtype=jnp.float64)
+
+
+@pytest.mark.parametrize("solver", ["lu", "ldlt"])
+@pytest.mark.parametrize(
+    "n,k,m", [(4, 0, 0), (5, 2, 0), (5, 0, 3), (6, 2, 4), (8, 3, 8)]
+)
+def test_condensed_step_matches_full_system(n, k, m, solver):
+    for seed in range(3):
+        qp = _random_problem(seed * 100 + n, n, k, m)
+        rng = np.random.default_rng(seed + 7)
+        state = _IPState(
+            x=jnp.asarray(rng.standard_normal(n)),
+            s=jnp.asarray(rng.uniform(0.5, 2.0, m)),
+            y=jnp.asarray(rng.standard_normal(k)),
+            z=jnp.asarray(rng.uniform(0.5, 2.0, m)),
+        )
+        for mu in (0.0, 0.37):
+            _oracle_check(qp, state, mu, solver)
+
+
+def test_ldlt_matches_lu():
+    rng = np.random.default_rng(5)
+    H = random_pd_matrix(rng, 9)
+    rhs = rng.standard_normal(9)
+    fact, ok = kkt_ops.ldlt_factorize(jnp.asarray(H))
+    assert bool(ok)
+    x = kkt_ops.ldlt_solve(fact, jnp.asarray(rhs))
+    np.testing.assert_allclose(np.asarray(x), np.linalg.solve(H, rhs), atol=1e-10)
+
+
+# ---------------------------------------------------------------------------
+# Fraction-to-boundary (qp_test.cc:243-249).
+# ---------------------------------------------------------------------------
+
+
+def test_compute_alpha():
+    val = jnp.array([1.0, 2.0, 3.0])
+    # step that would push the first element to -1: blocking at 0.5 * tau
+    d = jnp.array([-2.0, 1.0, -1.0])
+    alpha = _compute_alpha_vec(val, d, 1.0)
+    assert float(alpha) == pytest.approx(0.5)
+    alpha = _compute_alpha_vec(val, d, 0.995)
+    assert float(alpha) == pytest.approx(0.4975)
+    # no blocking constraint -> 1
+    assert float(_compute_alpha_vec(val, jnp.ones(3), 0.995)) == 1.0
+    # zero step entries must be ignored even when val + d <= 0 is impossible
+    assert float(_compute_alpha_vec(jnp.zeros(0), jnp.zeros(0), 0.995)) == 1.0
+
+
+# ---------------------------------------------------------------------------
+# End-to-end interior point.
+# ---------------------------------------------------------------------------
+
+
+def test_ip_unconstrained_quadratic():
+    """With no constraints the first Newton step hits the optimum."""
+    rng = np.random.default_rng(0)
+    G = random_pd_matrix(rng, 6)
+    c = rng.standard_normal(6)
+    qp = QP.create(G, c, dtype=jnp.float64)
+    params = QPInteriorPointParams(max_iterations=5, termination_kkt_tol=1e-10)
+    res = qp_ip_solve(qp, params)
+    assert int(res.termination_state) == QPTerminationState.SATISFIED_KKT_TOL
+    np.testing.assert_allclose(np.asarray(res.x), np.linalg.solve(G, -c), atol=1e-8)
+
+
+def test_ip_box_constrained_known_active_set():
+    """min 0.5*(x0-2)^2 + 0.5*(x1+1)^2 s.t. x0 <= 1, x1 >= 0
+    -> solution (1, 0)."""
+    G = np.eye(2)
+    c = np.array([-2.0, 1.0])
+    qp = QP.create(G, c, constraints=[Var(0) <= 1.0, Var(1) >= 0.0])
+    params = QPInteriorPointParams(
+        max_iterations=30,
+        sigma=0.1,
+        termination_kkt_tol=1e-9,
+        barrier_strategy=BarrierStrategy.COMPLEMENTARITY,
+    )
+    res = qp_ip_solve(qp, params)
+    assert int(res.termination_state) == QPTerminationState.SATISFIED_KKT_TOL
+    np.testing.assert_allclose(np.asarray(res.x), [1.0, 0.0], atol=1e-6)
+
+
+@pytest.mark.parametrize(
+    "strategy",
+    [
+        BarrierStrategy.COMPLEMENTARITY,
+        BarrierStrategy.FIXED_DECREASE,
+        BarrierStrategy.PREDICTOR_CORRECTOR,
+    ],
+)
+def test_ip_equality_and_inequality(strategy):
+    """Equality + box constraints with verifiable KKT conditions."""
+    rng = np.random.default_rng(3)
+    n = 6
+    G = random_pd_matrix(rng, n)
+    c = rng.standard_normal(n)
+    A_eq = rng.standard_normal((2, n))
+    # Choose b_eq so x=0 is infeasible but the problem is solvable.
+    b_eq = rng.standard_normal(2) * 0.3
+    cons = [Var(0) >= -1.5, Var(3) <= 2.0]
+    qp = QP.create(G, c, A_eq, b_eq, cons)
+    params = QPInteriorPointParams(
+        max_iterations=40,
+        sigma=0.1,
+        termination_kkt_tol=1e-9,
+        barrier_strategy=strategy,
+        initial_guess_method=InitialGuessMethod.SOLVE_EQUALITY_CONSTRAINED,
+    )
+    res = qp_ip_solve(qp, params)
+    assert int(res.termination_state) == QPTerminationState.SATISFIED_KKT_TOL
+    x = np.asarray(res.x)
+    # Feasibility.
+    np.testing.assert_allclose(A_eq @ x + b_eq, 0.0, atol=1e-7)
+    assert x[0] >= -1.5 - 1e-8 and x[3] <= 2.0 + 1e-8
+
+
+def _active_set_oracle(G, c, var, a, b):
+    """Exact box-constrained QP solution by active-set enumeration: for each
+    subset of constraints held at equality, solve the KKT system and keep the
+    subset whose solution is primal and dual feasible. Brute-force oracle in
+    the spirit of qp_test.cc's known-solution sweep."""
+    import itertools
+
+    m, n = len(var), G.shape[0]
+    best = None
+    for mask in itertools.product([0, 1], repeat=m):
+        act = [i for i in range(m) if mask[i]]
+        A = np.zeros((len(act), n))
+        rhs = np.zeros(len(act))
+        for j, i in enumerate(act):
+            A[j, var[i]] = a[i]
+            rhs[j] = -b[i]  # a x + b = 0 on the active face
+        KKT = np.block([[G, -A.T], [A, np.zeros((len(act), len(act)))]])
+        try:
+            sol = np.linalg.solve(KKT, np.concatenate([-c, rhs]))
+        except np.linalg.LinAlgError:
+            continue
+        x, lam = sol[:n], sol[n:]
+        if np.any(lam < -1e-9):
+            continue  # dual infeasible
+        if np.all(a * x[var] + b >= -1e-9):
+            best = x
+            break
+    assert best is not None
+    return best
+
+
+def test_ip_randomized_sweep_vmapped():
+    """Analog of qp_test.cc:483-574: seeded random box-constrained QPs with
+    solutions far from the origin and ~half the constraints active, checked
+    against an exact active-set oracle, solved as ONE vmapped batch (the
+    TPU-native execution style).
+
+    Also asserts the equality-constrained warm start uses far fewer total
+    iterations than the naive zero start (qp_test.cc:570-573 asserts 4x).
+    """
+    B, n, m = 256, 8, 4
+    rng = np.random.default_rng(42)
+    Gs, cs = [], []
+    avs, aas, abs_ = [], [], []
+    x_expected = []
+    for _ in range(B):
+        G = random_pd_matrix(rng, n, scale=2.0)
+        root = rng.uniform(-20.0, 20.0, n)  # unconstrained optimum
+        c = -G @ root
+        # Box constraints on m variables, placed between 0 and the root so
+        # they cut the optimum off and are active at the solution.
+        v = np.sort(rng.permutation(n)[:m])
+        scale = rng.uniform(0.1, 0.9, m)
+        bound = root[v] * scale
+        a = np.where(root[v] < 0, -1.0, 1.0) * -1.0  # x >= bound if root<0...
+        # constraint a*x + b >= 0 keeping x on the origin side of the bound:
+        # root < 0 -> x >= bound -> a=1, b=-bound ; root > 0 -> x <= bound.
+        a = np.where(root[v] < 0, 1.0, -1.0)
+        b = np.where(root[v] < 0, -bound, bound)
+        Gs.append(G)
+        cs.append(c)
+        avs.append(v)
+        aas.append(a)
+        abs_.append(b)
+        x_expected.append(_active_set_oracle(G, c, v, a, b))
+
+    qp = QP(
+        G=jnp.asarray(np.stack(Gs)),
+        c=jnp.asarray(np.stack(cs)),
+        A_eq=jnp.zeros((B, 0, n)),
+        b_eq=jnp.zeros((B, 0)),
+        ineq_var=jnp.asarray(np.stack(avs), jnp.int32),
+        ineq_a=jnp.asarray(np.stack(aas)),
+        ineq_b=jnp.asarray(np.stack(abs_)),
+    )
+
+    def solve(qp_one, method):
+        params = QPInteriorPointParams(
+            max_iterations=30,
+            termination_kkt_tol=1e-12,
+            initial_guess_method=method,
+        )
+        return qp_ip_solve(qp_one, params)
+
+    res_warm = jax.jit(
+        jax.vmap(lambda q: solve(q, InitialGuessMethod.SOLVE_EQUALITY_CONSTRAINED))
+    )(qp)
+    res_naive = jax.jit(jax.vmap(lambda q: solve(q, InitialGuessMethod.NAIVE)))(qp)
+
+    for res in (res_warm, res_naive):
+        ok = (
+            np.asarray(res.termination_state) == QPTerminationState.SATISFIED_KKT_TOL
+        )
+        assert ok.mean() > 0.95, f"only {ok.mean():.2%} converged"
+        err = np.abs(np.asarray(res.x) - np.stack(x_expected)).max(axis=1)
+        assert (err[ok] < 5e-5).all(), f"max err {err[ok].max()}"
+
+    # Warm start must be dramatically more efficient (reference asserts 4x).
+    total_warm = int(np.sum(np.asarray(res_warm.num_iterations)))
+    total_naive = int(np.sum(np.asarray(res_naive.num_iterations)))
+    assert total_warm * 2 < total_naive, (total_warm, total_naive)
+
+
+# ---------------------------------------------------------------------------
+# Null-space solver (qp_test.cc:576-707).
+# ---------------------------------------------------------------------------
+
+
+def test_null_space_simple():
+    """min 0.5 x^T G x + c^T x s.t. x0 + x1 - 1 = 0, with diagonal G:
+    closed form via Lagrange multipliers."""
+    G = np.diag([2.0, 4.0])
+    c = np.array([-1.0, -3.0])
+    A = np.array([[1.0, 1.0]])
+    b = np.array([-1.0])
+    qp = QP.create(G, c, A, b)
+    res = qp_null_space_solve(qp)
+    assert int(res.termination_state) == QPNullSpaceTerminationState.SUCCESS
+
+    # KKT: G x + c = A^T lambda, A x + b = 0. Solve exactly.
+    KKT = np.block([[G, -A.T], [A, np.zeros((1, 1))]])
+    rhs = np.concatenate([-c, -b])
+    sol = np.linalg.solve(KKT, rhs)
+    np.testing.assert_allclose(np.asarray(res.x), sol[:2], atol=1e-13)
+
+
+def test_null_space_random_full_rank():
+    rng = np.random.default_rng(11)
+    for trial in range(10):
+        n, k = 7, 3
+        G = random_pd_matrix(rng, n)
+        c = rng.standard_normal(n)
+        A = rng.standard_normal((k, n))
+        b = rng.standard_normal(k)
+        qp = QP.create(G, c, A, b)
+        res = qp_null_space_solve(qp)
+        assert int(res.termination_state) == QPNullSpaceTerminationState.SUCCESS
+        KKT = np.block([[G, -A.T], [A, np.zeros((k, k))]])
+        sol = np.linalg.solve(KKT, np.concatenate([-c, -b]))
+        np.testing.assert_allclose(np.asarray(res.x), sol[:n], atol=1e-11)
+
+
+def test_null_space_not_positive_definite():
+    """Indefinite reduced Hessian must return NOT_POSITIVE_DEFINITE
+    (qp.cc:714-716 analog) rather than NaNs."""
+    G = np.diag([1.0, -5.0, 1.0])
+    c = np.zeros(3)
+    A = np.array([[1.0, 0.0, 0.0]])  # null space includes the -5 direction
+    b = np.array([0.0])
+    qp = QP.create(G, c, A, b)
+    res = qp_null_space_solve(qp)
+    assert (
+        int(res.termination_state) == QPNullSpaceTerminationState.NOT_POSITIVE_DEFINITE
+    )
+    assert np.all(np.isfinite(np.asarray(res.x)))
