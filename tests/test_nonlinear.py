@@ -1,0 +1,462 @@
+"""Nonlinear solver tests, mirroring the reference's nonlinear_test.cc:
+
+* residual Jacobians vs numerical oracles (the repo-wide pattern,
+  nonlinear_test.cc:21-39),
+* QP-cost directional derivative vs numeric (:109-183),
+* line-search polynomial fits vs closed form (:185-250),
+* Rosenbrock 2D from 9 starts (:390-424) + pure-LM variant (:427-460),
+* inequality-constrained Rosenbrock 2D (:463-500) and 6D (:502-577),
+* Himmelblau box-constrained over a grid of starts (:597-665) and
+  quadrant-constrained (:668-718),
+* sphere + nonlinear product equality constraints from random starts
+  (:745-825) exercising the null-space path.
+
+Grid/multi-start sweeps run as ONE vmapped call -- the TPU-native style.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mini_opt_tpu import (
+    LineSearchStrategy,
+    NLSTerminationState,
+    StepSizeSelectionResult,
+    Var,
+    make_residual,
+    termination_state_indicates_satisfied_tol,
+)
+from mini_opt_tpu.nonlinear import (
+    NLSParams,
+    Problem,
+    compute_qp_cost_derivative,
+    cubic_approx_coeffs,
+    cubic_approx_minimum,
+    evaluate_nonlinear_errors,
+    linearize_and_fill_qp,
+    nls_solve,
+    quadratic_approx_minimum,
+)
+from mini_opt_tpu.utils.numerical import numerical_jacobian
+
+# ---------------------------------------------------------------------------
+# Residual functions under test.
+# ---------------------------------------------------------------------------
+
+SQRT_B = np.sqrt(100.0)
+
+
+def rosenbrock(xy):
+    """h with h^T h = (1-x)^2 + 100 (y - x^2)^2."""
+    return jnp.stack([1.0 - xy[0], SQRT_B * (xy[1] - xy[0] * xy[0])])
+
+
+def rosenbrock_nd(x):
+    """Chained 6D Rosenbrock, residual dim 10 (nonlinear_test.cc:502-516)."""
+    parts = []
+    for i in range(x.shape[0] - 1):
+        parts.append(1.0 - x[i])
+        parts.append(SQRT_B * (x[i + 1] - x[i] * x[i]))
+    return jnp.stack(parts)
+
+
+def himmelblau1(xy):
+    return jnp.stack([xy[0] ** 2 + xy[1] - 11.0])
+
+
+def himmelblau2(xy):
+    return jnp.stack([xy[0] + xy[1] ** 2 - 7.0])
+
+
+HIMMELBLAU_ROOTS = np.array(
+    [
+        [3.0, 2.0],
+        [-2.805118, 3.131312],
+        [-3.779310, -3.283186],
+        [3.584428, -1.848126],
+    ]
+)
+
+
+# ---------------------------------------------------------------------------
+# Derivative oracles.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "fn,pts",
+    [
+        (rosenbrock, [[5.0, -3.0], [1.0, 1.0]]),
+        (himmelblau1, [[0.0, 0.0], [4.0, -3.0]]),
+        (himmelblau2, [[-1.0, 3.0], [0.5, -1.5]]),
+    ],
+)
+def test_residual_jacobians_vs_numerical(fn, pts):
+    for pt in pts:
+        x = np.asarray(pt)
+        J = jax.jacfwd(fn)(jnp.asarray(x))
+        J_num = numerical_jacobian(lambda v: np.asarray(fn(jnp.asarray(v))), x)
+        np.testing.assert_allclose(np.asarray(J), J_num, atol=1e-6)
+
+
+def test_qp_cost_directional_derivative_vs_numeric():
+    """nonlinear_test.cc:109-183 analog: d/dalpha of the linearized merit at
+    alpha=0 must match the numeric derivative of the true nonlinear merit."""
+    problem = Problem(
+        dimension=2,
+        costs=(make_residual([0, 1], rosenbrock, 2),),
+        equality_constraints=(
+            make_residual([0, 1], lambda v: jnp.stack([v[0] * v[1] - 2.0]), 1),
+        ),
+    )
+    x = jnp.asarray([0.5, -1.3])
+    qp, _ = linearize_and_fill_qp(problem, x, 0.0)
+    rng = np.random.default_rng(0)
+    for _ in range(5):
+        dx = jnp.asarray(rng.standard_normal(2))
+        d = compute_qp_cost_derivative(qp, dx)
+        penalty = 0.73
+
+        def merit(alpha):
+            e = evaluate_nonlinear_errors(problem, x + alpha * dx)
+            return float(e.total(penalty))
+
+        h = 1e-7
+        num = (merit(h) - merit(-h)) / (2 * h)
+        assert float(d.total(penalty)) == pytest.approx(num, abs=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Polynomial line-search fits (nonlinear_test.cc:185-250).
+# ---------------------------------------------------------------------------
+
+
+def test_quadratic_approx_recovers_polynomial():
+    # phi(a) = 3 a^2 - 2 a + 5 -> minimum at a = 1/3
+    phi = lambda a: 3 * a * a - 2 * a + 5
+    alpha, ok = quadratic_approx_minimum(phi(0.0), -2.0, 1.0, phi(1.0))
+    assert bool(ok) and float(alpha) == pytest.approx(1.0 / 3.0, abs=1e-12)
+    # positive derivative -> invalid
+    _, ok = quadratic_approx_minimum(5.0, 2.0, 1.0, 6.0)
+    assert not bool(ok)
+
+
+def test_cubic_approx_recovers_polynomial():
+    # phi(a) = 2 a^3 + a^2 - 3 a + 4: phi'(0) = -3
+    a_true, b_true = 2.0, 1.0
+    phi = lambda a: a_true * a**3 + b_true * a * a - 3 * a + 4
+    a, b = cubic_approx_coeffs(phi(0.0), -3.0, 1.0, phi(1.0), 0.5, phi(0.5))
+    assert float(a) == pytest.approx(a_true, abs=1e-12)
+    assert float(b) == pytest.approx(b_true, abs=1e-12)
+    alpha, ok = cubic_approx_minimum(-3.0, jnp.asarray(a), jnp.asarray(b))
+    # phi'(a) = 6a^2 + 2a - 3 = 0 -> a = (-1 + sqrt(19)) / 6
+    assert bool(ok)
+    assert float(alpha) == pytest.approx((-1 + np.sqrt(19)) / 6, abs=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Rosenbrock 2D (nonlinear_test.cc:390-460).
+# ---------------------------------------------------------------------------
+
+ROSENBROCK_GUESSES = np.array(
+    [
+        [-5, -3], [10, 8], [-20, 3], [0, -5], [4, 0],
+        [100, 50], [-35, 40], [1000, -50], [0.8, -0.3],
+    ],
+    dtype=np.float64,
+)
+
+
+def test_rosenbrock_unconstrained():
+    problem = Problem(dimension=2, costs=(make_residual([0, 1], rosenbrock, 2),))
+    params = NLSParams(max_iterations=5, max_qp_iterations=1)
+    solve = jax.jit(jax.vmap(lambda x0: nls_solve(problem, params, x0)))
+    res = solve(jnp.asarray(ROSENBROCK_GUESSES))
+    assert (
+        np.asarray(res.termination_state)
+        == NLSTerminationState.SATISFIED_ABSOLUTE_TOL
+    ).all(), np.asarray(res.termination_state)
+    np.testing.assert_allclose(
+        np.asarray(res.x), np.ones((9, 2)), atol=1e-6
+    )
+    # Quadratic + unconstrained: exactly one QP iteration per outer iteration.
+    np.testing.assert_array_equal(
+        np.asarray(res.iterations.qp_num_iterations).sum(axis=1),
+        np.asarray(res.num_iterations),
+    )
+
+
+def test_rosenbrock_pure_lm():
+    """Line search disabled; rely on the LM state machine
+    (nonlinear_test.cc:427-460)."""
+    problem = Problem(dimension=2, costs=(make_residual([0, 1], rosenbrock, 2),))
+    params = NLSParams(
+        max_iterations=10,
+        max_qp_iterations=1,
+        absolute_first_derivative_tol=1e-12,
+        max_line_search_iterations=0,
+    )
+    solve = jax.jit(jax.vmap(lambda x0: nls_solve(problem, params, x0)))
+    res = solve(jnp.asarray(ROSENBROCK_GUESSES))
+    assert (
+        np.asarray(res.termination_state)
+        == NLSTerminationState.SATISFIED_ABSOLUTE_TOL
+    ).all()
+    np.testing.assert_allclose(np.asarray(res.x), np.ones((9, 2)), atol=1e-6)
+
+
+def test_rosenbrock_inequality_constrained():
+    """Constraints x >= 1.2, y <= 0.5 exclude the optimum; solution pinned at
+    (1.2, 0.5). Last three starts are infeasible (nonlinear_test.cc:463-500).
+    """
+    problem = Problem(
+        dimension=2,
+        costs=(make_residual([0, 1], rosenbrock, 2),),
+        inequality_constraints=(Var(0) >= 1.2, Var(1) <= 0.5),
+    )
+    params = NLSParams(max_iterations=10, max_qp_iterations=10)
+    guesses = np.array(
+        [[12, -5], [100, -20], [1423, -400], [-20, 10], [-120, 35], [-50, 0.5]],
+        dtype=np.float64,
+    )
+    solve = jax.jit(jax.vmap(lambda x0: nls_solve(problem, params, x0)))
+    res = solve(jnp.asarray(guesses))
+    term = np.asarray(res.termination_state)
+    assert (term != NLSTerminationState.MAX_ITERATIONS).all(), term
+    assert (term != NLSTerminationState.MAX_LAMBDA).all(), term
+    np.testing.assert_allclose(
+        np.asarray(res.x), np.tile([1.2, 0.5], (6, 1)), atol=1e-6
+    )
+
+
+def test_rosenbrock_6d_box_constrained():
+    """6D chained Rosenbrock with 4 box constraints
+    (nonlinear_test.cc:502-577)."""
+    problem = Problem(
+        dimension=6,
+        costs=(make_residual(range(6), rosenbrock_nd, 10),),
+        inequality_constraints=(
+            Var(0) >= 2.3,
+            Var(1) <= -1.2,
+            Var(2) >= 3.0,
+            Var(3) <= -2.5,
+        ),
+    )
+    params = NLSParams(
+        max_iterations=30,
+        max_qp_iterations=30,
+        relative_exit_tol=1e-6,
+        absolute_first_derivative_tol=5e-6,
+        termination_kkt_tolerance=1e-6,
+        max_lambda=10.0,
+    )
+    guesses = np.array(
+        [
+            [10.5, -8.0, 50.0, -14.0, 4.0, -0.6],
+            [100.0, -50.0, 30.0, -100.0, 150.0, -400.0],
+        ]
+    )
+    solution = np.array([2.3, -1.2, 3.0, -2.5, 6.19802, 6.19802**2])
+    solve = jax.jit(jax.vmap(lambda x0: nls_solve(problem, params, x0)))
+    res = solve(jnp.asarray(guesses))
+    assert np.asarray(
+        termination_state_indicates_satisfied_tol(res.termination_state)
+    ).all(), np.asarray(res.termination_state)
+    np.testing.assert_allclose(
+        np.asarray(res.x), np.tile(solution, (2, 1)), atol=1e-4
+    )
+
+
+# ---------------------------------------------------------------------------
+# Himmelblau (nonlinear_test.cc:597-718).
+# ---------------------------------------------------------------------------
+
+
+def _himmelblau_problem(lo=-5.0):
+    return Problem(
+        dimension=2,
+        costs=(
+            make_residual([0, 1], himmelblau1, 1),
+            make_residual([0, 1], himmelblau2, 1),
+        ),
+        inequality_constraints=(
+            Var(0) >= lo,
+            Var(0) <= 5.0,
+            Var(1) >= lo,
+            Var(1) <= 5.0,
+        ),
+    )
+
+
+HIMMELBLAU_PARAMS = NLSParams(
+    max_iterations=20,
+    max_qp_iterations=10,
+    relative_exit_tol=1e-12,
+    absolute_first_derivative_tol=1e-8,
+    termination_kkt_tolerance=1e-6,
+)
+
+
+def test_himmelblau_grid():
+    problem = _himmelblau_problem()
+    xs = np.arange(-4.5, 4.51, 0.3)
+    gx, gy = np.meshgrid(xs, xs)
+    guesses = np.stack([gx.ravel(), gy.ravel()], axis=1)  # ~961 starts
+
+    solve = jax.jit(jax.vmap(lambda x0: nls_solve(problem, HIMMELBLAU_PARAMS, x0)))
+    res = solve(jnp.asarray(guesses))
+
+    ok = np.asarray(termination_state_indicates_satisfied_tol(res.termination_state))
+    assert ok.all(), f"{(~ok).sum()} failed: {np.asarray(res.termination_state)[~ok]}"
+    x = np.asarray(res.x)
+    dists = np.linalg.norm(x[:, None, :] - HIMMELBLAU_ROOTS[None], axis=2)
+    nearest = HIMMELBLAU_ROOTS[np.argmin(dists, axis=1)]
+    err = np.abs(x - nearest).max(axis=1)
+    assert (err < 5e-5).all(), f"max err {err.max()}"
+
+
+def test_himmelblau_quadrant_constrained():
+    """Constrained to the (+,+) quadrant -> unique root (3, 2)
+    (nonlinear_test.cc:668-718)."""
+    problem = _himmelblau_problem(lo=0.1)
+    xs = np.arange(0.2, 4.81, 0.2)
+    gx, gy = np.meshgrid(xs, xs)
+    guesses = np.stack([gx.ravel(), gy.ravel()], axis=1)
+
+    solve = jax.jit(jax.vmap(lambda x0: nls_solve(problem, HIMMELBLAU_PARAMS, x0)))
+    res = solve(jnp.asarray(guesses))
+    ok = np.asarray(termination_state_indicates_satisfied_tol(res.termination_state))
+    assert ok.all()
+    err = np.abs(np.asarray(res.x) - np.array([3.0, 2.0])).max(axis=1)
+    assert (err < 5e-5).all(), f"max err {err.max()}"
+
+
+# ---------------------------------------------------------------------------
+# Sphere + nonlinear equality constraints: null-space path
+# (nonlinear_test.cc:745-825).
+# ---------------------------------------------------------------------------
+
+
+def test_sphere_with_nonlinear_equality_constraints():
+    N = 6
+
+    def product_constraint(v, target):
+        return jnp.stack([v[0] * v[1] - target])
+
+    problem = Problem(
+        dimension=N,
+        costs=(make_residual(range(N), lambda x: x, N),),
+        equality_constraints=(
+            make_residual([0, 1], lambda v: product_constraint(v, 4.0), 1),
+            make_residual([2, 3], lambda v: product_constraint(v, 9.0), 1),
+        ),
+    )
+    params = NLSParams(
+        max_iterations=100,
+        max_qp_iterations=1,
+        relative_exit_tol=1e-12,
+        absolute_first_derivative_tol=1e-9,
+        termination_kkt_tolerance=1e-6,
+        lambda_initial=0.001,
+    )
+    rng = np.random.default_rng(7)
+    guesses = rng.uniform(-30.0, 30.0, (100, N))
+
+    solutions = []
+    for x0 in (-2.0, 2.0):
+        for x2 in (-3.0, 3.0):
+            s = np.zeros(N)
+            s[0] = s[1] = x0
+            s[2] = s[3] = x2
+            solutions.append(s)
+    solutions = np.stack(solutions)
+
+    solve = jax.jit(jax.vmap(lambda x0: nls_solve(problem, params, x0)))
+    res = solve(jnp.asarray(guesses))
+
+    ok = np.asarray(termination_state_indicates_satisfied_tol(res.termination_state))
+    assert ok.all(), f"{(~ok).sum()} failed: {np.asarray(res.termination_state)[~ok]}"
+    x = np.asarray(res.x)
+    dists = np.linalg.norm(x[:, None, :] - solutions[None], axis=2)
+    nearest = solutions[np.argmin(dists, axis=1)]
+    err = np.abs(x - nearest).max(axis=1)
+    assert (err < 5e-5).all(), f"max err {err.max()}"
+    assert (np.asarray(jax.vmap(lambda r: r.num_failed_line_searches())(res)) == 0).all()
+
+
+# ---------------------------------------------------------------------------
+# Driver features: retraction, exit callback, history.
+# ---------------------------------------------------------------------------
+
+
+def test_custom_retraction_angle_wrap():
+    """A retraction that wraps an angle parameter must be applied on every
+    candidate (nonlinear.hpp:127 / nonlinear.cc:160-168)."""
+
+    def cost(v):
+        # minimized at angle = pi/4 + 2k*pi
+        return jnp.stack([jnp.sin(v[0] - jnp.pi / 4)])
+
+    problem = Problem(dimension=1, costs=(make_residual([0], cost, 1),))
+
+    def retraction(x, dx, alpha):
+        from mini_opt_tpu.utils.so3 import mod_pi
+
+        return mod_pi(x + dx * alpha)
+
+    params = NLSParams(max_iterations=20, max_qp_iterations=1)
+    res = nls_solve(problem, params, jnp.asarray([3.0]), retraction=retraction)
+    assert bool(termination_state_indicates_satisfied_tol(res.termination_state))
+    x = float(res.x[0])
+    assert abs(x) <= np.pi + 1e-9  # stayed wrapped
+    # sin(x - pi/4) has roots at pi/4 + k*pi; either wrapped root is valid.
+    assert min(abs(x - np.pi / 4), abs(x + 3 * np.pi / 4)) < 1e-5
+
+
+def test_user_exit_callback():
+    problem = Problem(dimension=2, costs=(make_residual([0, 1], rosenbrock, 2),))
+    params = NLSParams(max_iterations=10, max_qp_iterations=1)
+
+    def stop_after_two(row):
+        # row is one NLSIterationHistory row; stop once lambda-tagged
+        # iteration index reaches... simplest: stop when f error < 1e6.
+        return row.errors_initial.f > 1e6  # proceed only while error is huge
+
+    res = nls_solve(
+        problem, params, jnp.asarray([1000.0, -50.0]), exit_callback=stop_after_two
+    )
+    assert int(res.termination_state) == NLSTerminationState.USER_CALLBACK
+    assert int(res.num_iterations) < 10
+
+
+def test_history_is_recorded():
+    problem = Problem(dimension=2, costs=(make_residual([0, 1], rosenbrock, 2),))
+    params = NLSParams(max_iterations=5, max_qp_iterations=1)
+    res = nls_solve(problem, params, jnp.asarray([-5.0, -3.0]))
+    n = int(res.num_iterations)
+    assert n >= 1
+    it = res.iterations
+    # errors decrease across iterations
+    f = np.asarray(it.errors_initial.f)[:n]
+    assert (np.diff(f) <= 1e-9).all()
+    assert (np.asarray(it.step_result)[:n] == StepSizeSelectionResult.SUCCESS).all()
+    # rendering works
+    from mini_opt_tpu import nls_result_to_string
+
+    s = nls_result_to_string(res, use_color=True, include_qp=True)
+    assert "Terminated" in s and "alpha" in s
+
+
+def test_armijo_backtrack_strategy():
+    problem = Problem(dimension=2, costs=(make_residual([0, 1], rosenbrock, 2),))
+    params = NLSParams(
+        max_iterations=10,
+        max_qp_iterations=1,
+        max_line_search_iterations=5,
+        line_search_strategy=LineSearchStrategy.ARMIJO_BACKTRACK,
+        armijo_search_tau=0.5,
+    )
+    res = nls_solve(problem, params, jnp.asarray([-5.0, -3.0]))
+    assert bool(termination_state_indicates_satisfied_tol(res.termination_state))
+    np.testing.assert_allclose(np.asarray(res.x), [1.0, 1.0], atol=1e-6)
