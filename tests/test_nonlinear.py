@@ -418,16 +418,16 @@ def test_user_exit_callback():
     problem = Problem(dimension=2, costs=(make_residual([0, 1], rosenbrock, 2),))
     params = NLSParams(max_iterations=10, max_qp_iterations=1)
 
-    def stop_after_two(row):
-        # row is one NLSIterationHistory row; stop once lambda-tagged
-        # iteration index reaches... simplest: stop when f error < 1e6.
-        return row.errors_initial.f > 1e6  # proceed only while error is huge
+    def always_stop(row):
+        return jnp.asarray(False)  # never proceed
 
     res = nls_solve(
-        problem, params, jnp.asarray([1000.0, -50.0]), exit_callback=stop_after_two
+        problem, params, jnp.asarray([1000.0, -50.0]), exit_callback=always_stop
     )
+    # A convergence exit would take precedence (nonlinear.cc:146-151); from
+    # this far start the first iteration cannot converge, so the callback wins.
     assert int(res.termination_state) == NLSTerminationState.USER_CALLBACK
-    assert int(res.num_iterations) < 10
+    assert int(res.num_iterations) == 1
 
 
 def test_history_is_recorded():
