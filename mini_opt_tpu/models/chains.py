@@ -103,8 +103,10 @@ def compute_chain(links: Pose, use_associative_scan: bool = False) -> ChainBuffe
 
     if use_associative_scan:
         # Suffix products links[i] * ... * links[L-1] in O(log L) depth.
+        # reverse=True flips the array, so the combine must compose b * a to
+        # preserve left-to-right link order.
         q_suf, t_suf = jax.lax.associative_scan(
-            lambda a, b: _compose_qt(a, b),
+            lambda a, b: _compose_qt(b, a),
             (links.rotation, links.translation),
             reverse=True,
         )

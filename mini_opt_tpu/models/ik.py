@@ -1,0 +1,168 @@
+"""Flagship workload: batched transform-chain inverse kinematics.
+
+This is the problem family behind the repo's headline benchmark
+(BASELINE.json north star: >= 10k batched transform-chain IK solves/s per
+chip at solution parity with the reference). It reproduces the reference's
+actuator-limit IK test problem (nonlinear_test.cc:828-960): a planar chain of
+Z-rotation actuators whose effector must reach a target, with a nonlinear
+equality constraint on x, a soft cost on y, and optional joint-limit box
+constraints -- then scales it the TPU way: one jitted solve vmapped over
+thousands of per-instance targets, sharded over a device mesh.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..nonlinear import NLSParams, Problem, nls_solve
+from ..qp import Var
+from ..residual import BlockResidual, make_residual
+from ..structs import LineSearchStrategy, NLSResult
+from ..utils import so3
+from .chains import ActuatorChain, ActuatorLink, Pose
+
+
+def make_planar_chain(
+    n_active: int = 2, link_length: float = 0.4, dtype=jnp.float32
+) -> ActuatorChain:
+    """A chain of ``n_active`` Z-rotation actuators plus a fixed end link
+    (the reference's two-angle chain for n_active=2,
+    nonlinear_test.cc:832-838)."""
+    mask = (0, 0, 1, 0, 0, 0)
+    off = (0, 0, 0, 0, 0, 0)
+    qi = so3.quat_identity(dtype)
+    links = [ActuatorLink.create(Pose(qi, jnp.zeros(3, dtype)), mask)]
+    for _ in range(n_active - 1):
+        links.append(
+            ActuatorLink.create(
+                Pose(qi, jnp.asarray([link_length, 0.0, 0.0], dtype)), mask
+            )
+        )
+    links.append(
+        ActuatorLink.create(Pose(qi, jnp.asarray([link_length, 0.0, 0.0], dtype)), off)
+    )
+    return ActuatorChain(links=tuple(links))
+
+
+def mod_pi_retraction(x, dx, alpha):
+    """Angle-wrapping retraction (nonlinear_test.cc:869-874)."""
+    return so3.mod_pi(x + dx * alpha)
+
+
+def make_ik_problem(
+    chain: ActuatorChain,
+    target_xy: jax.Array,
+    with_joint_limits: bool = True,
+    joint_limit: float = 3.14159265,
+) -> Problem:
+    """The reference IK problem for one instance: soft cost pins effector y,
+    equality constraint pins effector x, optional joint-limit box constraints
+    on every non-leading joint. ``target_xy`` may be traced (vmap over
+    targets)."""
+    P = chain.total_active
+
+    def y_res(params):
+        st = chain.update(params)
+        return jnp.stack([st.translation[1] - target_xy[1]]), st.translation_D_params[
+            1:2, :
+        ]
+
+    def x_eq(params):
+        st = chain.update(params)
+        return jnp.stack([st.translation[0] - target_xy[0]]), st.translation_D_params[
+            0:1, :
+        ]
+
+    ineq = ()
+    if with_joint_limits:
+        ineq = tuple(
+            c for i in range(1, P) for c in (Var(i) >= 0.0, Var(i) <= joint_limit)
+        )
+    idx = list(range(P))
+    return Problem(
+        dimension=P,
+        costs=(make_residual(idx, lambda p: y_res(p)[0], 1, jac=y_res),),
+        equality_constraints=(
+            make_residual(idx, lambda p: x_eq(p)[0], 1, jac=x_eq),
+        ),
+        inequality_constraints=ineq,
+    )
+
+
+def make_waypoint_ik_problem(
+    chain: ActuatorChain,
+    offsets: jax.Array,  # (W, 3) effector-frame waypoint offsets
+    targets: jax.Array,  # (W, 3) world-frame targets
+    weights: jax.Array,  # (W,)
+) -> Problem:
+    """Large-instance variant: W waypoint-matching residual blocks, each
+    pulling an effector-frame offset point to a world target. Built as ONE
+    BlockResidual so the blocks can be partitioned across a mesh axis (pass
+    the device-local slices + axis_name to nls_solve)."""
+    P = chain.total_active
+    W = targets.shape[0]
+    data = jnp.concatenate(
+        [offsets, targets, weights[:, None]], axis=1
+    )  # (W, 7)
+
+    def one_waypoint(params, row):
+        st = chain.update(params)
+        offset, target, w = row[:3], row[3:6], row[6]
+        pt = so3.quat_rotate(st.rotation, offset) + st.translation
+        return w * (pt - target)
+
+    indices = tuple(tuple(range(P)) for _ in range(W))
+    return Problem(
+        dimension=P,
+        costs=(BlockResidual(fn=one_waypoint, indices=indices, dim=3, data=data),),
+    )
+
+
+def default_ik_params(
+    dtype=jnp.float32,
+    max_iterations: int = 12,
+    max_qp_iterations: int = 6,
+) -> NLSParams:
+    """Practical tolerances for the f32 TPU throughput path; the f64
+    verification path uses the tighter reference tolerances in tests."""
+    f32 = dtype == jnp.float32
+    return NLSParams(
+        max_iterations=max_iterations,
+        max_qp_iterations=max_qp_iterations,
+        relative_exit_tol=1e-6 if f32 else 1e-12,
+        absolute_first_derivative_tol=1e-6 if f32 else 1e-10,
+        absolute_exit_tol=1e-7 if f32 else 1e-9,
+        termination_kkt_tolerance=1e-5 if f32 else 1e-6,
+        max_line_search_iterations=10,
+        equality_penalty_initial=0.01,
+        line_search_strategy=LineSearchStrategy.ARMIJO_BACKTRACK,
+        lambda_failure_init=0.001,
+        armijo_search_tau=0.5,
+        lambda_initial=0.001,
+        min_lambda=1e-9,
+        kkt_solver="lu",
+    )
+
+
+def solve_ik_batch(
+    targets: jax.Array,  # (B, 2)
+    x0: jax.Array,  # (B, P)
+    chain: Optional[ActuatorChain] = None,
+    params: Optional[NLSParams] = None,
+    with_joint_limits: bool = True,
+) -> NLSResult:
+    """Solve B independent IK instances in one vmapped call."""
+    dtype = x0.dtype
+    if chain is None:
+        chain = make_planar_chain(n_active=x0.shape[-1], dtype=dtype)
+    if params is None:
+        params = default_ik_params(dtype)
+
+    def one(target, x0_one):
+        problem = make_ik_problem(chain, target, with_joint_limits)
+        return nls_solve(problem, params, x0_one, retraction=mod_pi_retraction)
+
+    return jax.vmap(one)(targets, x0)

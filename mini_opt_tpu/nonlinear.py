@@ -132,11 +132,18 @@ class NLSParams:
 
 
 def linearize_and_fill_qp(
-    problem: Problem, x: jax.Array, lam
+    problem: Problem, x: jax.Array, lam, axis_name: Optional[str] = None
 ) -> Tuple[QP, Errors]:
     """LinearizeAndFillQP analog (nonlinear.cc:170-214): Gauss-Newton
     assembly of (G, c), LM damping of the diagonal, equality Jacobian rows,
-    and inequality constraints shifted to the linearization point."""
+    and inequality constraints shifted to the linearization point.
+
+    With ``axis_name`` (inside shard_map), the cost terms are treated as a
+    device-local partition of a larger residual set: G, c and the cost value
+    are psum-reduced over the mesh axis before damping -- the Schur-style
+    distributed assembly of SURVEY.md section 2.3. Equality/inequality
+    constraints are assumed replicated across the axis.
+    """
     n = problem.dimension
     dtype = x.dtype
     G = jnp.zeros((n, n), dtype)
@@ -148,6 +155,10 @@ def linearize_and_fill_qp(
         else:
             G, c, f = accumulate_hessian(G, c, cost, x)
         f_total = f_total + f
+    if axis_name is not None:
+        G = jax.lax.psum(G, axis_name)
+        c = jax.lax.psum(c, axis_name)
+        f_total = jax.lax.psum(f_total, axis_name)
     G = G + lam * jnp.eye(n, dtype=dtype)
 
     k_total = problem.total_eq_dim
@@ -180,8 +191,11 @@ def linearize_and_fill_qp(
     return qp, Errors(f=f_total, equality=eq_l1)
 
 
-def evaluate_nonlinear_errors(problem: Problem, x: jax.Array) -> Errors:
-    """EvaluateNonlinearErrors analog (nonlinear.cc:279-293)."""
+def evaluate_nonlinear_errors(
+    problem: Problem, x: jax.Array, axis_name: Optional[str] = None
+) -> Errors:
+    """EvaluateNonlinearErrors analog (nonlinear.cc:279-293). With
+    ``axis_name``, cost terms are psum-reduced (device-local partition)."""
     dtype = x.dtype
     f = jnp.zeros((), dtype)
     for cost in problem.costs:
@@ -190,6 +204,8 @@ def evaluate_nonlinear_errors(problem: Problem, x: jax.Array) -> Errors:
         else:
             r = cost.error_vector(x)
         f = f + 0.5 * jnp.sum(r * r)
+    if axis_name is not None:
+        f = jax.lax.psum(f, axis_name)
     eq = jnp.zeros((), dtype)
     for eq_c in problem.equality_constraints:
         eq = eq + jnp.sum(jnp.abs(eq_c.error_vector(x)))
@@ -283,6 +299,7 @@ def select_step_size(
     derivatives: DirectionalDerivatives,
     penalty,
     retraction: Optional[Retraction],
+    axis_name: Optional[str] = None,
 ) -> Tuple[jax.Array, jax.Array, Errors, LineSearchHistory]:
     """SelectStepSize analog (nonlinear.cc:351-416): try alpha = 1, then
     either Armijo backtracking or quadratic/cubic polynomial minimization,
@@ -328,7 +345,7 @@ def select_step_size(
 
         # --- evaluate the candidate -------------------------------------
         candidate = retract(alpha)
-        errs = evaluate_nonlinear_errors(problem, candidate)
+        errs = evaluate_nonlinear_errors(problem, candidate, axis_name)
         phi = errs.total(penalty)
 
         steps = LineSearchHistory(
@@ -428,6 +445,7 @@ def nls_solve(
     x0: jax.Array,
     retraction: Optional[Retraction] = None,
     exit_callback: Optional[Callable] = None,
+    axis_name: Optional[str] = None,
 ) -> NLSResult:
     """Solve the constrained NLS problem (nonlinear.cc:75-157) as one pure,
     jittable, vmappable function.
@@ -442,6 +460,9 @@ def nls_solve(
       exit_callback: optional jittable ``f(history_row_pytree) -> bool``;
         returning False terminates with USER_CALLBACK (the jit-safe analog of
         SetUserExitCallback, nonlinear.hpp:153-157).
+      axis_name: when running inside shard_map with cost terms partitioned
+        across a mesh axis, the axis to psum-reduce Gauss-Newton assembly and
+        cost evaluation over (large-single-instance parallelism).
     """
     x0 = jnp.asarray(x0)
     dtype = x0.dtype
@@ -471,7 +492,7 @@ def nls_solve(
             carry.opt_state,
             carry.it,
         )
-        qp, errors_pre = linearize_and_fill_qp(problem, x, lam)
+        qp, errors_pre = linearize_and_fill_qp(problem, x, lam, axis_name)
 
         # --- step direction (nonlinear.cc:216-259) -----------------------
         if use_ns:
@@ -518,7 +539,8 @@ def nls_solve(
 
         # --- line search -------------------------------------------------
         step_result, candidate, cand_errors, steps = select_step_size(
-            problem, params, x, dx, errors_pre, derivatives, penalty, retraction
+            problem, params, x, dx, errors_pre, derivatives, penalty, retraction,
+            axis_name,
         )
 
         # --- lambda update + exit conditions (nonlinear.cc:296-343) ------
@@ -653,7 +675,7 @@ def nls_solve(
         jnp.int32(NLSTerminationState.MAX_ITERATIONS),
         out.status,
     )
-    final_errors = evaluate_nonlinear_errors(problem, out.x)
+    final_errors = evaluate_nonlinear_errors(problem, out.x, axis_name)
     return NLSResult(
         termination_state=status,
         num_iterations=out.it,

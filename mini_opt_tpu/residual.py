@@ -92,16 +92,26 @@ class BlockResidual:
     """
 
     fn: Callable[[jax.Array, jax.Array], jax.Array]  # (x_local, data_row) -> r
-    indices: Tuple[Tuple[int, ...], ...]  # (B, P) static
+    # (B, P): static nested tuples, or an int32 array (possibly traced --
+    # required when blocks are sharded across devices with shard_map).
+    indices: object
     dim: int
     data: Optional[jax.Array] = None  # (B, ...) per-block payload, traced OK
 
     def _idx(self) -> jax.Array:
-        return jnp.array(self.indices, dtype=jnp.int32)
+        if isinstance(self.indices, tuple):
+            return jnp.array(self.indices, dtype=jnp.int32)
+        return jnp.asarray(self.indices, dtype=jnp.int32)
+
+    @property
+    def num_blocks(self) -> int:
+        if isinstance(self.indices, tuple):
+            return len(self.indices)
+        return self.indices.shape[0]
 
     def _data_rows(self):
         if self.data is None:
-            return jnp.zeros((len(self.indices), 0))
+            return jnp.zeros((self.num_blocks, 0))
         return self.data
 
     def error_vectors(self, x: jax.Array) -> jax.Array:

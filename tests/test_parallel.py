@@ -1,0 +1,127 @@
+"""Batch/distributed layer tests on the virtual 8-device CPU mesh.
+
+The reference has no parallelism to mirror (SURVEY.md section 2.3); these
+tests pin down the two scaling axes of the rebuild: sharded scenario batches
+(dp) and psum-reduced residual partitioning within an instance (mp).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mini_opt_tpu.models.ik import (
+    default_ik_params,
+    make_ik_problem,
+    make_planar_chain,
+    make_waypoint_ik_problem,
+    mod_pi_retraction,
+    solve_ik_batch,
+)
+from mini_opt_tpu.nonlinear import NLSParams, Problem, nls_solve
+from mini_opt_tpu.parallel.batch import make_mesh, shard_solve_batch, solve_batch
+from jax.sharding import Mesh, PartitionSpec as P
+from functools import partial
+
+
+def _targets(b, seed=0):
+    rng = np.random.default_rng(seed)
+    angles = rng.uniform(0.3, 1.2, b)
+    radius = rng.uniform(0.35, 0.75, b)
+    return np.stack([radius * np.cos(angles), radius * np.sin(angles)], axis=1)
+
+
+def test_solve_ik_batch_reaches_targets():
+    B = 64
+    targets = jnp.asarray(_targets(B))
+    x0 = jnp.full((B, 2), 0.3, jnp.float64)
+    chain = make_planar_chain(2, dtype=jnp.float64)
+    params = default_ik_params(jnp.float64, max_iterations=30, max_qp_iterations=6)
+    res = jax.jit(
+        lambda t, x: solve_ik_batch(t, x, chain=chain, params=params)
+    )(targets, x0)
+    final = jax.vmap(lambda x: chain.update(x).translation[:2])(res.x)
+    err = np.abs(np.asarray(final) - np.asarray(targets)).max(axis=1)
+    assert (err < 1e-3).all(), f"{(err >= 1e-3).sum()} failed, max {err.max()}"
+
+
+def test_shard_solve_batch_matches_unsharded():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    mesh = make_mesh({"dp": 8})
+    B = 32
+    targets = jnp.asarray(_targets(B, seed=3))
+    x0 = jnp.full((B, 2), 0.4, jnp.float64)
+    chain = make_planar_chain(2, dtype=jnp.float64)
+    params = default_ik_params(jnp.float64, max_iterations=10, max_qp_iterations=5)
+
+    def problem_fn(target):
+        return make_ik_problem(chain, target, with_joint_limits=True)
+
+    res_plain = jax.jit(
+        lambda x, t: solve_batch(problem_fn, params, x, t, retraction=mod_pi_retraction)
+    )(x0, targets)
+    res_shard = jax.jit(
+        lambda x, t: shard_solve_batch(
+            mesh, problem_fn, params, x, t, retraction=mod_pi_retraction
+        )
+    )(x0, targets)
+
+    np.testing.assert_allclose(
+        np.asarray(res_shard.x), np.asarray(res_plain.x), atol=1e-12
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res_shard.termination_state), np.asarray(res_plain.termination_state)
+    )
+
+
+def test_distributed_residual_partition_matches_single_device():
+    """An instance with W waypoint blocks partitioned over mp=8 must produce
+    the same iterates as the single-device assembly (psum-reduced J^T J)."""
+    mesh = make_mesh({"mp": 8})
+    W = 16
+    rng = np.random.default_rng(5)
+    chain = make_planar_chain(2, dtype=jnp.float64)
+    offsets = jnp.asarray(rng.uniform(-0.05, 0.05, (W, 3)))
+    base_target = np.array([0.45, 0.55, 0.0])
+    targets = jnp.asarray(base_target + rng.uniform(-0.02, 0.02, (W, 3)))
+    weights = jnp.asarray(rng.uniform(0.5, 1.5, W))
+    x0 = jnp.asarray([0.4, 0.3])
+    params = default_ik_params(jnp.float64, max_iterations=15, max_qp_iterations=3)
+
+    problem_full = make_waypoint_ik_problem(chain, offsets, targets, weights)
+    res_full = jax.jit(
+        lambda x: nls_solve(problem_full, params, x, retraction=mod_pi_retraction)
+    )(x0)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        check_vma=False,
+        in_specs=(None, P("mp"), P("mp"), P("mp")),
+        out_specs=None,
+    )
+    def run(x, off_local, tgt_local, w_local):
+        problem = make_waypoint_ik_problem(chain, off_local, tgt_local, w_local)
+        return nls_solve(
+            problem, params, x, retraction=mod_pi_retraction, axis_name="mp"
+        )
+
+    res_dist = jax.jit(run)(x0, offsets, targets, weights)
+
+    np.testing.assert_allclose(
+        np.asarray(res_dist.x), np.asarray(res_full.x), atol=1e-9
+    )
+    assert int(res_dist.termination_state) == int(res_full.termination_state)
+    assert int(res_dist.num_iterations) == int(res_full.num_iterations)
+
+
+def test_graft_entry_compiles():
+    import sys, os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert np.isfinite(np.asarray(out)).all()
+    ge.dryrun_multichip(8)
