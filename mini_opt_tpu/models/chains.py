@@ -13,7 +13,7 @@ stays vmappable over problem batches.
 from __future__ import annotations
 
 import dataclasses
-from typing import NamedTuple, Sequence, Tuple
+from typing import NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -83,7 +83,12 @@ def _compose_qt(a, b):
     return so3.quat_multiply(qa, qb), ta + so3.quat_rotate(qa, tb)
 
 
-def compute_chain(links: Pose, use_associative_scan: bool = False) -> ChainBuffers:
+_UNROLL_MAX_LINKS = 16
+
+
+def compute_chain(
+    links: Pose, use_associative_scan: bool = False, unroll: Optional[bool] = None
+) -> ChainBuffers:
     """Forward pass over a stacked chain of L links (transform_chains.cc:23-82).
 
     Computes the end-effector pose in every intermediate frame plus the three
@@ -100,8 +105,29 @@ def compute_chain(links: Pose, use_associative_scan: bool = False) -> ChainBuffe
     dtype = links.rotation.dtype
     q_id = so3.quat_identity(dtype)
     t_zero = jnp.zeros((3,), dtype)
+    if unroll is None:
+        unroll = L <= _UNROLL_MAX_LINKS and not use_associative_scan
 
-    if use_associative_scan:
+    if unroll:
+        # Short chains: straight-line code. A lax.scan of length ~3 costs more
+        # in loop overhead and lost fusion than it saves; unrolling lets XLA
+        # fuse the whole sweep into a few kernels (critical for the batched
+        # IK throughput path).
+        q_suf_l, t_suf_l = [q_id], [t_zero]
+        for i in range(L - 1, -1, -1):
+            q_suf_l.append(
+                so3.quat_multiply(links.rotation[i], q_suf_l[-1])
+            )
+            t_suf_l.append(
+                so3.quat_rotate(links.rotation[i], t_suf_l[-1]) + links.translation[i]
+            )
+        i_R_end = jnp.stack(q_suf_l[::-1])
+        i_t_end = jnp.stack(t_suf_l[::-1])
+        starts_l = [q_id]
+        for i in range(L):
+            starts_l.append(so3.quat_multiply(starts_l[-1], links.rotation[i]))
+        start_R = jnp.stack(starts_l)
+    elif use_associative_scan:
         # Suffix products links[i] * ... * links[L-1] in O(log L) depth.
         # reverse=True flips the array, so the combine must compose b * a to
         # preserve left-to-right link order.

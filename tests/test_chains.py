@@ -178,12 +178,14 @@ def test_compute_chain_derivatives_vs_numerical(use_assoc):
     np.testing.assert_allclose(J_ana, J_num, atol=1e-8)
 
 
-def test_scan_and_associative_scan_agree():
+def test_unroll_scan_and_associative_scan_agree():
     links = _test_links()
-    a = compute_chain(links, use_associative_scan=False)
+    a = compute_chain(links, unroll=True)
     b = compute_chain(links, use_associative_scan=True)
-    for x, y in zip(a, b):
+    c = compute_chain(links, unroll=False)  # lax.scan path
+    for x, y, z in zip(a, b, c):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-12)
+        np.testing.assert_allclose(np.asarray(x), np.asarray(z), atol=1e-12)
 
 
 def test_compute_all_poses_composition():

@@ -98,7 +98,7 @@ def test_distributed_residual_partition_matches_single_device():
         mesh=mesh,
         check_vma=False,
         in_specs=(None, P("mp"), P("mp"), P("mp")),
-        out_specs=None,
+        out_specs=P(),
     )
     def run(x, off_local, tgt_local, w_local):
         problem = make_waypoint_ik_problem(chain, off_local, tgt_local, w_local)
