@@ -1,0 +1,217 @@
+"""Lane-batched LDL^T Pallas TPU kernel for the condensed KKT solve.
+
+The reference factors one small dense (N+K)x(N+K) system at a time with
+Eigen LDLT (qp.cc:275-316). The TPU workload is thousands of such tiny
+systems at once (one per vmapped problem instance), which is hostile to
+cuBLAS/LAPACK-style batched linalg on an MXU. The right layout is
+**structure-of-arrays**: transpose the batch to ``(D, D, B)`` so the batch
+axis rides the 128-wide vector lanes, then run the O(D) column recurrence of
+the unpivoted LDL^T with every elementwise step vectorized across all B
+instances on the VPU. D is static and tiny (~3-40), so the recurrence is
+fully unrolled into straight-line code; the kernel is compute-regular,
+branch-free, and keeps everything in VMEM.
+
+Same recurrence as ops.kkt.ldlt_factorize (which is its oracle in tests);
+valid for the quasi-definite KKT matrices the interior-point solver produces.
+
+Integration is via ``jax.custom_batching.custom_vmap``: the scalar-problem
+call falls back to the jnp recurrence, and a vmapped call dispatches the
+whole batch to one pallas_call -- so ``QPInteriorPointParams(
+kkt_solver="pallas_ldlt")`` composes transparently with ``vmap``/``jit``.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+
+from . import kkt as kkt_ops
+
+_INTERPRET = jax.default_backend() != "tpu" or bool(
+    int(os.environ.get("MINI_OPT_PALLAS_INTERPRET", "0"))
+)
+
+_LANE_BLOCK = 256  # batch instances per grid step (multiple of 128)
+
+
+def _ldlt_kernel(h_ref, l_ref, d_ref):
+    """Factor H = L diag(d) L^T for a (D, D, BB) tile, batch on lanes."""
+    D = h_ref.shape[0]
+    dtype = h_ref.dtype
+    H = h_ref[:]  # (D, D, BB)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (D, 1), 0)  # (D, 1)
+    L = jnp.zeros(h_ref.shape, dtype)
+    d = jnp.zeros((D, h_ref.shape[2]), dtype)
+    for j in range(D):
+        if j == 0:
+            c = H[:, 0, :]  # (D, BB)
+        else:
+            # c = H[:, j] - sum_{k<j} L[:, k] * d[k] * L[j, k]
+            w = d[:j, :] * L[j, :j, :]  # (j, BB)
+            c = H[:, j, :] - jnp.sum(L[:, :j, :] * w[None, :, :], axis=1)
+        dj = c[j, :]  # (BB,)
+        col = jnp.where(
+            rows > j, c / dj[None, :], jnp.where(rows == j, 1.0, 0.0)
+        )
+        L = L.at[:, j, :].set(col)
+        d = d.at[j, :].set(dj)
+    l_ref[:] = L
+    d_ref[:] = d
+
+
+def _solve_kernel(l_ref, d_ref, rhs_ref, x_ref):
+    """Solve L diag(d) L^T x = rhs for a (D, BB) tile of rhs."""
+    D = l_ref.shape[0]
+    L = l_ref[:]
+    d = d_ref[:]
+    rhs = rhs_ref[:]  # (D, BB)
+    # Forward substitution with unit-lower L: y[j] = rhs[j] - L[j,:j] @ y[:j]
+    ys = []
+    for j in range(D):
+        acc = rhs[j, :]
+        for k in range(j):
+            acc = acc - L[j, k, :] * ys[k]
+        ys.append(acc)
+    y = jnp.stack(ys, axis=0) / d
+    # Backward substitution with L^T: x[j] = y[j] - L[j+1:, j] @ x[j+1:]
+    xs = [None] * D
+    for j in range(D - 1, -1, -1):
+        acc = y[j, :]
+        for k in range(j + 1, D):
+            acc = acc - L[k, j, :] * xs[k]
+        xs[j] = acc
+    x_ref[:] = jnp.stack(xs, axis=0)
+
+
+def _pad_batch(x, b_pad, fill=0.0):
+    pad = [(0, b_pad - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
+    return jnp.pad(x, pad, constant_values=fill)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _batched_factorize(H):
+    """H (B, D, D) -> (L (B, D, D), d (B, D), ok (B,))."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, D, _ = H.shape
+    bb = min(_LANE_BLOCK, max(128, B))
+    b_pad = -(-B // bb) * bb
+    # Pad with identity systems so the padded lanes stay finite.
+    H_p = _pad_batch(H, b_pad)
+    eye = jnp.eye(D, dtype=H.dtype)
+    mask = (jnp.arange(b_pad) < B)[:, None, None]
+    H_p = jnp.where(mask, H_p, eye[None])
+    Ht = jnp.moveaxis(H_p, 0, -1)  # (D, D, b_pad)
+
+    grid = (b_pad // bb,)
+    L_t, d_t = pl.pallas_call(
+        _ldlt_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((D, D, bb), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+        ],
+        out_specs=[
+            pl.BlockSpec((D, D, bb), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, bb), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((D, D, b_pad), H.dtype),
+            jax.ShapeDtypeStruct((D, b_pad), H.dtype),
+        ],
+        interpret=_INTERPRET,
+    )(Ht)
+    L = jnp.moveaxis(L_t, -1, 0)[:B]
+    d = jnp.moveaxis(d_t, -1, 0)[:B]
+    ok = jnp.all(jnp.isfinite(L), axis=(1, 2)) & jnp.all(
+        jnp.abs(d) > jnp.finfo(H.dtype).tiny, axis=1
+    )
+    return L, d, ok
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _batched_solve(L, d, rhs):
+    """(B, D, D), (B, D), (B, D) -> x (B, D)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, D, _ = L.shape
+    bb = min(_LANE_BLOCK, max(128, B))
+    b_pad = -(-B // bb) * bb
+    eye = jnp.eye(D, dtype=L.dtype)
+    mask = (jnp.arange(b_pad) < B)[:, None, None]
+    L_p = jnp.where(mask, _pad_batch(L, b_pad), eye[None])
+    d_p = jnp.where(mask[:, :, 0], _pad_batch(d, b_pad), 1.0)
+    r_p = _pad_batch(rhs, b_pad)
+
+    grid = (b_pad // bb,)
+    x_t = pl.pallas_call(
+        _solve_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((D, D, bb), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, bb), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, bb), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (D, bb), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((D, b_pad), L.dtype),
+        interpret=_INTERPRET,
+    )(
+        jnp.moveaxis(L_p, 0, -1),
+        jnp.moveaxis(d_p, 0, -1),
+        jnp.moveaxis(r_p, 0, -1),
+    )
+    return jnp.moveaxis(x_t, -1, 0)[:B]
+
+
+# ---------------------------------------------------------------------------
+# custom_vmap wrappers: scalar call -> jnp recurrence; vmapped -> one kernel.
+# ---------------------------------------------------------------------------
+
+
+@jax.custom_batching.custom_vmap
+def _factorize_cv(H):
+    (L, d), ok = kkt_ops.ldlt_factorize(H)
+    return L, d, ok
+
+
+@_factorize_cv.def_vmap
+def _factorize_vmap_rule(axis_size, in_batched, H):
+    del axis_size
+    (h_batched,) = in_batched
+    assert h_batched, "H must be batched in the vmapped call"
+    L, d, ok = _batched_factorize(H)
+    return (L, d, ok), (True, True, True)
+
+
+@jax.custom_batching.custom_vmap
+def _solve_cv(L, d, rhs):
+    return kkt_ops.ldlt_solve((L, d), rhs)
+
+
+@_solve_cv.def_vmap
+def _solve_vmap_rule(axis_size, in_batched, L, d, rhs):
+    lb, db, rb = in_batched
+    if not lb:
+        L = jnp.broadcast_to(L, (axis_size,) + L.shape)
+    if not db:
+        d = jnp.broadcast_to(d, (axis_size,) + d.shape)
+    if not rb:
+        rhs = jnp.broadcast_to(rhs, (axis_size,) + rhs.shape)
+    return _batched_solve(L, d, rhs), True
+
+
+def factorize(H):
+    """ops.kkt interface: returns ((L, d), ok)."""
+    L, d, ok = _factorize_cv(H)
+    return (L, d), ok
+
+
+def solve(fact, rhs):
+    L, d = fact
+    return _solve_cv(L, d, rhs)
