@@ -1,0 +1,189 @@
+"""Serialization of solver outputs: JSON + npz round trips.
+
+Analog of the reference's opt-in nlohmann-json subsystem
+(/root/reference/source/serialization.cc): the full solver output tree
+(NLSResult including nested iteration/line-search/QP records) round-trips
+through a human-readable JSON document with enum names as strings, and -- the
+TPU-native addition -- through a compact ``.npz`` of the stacked history
+arrays for offline analysis of entire solve *batches*.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Dict
+
+import jax
+import numpy as np
+
+from ..structs import (
+    DirectionalDerivatives,
+    Errors,
+    LineSearchHistory,
+    NLSIterationHistory,
+    NLSResult,
+    NLSTerminationState,
+    OptimizerState,
+    StepSizeSelectionResult,
+)
+
+
+def _np(tree):
+    return jax.tree.map(lambda a: np.asarray(a), tree)
+
+
+def nls_result_to_json(result: NLSResult) -> Dict[str, Any]:
+    """Render one (unbatched) NLSResult as a JSON-able dict; iteration rows
+    are truncated to the executed count and enums become names (mirroring the
+    readable format of serialization.cc:32-77)."""
+    r = _np(result)
+    n = int(r.num_iterations)
+    it = r.iterations
+    iterations = []
+    for i in range(n):
+        nsteps = int(it.line_search.num_steps[i])
+        iterations.append(
+            {
+                "iteration": i,
+                "optimizer_state": OptimizerState(int(it.optimizer_state[i])).name,
+                "lambda": float(it.lam[i]),
+                "errors_initial": {
+                    "f": float(it.errors_initial.f[i]),
+                    "equality": float(it.errors_initial.equality[i]),
+                },
+                "directional_derivatives": {
+                    "d_f": float(it.directional_derivatives.d_f[i]),
+                    "d_equality": float(it.directional_derivatives.d_equality[i]),
+                },
+                "penalty": float(it.penalty[i]),
+                "step_result": StepSizeSelectionResult(int(it.step_result[i])).name,
+                "qp": {
+                    "termination_state": int(it.qp_termination_state[i]),
+                    "num_iterations": int(it.qp_num_iterations[i]),
+                    "kkt_final_max": float(it.qp_kkt_final_max[i]),
+                },
+                "line_search_steps": [
+                    {
+                        "alpha": float(it.line_search.alpha[i, j]),
+                        "f": float(it.line_search.f[i, j]),
+                        "equality": float(it.line_search.equality[i, j]),
+                    }
+                    for j in range(nsteps)
+                ],
+            }
+        )
+    return {
+        "termination_state": NLSTerminationState(int(r.termination_state)).name,
+        "num_iterations": n,
+        "x": r.x.tolist(),
+        "errors": {"f": float(r.errors.f), "equality": float(r.errors.equality)},
+        "iterations": iterations,
+        "_shape": {
+            "max_iterations": int(it.lam.shape[0]),
+            "max_line_search_steps": int(it.line_search.alpha.shape[1]),
+            "dtype": str(r.x.dtype),
+        },
+    }
+
+
+def nls_result_from_json(doc: Dict[str, Any]) -> NLSResult:
+    """Inverse of nls_result_to_json: rebuilds the fixed-shape pytree (rows
+    beyond num_iterations are zero, as the solver produces them)."""
+    import jax.numpy as jnp
+
+    shape = doc["_shape"]
+    mi = shape["max_iterations"]
+    ms = shape["max_line_search_steps"]
+    dtype = jnp.dtype(shape["dtype"])
+    hist = NLSIterationHistory.empty(mi, ms, dtype)
+    hist = _np(hist)
+    hist = jax.tree.map(lambda a: a.copy(), hist)
+    for row in doc["iterations"]:
+        i = row["iteration"]
+        hist.optimizer_state[i] = OptimizerState[row["optimizer_state"]]
+        hist.lam[i] = row["lambda"]
+        hist.errors_initial.f[i] = row["errors_initial"]["f"]
+        hist.errors_initial.equality[i] = row["errors_initial"]["equality"]
+        hist.directional_derivatives.d_f[i] = row["directional_derivatives"]["d_f"]
+        hist.directional_derivatives.d_equality[i] = row[
+            "directional_derivatives"
+        ]["d_equality"]
+        hist.penalty[i] = row["penalty"]
+        hist.step_result[i] = StepSizeSelectionResult[row["step_result"]]
+        hist.qp_termination_state[i] = row["qp"]["termination_state"]
+        hist.qp_num_iterations[i] = row["qp"]["num_iterations"]
+        hist.qp_kkt_final_max[i] = row["qp"]["kkt_final_max"]
+        hist.line_search.num_steps[i] = len(row["line_search_steps"])
+        for j, step in enumerate(row["line_search_steps"]):
+            hist.line_search.alpha[i, j] = step["alpha"]
+            hist.line_search.f[i, j] = step["f"]
+            hist.line_search.equality[i, j] = step["equality"]
+
+    to_jnp = lambda a: jnp.asarray(a)
+    return NLSResult(
+        termination_state=jnp.asarray(
+            int(NLSTerminationState[doc["termination_state"]]), jnp.int32
+        ),
+        num_iterations=jnp.asarray(doc["num_iterations"], jnp.int32),
+        x=jnp.asarray(doc["x"], dtype),
+        errors=Errors(
+            jnp.asarray(doc["errors"]["f"], dtype),
+            jnp.asarray(doc["errors"]["equality"], dtype),
+        ),
+        iterations=jax.tree.map(to_jnp, hist),
+    )
+
+
+def save_result_json(path: str, result: NLSResult) -> None:
+    with open(path, "w") as f:
+        json.dump(nls_result_to_json(result), f, indent=1)
+
+
+def load_result_json(path: str) -> NLSResult:
+    with open(path) as f:
+        return nls_result_from_json(json.load(f))
+
+
+# ---------------------------------------------------------------------------
+# Compact npz round-trip for whole (possibly batched) results.
+# ---------------------------------------------------------------------------
+
+
+def save_result_npz(path: str, result: NLSResult) -> None:
+    """Save a (batched or unbatched) NLSResult pytree as one npz file."""
+    leaves, treedef = jax.tree.flatten(_np(result))
+    np.savez_compressed(
+        path, *leaves, __treedef__=np.frombuffer(str(treedef).encode(), np.uint8)
+    )
+
+
+def load_result_npz(path: str) -> NLSResult:
+    import jax.numpy as jnp
+
+    with np.load(path) as data:
+        leaves = [data[k] for k in data.files if k != "__treedef__"]
+    # Rebuild using a template treedef from shapes.
+    mi, ms = None, None
+    # NLSResult flatten order is stable; reconstruct by unflattening against a
+    # structure built from the stored arrays.
+    template = jax.tree.structure(
+        NLSResult(
+            termination_state=0,
+            num_iterations=0,
+            x=0,
+            errors=Errors(0, 0),
+            iterations=NLSIterationHistory(
+                optimizer_state=0,
+                lam=0,
+                errors_initial=Errors(0, 0),
+                directional_derivatives=DirectionalDerivatives(0, 0),
+                penalty=0,
+                step_result=0,
+                qp_termination_state=0,
+                qp_num_iterations=0,
+                qp_kkt_final_max=0,
+                line_search=LineSearchHistory(0, 0, 0, 0),
+            ),
+        )
+    )
+    return jax.tree.unflatten(template, [jnp.asarray(l) for l in leaves])

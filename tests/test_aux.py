@@ -1,0 +1,108 @@
+"""Aux subsystem tests: serialization round trips (serialization.cc analog),
+tracing collector (tracing.cc analog), warm-start checkpointing."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mini_opt_tpu import make_residual
+from mini_opt_tpu.nonlinear import NLSParams, Problem, nls_solve
+
+
+def _solve_one():
+    def rosenbrock(xy):
+        return jnp.stack([1.0 - xy[0], 10.0 * (xy[1] - xy[0] * xy[0])])
+
+    problem = Problem(dimension=2, costs=(make_residual([0, 1], rosenbrock, 2),))
+    params = NLSParams(max_iterations=5, max_qp_iterations=1)
+    return nls_solve(problem, params, jnp.asarray([-3.0, 2.0]))
+
+
+def test_json_round_trip(tmp_path):
+    from mini_opt_tpu.utils.serialization import (
+        load_result_json,
+        save_result_json,
+    )
+
+    res = _solve_one()
+    path = str(tmp_path / "result.json")
+    save_result_json(path, res)
+    with open(path) as f:
+        doc = json.load(f)
+    assert doc["termination_state"] in ("SATISFIED_ABSOLUTE_TOL", "MAX_ITERATIONS")
+    assert len(doc["iterations"]) == int(res.num_iterations)
+
+    back = load_result_json(path)
+    for a, b in zip(jax.tree.leaves(res), jax.tree.leaves(back)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0, rtol=0)
+
+
+def test_npz_round_trip_batched(tmp_path):
+    from mini_opt_tpu.utils.serialization import load_result_npz, save_result_npz
+
+    def rosenbrock(xy):
+        return jnp.stack([1.0 - xy[0], 10.0 * (xy[1] - xy[0] * xy[0])])
+
+    problem = Problem(dimension=2, costs=(make_residual([0, 1], rosenbrock, 2),))
+    params = NLSParams(max_iterations=4, max_qp_iterations=1)
+    x0 = jnp.asarray(np.random.default_rng(0).standard_normal((5, 2)))
+    res = jax.vmap(lambda x: nls_solve(problem, params, x))(x0)
+
+    path = str(tmp_path / "batch.npz")
+    save_result_npz(path, res)
+    back = load_result_npz(path)
+    for a, b in zip(jax.tree.leaves(res), jax.tree.leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_trace_collector(tmp_path):
+    from mini_opt_tpu.utils.tracing import annotate, scoped_trace, trace_collector
+
+    trace_collector.clear()
+    with scoped_trace("linearize"):
+        with annotate("solve_kkt"):
+            _ = jnp.ones(4).sum()
+    doc = json.loads(trace_collector.get_trace_json())
+    names = [e["name"] for e in doc["traceEvents"]]
+    assert "linearize" in names and "solve_kkt" in names
+    for e in doc["traceEvents"]:
+        assert e["ph"] == "X" and e["dur"] >= 0 and "pid" in e and "tid" in e
+    path = str(tmp_path / "trace.json")
+    trace_collector.write(path)
+    assert os.path.getsize(path) > 0
+
+
+def test_warm_start_round_trip(tmp_path):
+    from mini_opt_tpu import (
+        QP,
+        InitialGuessMethod,
+        QPInteriorPointParams,
+        Var,
+        qp_ip_solve,
+    )
+    from mini_opt_tpu.utils.checkpoint import load_warm_start, save_warm_start
+
+    rng = np.random.default_rng(0)
+    G = np.eye(3) + 0.1
+    c = rng.standard_normal(3)
+    qp = QP.create(G, c, constraints=[Var(0) >= -5.0])
+    res1 = qp_ip_solve(
+        qp, QPInteriorPointParams(max_iterations=60, sigma=0.2)
+    )
+    from mini_opt_tpu import QPTerminationState
+
+    assert int(res1.termination_state) == QPTerminationState.SATISFIED_KKT_TOL
+
+    path = str(tmp_path / "warm.npz")
+    save_warm_start(path, res1.x, res1.s, res1.y, res1.z)
+    w = load_warm_start(path)
+
+    params = QPInteriorPointParams(
+        max_iterations=3, initial_guess_method=InitialGuessMethod.USER_PROVIDED
+    )
+    res2 = qp_ip_solve(qp, params, x0=w["x"], s0=w["s"], y0=w["y"], z0=w["z"])
+    # Warm-started from the converged iterate: immediately at the solution.
+    np.testing.assert_allclose(np.asarray(res2.x), np.asarray(res1.x), atol=1e-6)
