@@ -100,8 +100,13 @@ def test_warm_start_round_trip(tmp_path):
     save_warm_start(path, res1.x, res1.s, res1.y, res1.z)
     w = load_warm_start(path)
 
+    # Resume mu from the iterate's own complementarity (qp.hpp:162-163);
+    # restarting at initial_mu=1 would push the iterate back toward the
+    # barrier's central path.
     params = QPInteriorPointParams(
-        max_iterations=3, initial_guess_method=InitialGuessMethod.USER_PROVIDED
+        max_iterations=3,
+        initial_guess_method=InitialGuessMethod.USER_PROVIDED,
+        initialize_mu_with_complementarity=True,
     )
     res2 = qp_ip_solve(qp, params, x0=w["x"], s0=w["s"], y0=w["y"], z0=w["z"])
     # Warm-started from the converged iterate: immediately at the solution.
