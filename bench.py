@@ -53,7 +53,7 @@ def make_instances(B, n_active, dtype, seed=0):
     """Reachable targets spread over the workspace; fixed elbow-up starts."""
     rng = np.random.default_rng(seed)
     reach = 0.4 * n_active
-    radius = rng.uniform(0.35, 0.9, B) * reach / 1.0 / n_active * 2
+    radius = rng.uniform(0.55, 0.95, B) * reach
     angle = rng.uniform(0.25, 1.25, B)
     targets = np.stack([radius * np.cos(angle), radius * np.sin(angle)], axis=1)
     x0 = np.full((B, n_active), 0.3)
