@@ -30,6 +30,7 @@ from .qp import (
     QP,
     LinearInequalityConstraint,
     QPInteriorPointParams,
+    bounded_loop,
     qp_ip_solve,
     qp_null_space_solve,
 )
@@ -104,6 +105,12 @@ class NLSParams:
     min_lambda: float = 0.0
     armijo_c1: float = 1.0e-4
     kkt_solver: str = "lu"
+    # False drops all per-iteration telemetry buffers (throughput path);
+    # incompatible with exit_callback.
+    record_history: bool = True
+    # False replaces every data-dependent while_loop (outer SQP, inner QP,
+    # line search) with fixed-trip scans -- the batched-TPU configuration.
+    early_exit: bool = True
 
     def __post_init__(self):
         # Eager validation mirroring CheckParams (nonlinear.cc:49-73).
@@ -405,7 +412,7 @@ def select_step_size(
         phi_prev2=nan,
         steps=LineSearchHistory.empty(max_probes, dtype),
     )
-    out = jax.lax.while_loop(cond, body, init)
+    out = bounded_loop(cond, body, init, max_probes, params.early_exit)
     status = jnp.where(
         out.status < 0, jnp.int32(StepSizeSelectionResult.MAX_ITERATIONS), out.status
     )
@@ -482,7 +489,11 @@ def nls_solve(
             else InitialGuessMethod.NAIVE
         ),
         kkt_solver=params.kkt_solver,
+        record_history=params.record_history,
+        early_exit=params.early_exit,
     )
+    if exit_callback is not None:
+        assert params.record_history, "exit_callback requires record_history"
 
     def body(carry: _NLSCarry) -> _NLSCarry:
         x, lam, penalty, opt_state, i = (
@@ -516,10 +527,13 @@ def nls_solve(
             )
             qp_term = ipres.termination_state
             qp_iters = ipres.num_iterations
-            last = jnp.maximum(ipres.num_iterations - 1, 0)
-            qp_kkt_final = jax.tree.map(
-                lambda a: a[last], ipres.iterations.kkt_final
-            ).max()
+            if params.record_history:
+                last = jnp.maximum(ipres.num_iterations - 1, 0)
+                qp_kkt_final = jax.tree.map(
+                    lambda a: a[last], ipres.iterations.kkt_final
+                ).max()
+            else:
+                qp_kkt_final = jnp.zeros((), dtype)
             lagrange_l_inf = (
                 ipres.lagrange_multipliers.l_infinity if has_eq else None
             )
@@ -610,6 +624,16 @@ def nls_solve(
 
         # --- record history (nonlinear.cc:132-143) -----------------------
         h = carry.history
+        if not params.record_history:
+            return _NLSCarry(
+                x=x_next,
+                lam=lam_next,
+                penalty=penalty,
+                opt_state=state_next,
+                it=i + 1,
+                status=status,
+                history=h,
+            )
         h = NLSIterationHistory(
             optimizer_state=h.optimizer_state.at[i].set(opt_state),
             lam=h.lam.at[i].set(lam),
@@ -667,9 +691,13 @@ def nls_solve(
         opt_state=jnp.int32(OptimizerState.NOMINAL),
         it=jnp.zeros((), jnp.int32),
         status=jnp.int32(NLSTerminationState.NONE),
-        history=NLSIterationHistory.empty(params.max_iterations, max_probes, dtype),
+        history=NLSIterationHistory.empty(
+            params.max_iterations if params.record_history else 0,
+            max_probes if params.record_history else 0,
+            dtype,
+        ),
     )
-    out = jax.lax.while_loop(cond, body, init)
+    out = bounded_loop(cond, body, init, params.max_iterations, params.early_exit)
     status = jnp.where(
         out.status == NLSTerminationState.NONE,
         jnp.int32(NLSTerminationState.MAX_ITERATIONS),

@@ -175,6 +175,12 @@ class QPInteriorPointParams:
     initial_guess_method: InitialGuessMethod = InitialGuessMethod.NAIVE
     initialize_mu_with_complementarity: bool = False
     kkt_solver: str = "lu"  # one of ops.kkt.SOLVERS
+    # False drops the per-iteration telemetry buffers from the loop carry
+    # (throughput path: less memory traffic, smaller HLO).
+    record_history: bool = True
+    # False replaces the data-dependent while_loop with a fixed-trip scan
+    # (see bounded_loop) -- the right choice for large vmapped batches.
+    early_exit: bool = True
 
     def __post_init__(self):
         # Eager validation, mirroring CheckParams (qp.cc:76-82).
@@ -190,6 +196,29 @@ class _IPState(NamedTuple):
     s: jax.Array
     y: jax.Array
     z: jax.Array
+
+
+def bounded_loop(cond, body, init, max_trips: int, early_exit: bool):
+    """``while_loop`` when early exit pays (single instance, CPU), or a
+    fixed-trip ``lax.scan`` with a frozen-carry mask (TPU batched path).
+
+    Under ``vmap`` a while_loop already runs until EVERY lane finishes, so the
+    scan variant loses nothing semantically for batches -- but it hands XLA a
+    static loop structure, which compiles far faster on TPU and sidesteps a
+    memory-space-assignment compiler crash observed with deeply nested
+    data-dependent while loops.
+    """
+    if early_exit:
+        return jax.lax.while_loop(cond, body, init)
+
+    def scan_body(carry, _):
+        keep = cond(carry)
+        new = body(carry)
+        carry = jax.tree.map(lambda old, nv: jnp.where(keep, nv, old), carry, new)
+        return carry, None
+
+    out, _ = jax.lax.scan(scan_body, init, None, length=max_trips)
+    return out
 
 
 def _kkt_conditions(qp: QP, st: _IPState, include_inequalities: bool = True):
@@ -486,24 +515,25 @@ def qp_ip_solve(
         kkt_after = _kkt_errors(*r1, mu_used, M)
 
         h = carry.history
-        h = QPIterationHistory(
-            kkt_initial=jax.tree.map(
-                lambda buf, v: buf.at[i].set(v), h.kkt_initial, kkt_prev
-            ),
-            kkt_final=jax.tree.map(
-                lambda buf, v: buf.at[i].set(v), h.kkt_final, kkt_after
-            ),
-            mu=h.mu.at[i].set(mu_used),
-            alpha=AlphaValues(
-                h.alpha.primal.at[i].set(alpha.primal),
-                h.alpha.dual.at[i].set(alpha.dual),
-            ),
-            alpha_probe=AlphaValues(
-                h.alpha_probe.primal.at[i].set(alpha_probe.primal),
-                h.alpha_probe.dual.at[i].set(alpha_probe.dual),
-            ),
-            mu_affine=h.mu_affine.at[i].set(mu_aff),
-        )
+        if params.record_history:
+            h = QPIterationHistory(
+                kkt_initial=jax.tree.map(
+                    lambda buf, v: buf.at[i].set(v), h.kkt_initial, kkt_prev
+                ),
+                kkt_final=jax.tree.map(
+                    lambda buf, v: buf.at[i].set(v), h.kkt_final, kkt_after
+                ),
+                mu=h.mu.at[i].set(mu_used),
+                alpha=AlphaValues(
+                    h.alpha.primal.at[i].set(alpha.primal),
+                    h.alpha.dual.at[i].set(alpha.dual),
+                ),
+                alpha_probe=AlphaValues(
+                    h.alpha_probe.primal.at[i].set(alpha_probe.primal),
+                    h.alpha_probe.dual.at[i].set(alpha_probe.dual),
+                ),
+                mu_affine=h.mu_affine.at[i].set(mu_aff),
+            )
 
         comp = _compute_mu(st1, M)
         converged = (kkt_after.max() < params.termination_kkt_tol) & (
@@ -533,9 +563,11 @@ def qp_ip_solve(
         status=jnp.where(
             guess_ok, jnp.int32(-1), jnp.int32(QPTerminationState.FAILED_FACTORIZATION)
         ),
-        history=QPIterationHistory.empty(params.max_iterations, dtype),
+        history=QPIterationHistory.empty(
+            params.max_iterations if params.record_history else 0, dtype
+        ),
     )
-    out = jax.lax.while_loop(cond, body, init)
+    out = bounded_loop(cond, body, init, params.max_iterations, params.early_exit)
 
     status = jnp.where(
         out.status < 0, jnp.int32(QPTerminationState.MAX_ITERATIONS), out.status
