@@ -185,10 +185,14 @@ def linearize_and_fill_qp(
         a = jnp.stack(
             [jnp.asarray(c_.a, dtype) for c_ in problem.inequality_constraints]
         )
+        # ShiftTo the linearization point (qp.hpp:57-59); static per-element
+        # indices so no traced gather is emitted.
         b = jnp.stack(
-            [jnp.asarray(c_.b, dtype) for c_ in problem.inequality_constraints]
+            [
+                jnp.asarray(c_.a, dtype) * x[c_.variable] + jnp.asarray(c_.b, dtype)
+                for c_ in problem.inequality_constraints
+            ]
         )
-        b = a * x[var] + b  # ShiftTo the linearization point (qp.hpp:57-59)
     else:
         var = jnp.zeros((0,), jnp.int32)
         a = jnp.zeros((0,), dtype)

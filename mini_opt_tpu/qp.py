@@ -198,6 +198,21 @@ class _IPState(NamedTuple):
     z: jax.Array
 
 
+def _ineq_matrix(qp: QP) -> jax.Array:
+    """Dense (M, N) inequality matrix A_i with A_i[m, ineq_var[m]] = ineq_a[m].
+
+    Built by iota-compare instead of scatter: gathers/scatters with traced
+    indices inside nested loops both trigger an XLA-TPU memory-space-
+    assignment crash and lower poorly; the dense form turns every constraint
+    gather/scatter in the solver into a small matmul.
+    """
+    N = qp.N
+    onehot = (
+        jnp.arange(N, dtype=qp.ineq_var.dtype)[None, :] == qp.ineq_var[:, None]
+    ).astype(qp.G.dtype)
+    return onehot * qp.ineq_a[:, None]
+
+
 def bounded_loop(cond, body, init, max_trips: int, early_exit: bool):
     """``while_loop`` when early exit pays (single instance, CPU), or a
     fixed-trip ``lax.scan`` with a frozen-carry mask (TPU batched path).
@@ -233,8 +248,9 @@ def _kkt_conditions(qp: QP, st: _IPState, include_inequalities: bool = True):
     else:
         r_pe = jnp.zeros((0,), st.x.dtype)
     if include_inequalities and qp.M > 0:
-        r_d = r_d.at[qp.ineq_var].add(-qp.ineq_a * st.z)
-        r_pi = qp.ineq_a * st.x[qp.ineq_var] + qp.ineq_b - st.s
+        A_i = _ineq_matrix(qp)
+        r_d = r_d - A_i.T @ st.z
+        r_pi = A_i @ st.x + qp.ineq_b - st.s
         r_comp = st.s * st.z
     else:
         r_pi = jnp.zeros((qp.M,), st.x.dtype)
@@ -267,16 +283,17 @@ def _build_condensed(qp: QP, st: _IPState, include_inequalities: bool) -> jax.Ar
     """
     N, K = qp.N, qp.K
     dtype = qp.G.dtype
-    H = jnp.zeros((N + K, N + K), dtype)
     G = qp.G
     if include_inequalities and qp.M > 0:
-        sigma = qp.ineq_a * (st.z / st.s) * qp.ineq_a
-        G = G.at[qp.ineq_var, qp.ineq_var].add(sigma)
-    H = H.at[:N, :N].set(G)
-    if K > 0:
-        H = H.at[N:, :N].set(qp.A_eq)
-        H = H.at[:N, N:].set(qp.A_eq.T)
-    return H
+        A_i = _ineq_matrix(qp)
+        G = G + A_i.T @ ((st.z / st.s)[:, None] * A_i)
+    if K == 0:
+        return G
+    # Assemble by concatenation (static blocks, no scatter).
+    zero_kk = jnp.zeros((K, K), dtype)
+    top = jnp.concatenate([G, qp.A_eq.T], axis=1)
+    bottom = jnp.concatenate([qp.A_eq, zero_kk], axis=1)
+    return jnp.concatenate([top, bottom], axis=0)
 
 
 def _solve_condensed(fact, r_dual_aug, r_pe, N: int, K: int, solver: str):
@@ -304,16 +321,15 @@ def _solve_for_update(
 
     r_dual_aug = r_d
     if M > 0:
+        A_i = _ineq_matrix(qp)
         zs = st.z / st.s
-        contrib = qp.ineq_a * zs * r_pi + qp.ineq_a * (
-            r_comp + ds_aff * dz_aff - mu
-        ) / st.s
-        r_dual_aug = r_dual_aug.at[qp.ineq_var].add(contrib)
+        contrib = zs * r_pi + (r_comp + ds_aff * dz_aff - mu) / st.s
+        r_dual_aug = r_dual_aug + A_i.T @ contrib
 
     dx, dy = _solve_condensed(fact, r_dual_aug, r_pe, N, K, solver)
 
     if M > 0:
-        ds = qp.ineq_a * dx[qp.ineq_var] + r_pi
+        ds = A_i @ dx + r_pi
         dz = -(st.z / st.s) * ds - (r_comp + ds_aff * dz_aff - mu) / st.s
     else:
         ds = jnp.zeros((0,), dx.dtype)
@@ -362,13 +378,15 @@ def _clamp_feasible(qp: QP, x: jax.Array) -> jax.Array:
     (qp.cc:463-467)."""
     if qp.M == 0:
         return x
-    xv = x[qp.ineq_var]
-    clamped = jnp.where(
-        qp.ineq_a < 0,
-        jnp.minimum(xv, qp.ineq_b / -qp.ineq_a),
-        jnp.maximum(xv, -qp.ineq_b / qp.ineq_a),
-    )
-    return x.at[qp.ineq_var].set(clamped)
+    # t_m = a x[v] + b; a violation (t < 0) is corrected by shifting x[v] by
+    # -t/a. Violations of a lower and an upper bound on the same variable are
+    # mutually exclusive, so the additive one-hot update equals the
+    # reference's sequential per-constraint clamp.
+    A_i = _ineq_matrix(qp)
+    t = A_i @ x + qp.ineq_b
+    shift = jnp.where(t < 0.0, -t / qp.ineq_a, 0.0)
+    onehot = (A_i != 0.0).astype(x.dtype)
+    return x + onehot.T @ shift
 
 
 def _initial_sz(qp: QP, x: jax.Array):
@@ -376,7 +394,7 @@ def _initial_sz(qp: QP, x: jax.Array):
     if qp.M == 0:
         e = jnp.zeros((0,), x.dtype)
         return e, e
-    s = jnp.maximum(1.0e-9, qp.ineq_a * x[qp.ineq_var] + qp.ineq_b)
+    s = jnp.maximum(1.0e-9, _ineq_matrix(qp) @ x + qp.ineq_b)
     return s, 1.0 / s
 
 
