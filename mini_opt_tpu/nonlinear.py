@@ -51,6 +51,7 @@ from .structs import (
     NLSResult,
     NLSTerminationState,
     OptimizerState,
+    QPEigenvalues,
     QPNullSpaceTerminationState,
     QPTerminationState,
     StepSizeSelectionResult,
@@ -111,6 +112,9 @@ class NLSParams:
     # False replaces every data-dependent while_loop (outer SQP, inner QP,
     # line search) with fixed-trip scans -- the batched-TPU configuration.
     early_exit: bool = True
+    # Record min/max/abs-min eigenvalues of the QP hessian G per iteration
+    # (nonlinear.hpp:122-123 / qp.cc:12-16). Requires record_history.
+    log_qp_eigenvalues: bool = False
 
     def __post_init__(self):
         # Eager validation mirroring CheckParams (nonlinear.cc:49-73).
@@ -662,10 +666,22 @@ def nls_solve(
                 equality=h.line_search.equality.at[i].set(steps.equality),
                 num_steps=h.line_search.num_steps.at[i].set(steps.num_steps),
             ),
+            qp_eigenvalues=h.qp_eigenvalues,
         )
+        if params.log_qp_eigenvalues:
+            w = jnp.linalg.eigvalsh(qp.G)
+            h = dataclasses.replace(
+                h,
+                qp_eigenvalues=QPEigenvalues(
+                    min=h.qp_eigenvalues.min.at[i].set(w.min()),
+                    max=h.qp_eigenvalues.max.at[i].set(w.max()),
+                    abs_min=h.qp_eigenvalues.abs_min.at[i].set(jnp.abs(w).min()),
+                ),
+            )
 
         if exit_callback is not None:
-            row = jax.tree.map(lambda a: a[i], h)
+            # Empty (disabled) buffers like qp_eigenvalues pass through as-is.
+            row = jax.tree.map(lambda a: a[i] if a.shape[0] > 0 else a, h)
             proceed = exit_callback(row)
             status = jnp.where(
                 (status == NLSTerminationState.NONE) & ~proceed,
@@ -699,6 +715,7 @@ def nls_solve(
             params.max_iterations if params.record_history else 0,
             max_probes if params.record_history else 0,
             dtype,
+            with_eigenvalues=params.log_qp_eigenvalues and params.record_history,
         ),
     )
     out = bounded_loop(cond, body, init, params.max_iterations, params.early_exit)

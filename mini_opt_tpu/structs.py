@@ -267,6 +267,15 @@ class LineSearchHistory:
 
 
 @_pytree_dataclass
+class QPEigenvalues:
+    """Eigenvalue summary of the QP hessian G (structs.hpp:267-274)."""
+
+    min: jax.Array
+    max: jax.Array
+    abs_min: jax.Array
+
+
+@_pytree_dataclass
 class NLSIterationHistory:
     """Stacked analog of vector<NLSIteration> (structs.hpp:277-326).
 
@@ -283,10 +292,14 @@ class NLSIterationHistory:
     qp_num_iterations: jax.Array  # int32
     qp_kkt_final_max: jax.Array  # max KKT error of last QP iteration
     line_search: LineSearchHistory  # leaves (max_iter, max_steps)
+    qp_eigenvalues: QPEigenvalues  # zeros unless log_qp_eigenvalues
 
     @staticmethod
     def empty(
-        max_iterations: int, max_line_search_steps: int, dtype=jnp.float64
+        max_iterations: int,
+        max_line_search_steps: int,
+        dtype=jnp.float64,
+        with_eigenvalues: bool = False,
     ) -> "NLSIterationHistory":
         v = jnp.zeros((max_iterations,), dtype)
         i = jnp.zeros((max_iterations,), jnp.int32)
@@ -296,6 +309,7 @@ class NLSIterationHistory:
             equality=jnp.zeros((max_iterations, max_line_search_steps), dtype),
             num_steps=jnp.zeros((max_iterations,), jnp.int32),
         )
+        ev = jnp.zeros((max_iterations if with_eigenvalues else 0,), dtype)
         return NLSIterationHistory(
             optimizer_state=i,
             lam=v,
@@ -307,6 +321,7 @@ class NLSIterationHistory:
             qp_num_iterations=i,
             qp_kkt_final_max=v,
             line_search=ls,
+            qp_eigenvalues=QPEigenvalues(ev, ev, ev),
         )
 
 

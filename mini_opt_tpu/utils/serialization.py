@@ -39,11 +39,24 @@ def nls_result_to_json(result: NLSResult) -> Dict[str, Any]:
     r = _np(result)
     n = int(r.num_iterations)
     it = r.iterations
+    with_ev = it.qp_eigenvalues.min.shape[0] > 0
     iterations = []
     for i in range(n):
         nsteps = int(it.line_search.num_steps[i])
+        row_ev = (
+            {
+                "qp_eigenvalues": {
+                    "min": float(it.qp_eigenvalues.min[i]),
+                    "max": float(it.qp_eigenvalues.max[i]),
+                    "abs_min": float(it.qp_eigenvalues.abs_min[i]),
+                }
+            }
+            if with_ev
+            else {}
+        )
         iterations.append(
             {
+                **row_ev,
                 "iteration": i,
                 "optimizer_state": OptimizerState(int(it.optimizer_state[i])).name,
                 "lambda": float(it.lam[i]),
@@ -82,6 +95,7 @@ def nls_result_to_json(result: NLSResult) -> Dict[str, Any]:
             "max_iterations": int(it.lam.shape[0]),
             "max_line_search_steps": int(it.line_search.alpha.shape[1]),
             "dtype": str(r.x.dtype),
+            "with_eigenvalues": bool(with_ev),
         },
     }
 
@@ -95,7 +109,9 @@ def nls_result_from_json(doc: Dict[str, Any]) -> NLSResult:
     mi = shape["max_iterations"]
     ms = shape["max_line_search_steps"]
     dtype = jnp.dtype(shape["dtype"])
-    hist = NLSIterationHistory.empty(mi, ms, dtype)
+    hist = NLSIterationHistory.empty(
+        mi, ms, dtype, with_eigenvalues=shape.get("with_eigenvalues", False)
+    )
     hist = _np(hist)
     hist = jax.tree.map(lambda a: a.copy(), hist)
     for row in doc["iterations"]:
@@ -113,6 +129,10 @@ def nls_result_from_json(doc: Dict[str, Any]) -> NLSResult:
         hist.qp_termination_state[i] = row["qp"]["termination_state"]
         hist.qp_num_iterations[i] = row["qp"]["num_iterations"]
         hist.qp_kkt_final_max[i] = row["qp"]["kkt_final_max"]
+        if "qp_eigenvalues" in row:
+            hist.qp_eigenvalues.min[i] = row["qp_eigenvalues"]["min"]
+            hist.qp_eigenvalues.max[i] = row["qp_eigenvalues"]["max"]
+            hist.qp_eigenvalues.abs_min[i] = row["qp_eigenvalues"]["abs_min"]
         hist.line_search.num_steps[i] = len(row["line_search_steps"])
         for j, step in enumerate(row["line_search_steps"]):
             hist.line_search.alpha[i, j] = step["alpha"]
@@ -162,28 +182,15 @@ def load_result_npz(path: str) -> NLSResult:
 
     with np.load(path) as data:
         leaves = [data[k] for k in data.files if k != "__treedef__"]
-    # Rebuild using a template treedef from shapes.
-    mi, ms = None, None
-    # NLSResult flatten order is stable; reconstruct by unflattening against a
-    # structure built from the stored arrays.
+    # NLSResult flatten order is stable; unflatten against a template
+    # structure.
     template = jax.tree.structure(
         NLSResult(
             termination_state=0,
             num_iterations=0,
             x=0,
             errors=Errors(0, 0),
-            iterations=NLSIterationHistory(
-                optimizer_state=0,
-                lam=0,
-                errors_initial=Errors(0, 0),
-                directional_derivatives=DirectionalDerivatives(0, 0),
-                penalty=0,
-                step_result=0,
-                qp_termination_state=0,
-                qp_num_iterations=0,
-                qp_kkt_final_max=0,
-                line_search=LineSearchHistory(0, 0, 0, 0),
-            ),
+            iterations=NLSIterationHistory.empty(0, 0),
         )
     )
     return jax.tree.unflatten(template, [jnp.asarray(l) for l in leaves])
