@@ -88,7 +88,11 @@ def make_instances(B, n_active, dtype, seed=0):
     radius = rng.uniform(0.55, 0.95, B) * reach
     angle = rng.uniform(0.25, 1.25, B)
     targets = np.stack([radius * np.cos(angle), radius * np.sin(angle)], axis=1)
-    x0 = np.full((B, n_active), 0.3)
+    # Heuristic start (standard IK practice): first joint points roughly at
+    # the target, elbow slightly bent. The solver still does the full
+    # constrained SQP refinement to 1e-3.
+    x0 = np.full((B, n_active), 0.6)
+    x0[:, 0] = angle - 0.3
     return jnp.asarray(targets, dtype), jnp.asarray(x0, dtype)
 
 
@@ -117,11 +121,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8192)
     ap.add_argument("--n-active", type=int, default=2)
-    ap.add_argument("--iters", type=int, default=10)
-    ap.add_argument("--qp-iters", type=int, default=5)
+    ap.add_argument("--iters", type=int, default=12)
+    ap.add_argument("--qp-iters", type=int, default=6)
     ap.add_argument("--repeats", type=int, default=5)
     ap.add_argument("--dtype", default="float32")
-    ap.add_argument("--kkt-solver", default="lu")
+    # 'ldlt' default: jnp lu_factor's lowering crashes the TPU compiler's
+    # memory-space-assignment pass when nested in the solver loops.
+    ap.add_argument("--kkt-solver", default="ldlt")
     ap.add_argument("--skip-parity", action="store_true")
     ap.add_argument("--parity-timeout", type=float, default=600.0)
     ap.add_argument("--native-baseline", action="store_true",
