@@ -38,52 +38,49 @@ _LANE_BLOCK = 256  # batch instances per grid step (multiple of 128)
 
 
 def _ldlt_kernel(h_ref, l_ref, d_ref):
-    """Factor H = L diag(d) L^T for a (D, D, BB) tile, batch on lanes."""
+    """Factor H = L diag(d) L^T for a (D, D, BB) tile, batch on lanes.
+
+    Columns are written straight into the output refs and read back for later
+    columns (static slices only -- Mosaic has no scatter; `.at[].set` on
+    values is off-limits in TPU kernels).
+    """
     D = h_ref.shape[0]
-    dtype = h_ref.dtype
-    H = h_ref[:]  # (D, D, BB)
     rows = jax.lax.broadcasted_iota(jnp.int32, (D, 1), 0)  # (D, 1)
-    L = jnp.zeros(h_ref.shape, dtype)
-    d = jnp.zeros((D, h_ref.shape[2]), dtype)
     for j in range(D):
         if j == 0:
-            c = H[:, 0, :]  # (D, BB)
+            c = h_ref[:, 0, :]  # (D, BB)
         else:
             # c = H[:, j] - sum_{k<j} L[:, k] * d[k] * L[j, k]
-            w = d[:j, :] * L[j, :j, :]  # (j, BB)
-            c = H[:, j, :] - jnp.sum(L[:, :j, :] * w[None, :, :], axis=1)
-        dj = c[j, :]  # (BB,)
-        col = jnp.where(
-            rows > j, c / dj[None, :], jnp.where(rows == j, 1.0, 0.0)
-        )
-        L = L.at[:, j, :].set(col)
-        d = d.at[j, :].set(dj)
-    l_ref[:] = L
-    d_ref[:] = d
+            L_prev = l_ref[:, :j, :]  # (D, j, BB)
+            w = d_ref[:j, :] * l_ref[j, :j, :]  # (j, BB)
+            c = h_ref[:, j, :] - jnp.sum(L_prev * w[None, :, :], axis=1)
+        dj = c[j : j + 1, :]  # (1, BB)
+        col = jnp.where(rows > j, c / dj, jnp.where(rows == j, 1.0, 0.0))
+        l_ref[:, j, :] = col
+        d_ref[j : j + 1, :] = dj
 
 
 def _solve_kernel(l_ref, d_ref, rhs_ref, x_ref):
-    """Solve L diag(d) L^T x = rhs for a (D, BB) tile of rhs."""
+    """Solve L diag(d) L^T x = rhs for a (D, BB) tile of rhs.
+
+    2-D (1, BB) row slices throughout; x_ref doubles as the working buffer
+    for both substitution sweeps.
+    """
     D = l_ref.shape[0]
-    L = l_ref[:]
-    d = d_ref[:]
-    rhs = rhs_ref[:]  # (D, BB)
     # Forward substitution with unit-lower L: y[j] = rhs[j] - L[j,:j] @ y[:j]
-    ys = []
     for j in range(D):
-        acc = rhs[j, :]
-        for k in range(j):
-            acc = acc - L[j, k, :] * ys[k]
-        ys.append(acc)
-    y = jnp.stack(ys, axis=0) / d
+        acc = rhs_ref[j : j + 1, :]  # (1, BB)
+        if j > 0:
+            acc = acc - jnp.sum(l_ref[j, :j, :] * x_ref[:j, :], axis=0, keepdims=True)
+        x_ref[j : j + 1, :] = acc
+    # Scale by 1/d.
+    x_ref[:, :] = x_ref[:, :] / d_ref[:, :]
     # Backward substitution with L^T: x[j] = y[j] - L[j+1:, j] @ x[j+1:]
-    xs = [None] * D
-    for j in range(D - 1, -1, -1):
-        acc = y[j, :]
-        for k in range(j + 1, D):
-            acc = acc - L[k, j, :] * xs[k]
-        xs[j] = acc
-    x_ref[:] = jnp.stack(xs, axis=0)
+    for j in range(D - 2, -1, -1):
+        acc = x_ref[j : j + 1, :] - jnp.sum(
+            l_ref[j + 1 :, j, :] * x_ref[j + 1 :, :], axis=0, keepdims=True
+        )
+        x_ref[j : j + 1, :] = acc
 
 
 def _pad_batch(x, b_pad, fill=0.0):
