@@ -41,7 +41,9 @@ def _enable_compile_cache():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
-def build_solver(n_active, dtype, max_iterations, max_qp_iterations, kkt_solver):
+def build_solver(
+    n_active, dtype, max_iterations, max_qp_iterations, kkt_solver, ls_iterations=2
+):
     from mini_opt_tpu.models.ik import (
         default_ik_params,
         make_ik_problem,
@@ -57,8 +59,14 @@ def build_solver(n_active, dtype, max_iterations, max_qp_iterations, kkt_solver)
     )
     # Throughput configuration: no telemetry buffers, fixed-trip scans
     # (vmapped batches pay max-trip cost either way; scans compile fast).
+    # Fixed-trip scans run every probe, so a tight line-search budget matters
+    # (warm starts accept alpha=1 almost always; parity verified at ls=2).
     params = dataclasses.replace(
-        params, kkt_solver=kkt_solver, record_history=False, early_exit=False
+        params,
+        kkt_solver=kkt_solver,
+        record_history=False,
+        early_exit=False,
+        max_line_search_iterations=ls_iterations,
     )
 
     def solve(targets, x0):
@@ -131,8 +139,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8192)
     ap.add_argument("--n-active", type=int, default=2)
-    ap.add_argument("--iters", type=int, default=12)
+    ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--qp-iters", type=int, default=6)
+    ap.add_argument("--ls-iters", type=int, default=2)
     ap.add_argument("--repeats", type=int, default=5)
     ap.add_argument("--dtype", default="float32")
     # 'ldlt' default: jnp lu_factor's lowering crashes the TPU compiler's
@@ -150,7 +159,8 @@ def main():
     log(f"backend={jax.default_backend()} batch={B} dtype={dtype}")
 
     solve, parity_fraction = build_solver(
-        args.n_active, dtype, args.iters, args.qp_iters, args.kkt_solver
+        args.n_active, dtype, args.iters, args.qp_iters, args.kkt_solver,
+        args.ls_iters,
     )
     targets, x0 = make_instances(B, args.n_active, dtype)
 

@@ -115,6 +115,10 @@ class NLSParams:
     # Record min/max/abs-min eigenvalues of the QP hessian G per iteration
     # (nonlinear.hpp:122-123 / qp.cc:12-16). Requires record_history.
     log_qp_eigenvalues: bool = False
+    # Barrier decrease rate of the inner QP (the reference hard-codes 0.1,
+    # nonlinear.cc:230); smaller = fewer inner iterations to reach the
+    # complementarity tolerance, at some robustness cost.
+    qp_sigma: float = 0.1
 
     def __post_init__(self):
         # Eager validation mirroring CheckParams (nonlinear.cc:49-73).
@@ -489,7 +493,7 @@ def nls_solve(
         max_iterations=params.max_qp_iterations,
         termination_kkt_tol=params.termination_kkt_tolerance,
         initial_mu=1.0,
-        sigma=0.1,
+        sigma=params.qp_sigma,
         initialize_mu_with_complementarity=False,
         initial_guess_method=(
             InitialGuessMethod.SOLVE_EQUALITY_CONSTRAINED
