@@ -69,12 +69,29 @@ def build_solver(
         max_line_search_iterations=ls_iterations,
     )
 
-    def solve(targets, x0):
+    def solve_local(targets, x0):
         def one(t, x):
             problem = make_ik_problem(chain, t, with_joint_limits=True)
             return nls_solve(problem, params, x, retraction=mod_pi_retraction).x
 
         return jax.vmap(one)(targets, x0)
+
+    n_dev = len(jax.local_devices())
+    if os.environ.get("MINI_OPT_BENCH_SHARD") == "1" and n_dev > 1:
+        from functools import partial
+        from jax.sharding import Mesh, PartitionSpec as P
+        import numpy as _np
+
+        mesh = Mesh(_np.asarray(jax.local_devices()), ("dp",))
+        solve = partial(
+            jax.shard_map,
+            mesh=mesh,
+            check_vma=False,
+            in_specs=(P("dp"), P("dp")),
+            out_specs=P("dp"),
+        )(solve_local)
+    else:
+        solve = solve_local
 
     def parity_fraction(targets, x0):
         x = solve(targets, x0)
@@ -147,6 +164,10 @@ def main():
     # 'ldlt' default: jnp lu_factor's lowering crashes the TPU compiler's
     # memory-space-assignment pass when nested in the solver loops.
     ap.add_argument("--kkt-solver", default="ldlt")
+    ap.add_argument("--shard", action="store_true",
+                    help="shard the batch over all local devices (dp axis)")
+    ap.add_argument("--profile-dir", default=None,
+                    help="capture a jax.profiler trace of the timed runs")
     ap.add_argument("--skip-parity", action="store_true")
     ap.add_argument("--parity-timeout", type=float, default=600.0)
     ap.add_argument("--native-baseline", action="store_true",
@@ -154,9 +175,14 @@ def main():
     args = ap.parse_args()
 
     _enable_compile_cache()
+    if args.shard:
+        os.environ["MINI_OPT_BENCH_SHARD"] = "1"
     dtype = jnp.dtype(args.dtype)
     B = args.batch
-    log(f"backend={jax.default_backend()} batch={B} dtype={dtype}")
+    log(
+        f"backend={jax.default_backend()} batch={B} dtype={dtype} "
+        f"devices={len(jax.local_devices())} shard={args.shard}"
+    )
 
     solve, parity_fraction = build_solver(
         args.n_active, dtype, args.iters, args.qp_iters, args.kkt_solver,
@@ -168,11 +194,19 @@ def main():
     solve(targets, x0).block_until_ready()
     log(f"compile+first run: {time.perf_counter()-t0:.1f}s")
 
+    import contextlib
+
+    prof = (
+        jax.profiler.trace(args.profile_dir)
+        if args.profile_dir
+        else contextlib.nullcontext()
+    )
     times = []
-    for _ in range(args.repeats):
-        t0 = time.perf_counter()
-        solve(targets, x0).block_until_ready()
-        times.append(time.perf_counter() - t0)
+    with prof:
+        for _ in range(args.repeats):
+            t0 = time.perf_counter()
+            solve(targets, x0).block_until_ready()
+            times.append(time.perf_counter() - t0)
     best = min(times)
     solves_per_s = B / best
     log(f"times_ms={[round(t*1e3,1) for t in times]}")
