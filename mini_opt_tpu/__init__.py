@@ -9,6 +9,7 @@ all pure, jittable, vmappable functions designed to solve thousands of
 problem instances per chip and shard across TPU pod slices.
 """
 
+from .assertions import MiniOptError, validate_problem
 from .qp import (
     QP,
     LinearInequalityConstraint,

@@ -483,6 +483,9 @@ def nls_solve(
         across a mesh axis, the axis to psum-reduce Gauss-Newton assembly and
         cost evaluation over (large-single-instance parallelism).
     """
+    from .assertions import validate_problem
+
+    validate_problem(problem)
     x0 = jnp.asarray(x0)
     dtype = x0.dtype
     use_ns = _uses_null_space(problem)
