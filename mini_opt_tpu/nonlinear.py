@@ -276,6 +276,9 @@ def cubic_approx_coeffs(phi_0, phi_prime_0, alpha_0, phi_alpha_0, alpha_1, phi_a
     r0 = phi_alpha_0 - phi_0 - phi_prime_0 * alpha_0
     r1 = phi_alpha_1 - phi_0 - phi_prime_0 * alpha_1
     det = a00 * a11 - a01 * a10
+    # det == 0 only for degenerate probe pairs whose result is discarded by
+    # the validity checks downstream; guard it so gradients stay finite.
+    det = jnp.where(det == 0.0, 1.0, det)
     a = (a11 * r0 - a01 * r1) / det
     b = (-a10 * r0 + a00 * r1) / det
     return a, b
@@ -286,7 +289,10 @@ def cubic_approx_minimum(phi_prime_0, a, b):
     arg_sqrt = b * b - 3.0 * a * phi_prime_0
     neg_tol = -1.0e-12
     valid = (a != 0.0) & (arg_sqrt >= neg_tol)
-    denom = -b + jnp.sqrt(jnp.maximum(arg_sqrt, 0.0))
+    # Clamp away from exactly 0: sqrt's infinite slope there turns the zero
+    # cotangent of a discarded branch into NaN under reverse-mode autodiff.
+    tiny = jnp.finfo(jnp.result_type(arg_sqrt)).tiny
+    denom = -b + jnp.sqrt(jnp.maximum(arg_sqrt, tiny))
     alpha = denom / (3.0 * jnp.where(valid, a, 1.0))
     return alpha, valid
 
@@ -412,16 +418,17 @@ def select_step_size(
     def cond(c: _LSCarry):
         return (c.status < 0) & (c.it < max_probes)
 
-    nan = jnp.full((), jnp.nan, dtype)
+    # Benign initializers (only read after the first probe overwrites them;
+    # NaN seeds would poison reverse-mode gradients through the scan path).
     init = _LSCarry(
         it=jnp.zeros((), jnp.int32),
         status=jnp.int32(-1),
         alpha=jnp.ones((), dtype),
         candidate=x,
-        alpha_prev=nan,
-        phi_prev=nan,
-        alpha_prev2=nan,
-        phi_prev2=nan,
+        alpha_prev=jnp.ones((), dtype),
+        phi_prev=phi_0,
+        alpha_prev2=jnp.full((), 2.0, dtype),
+        phi_prev2=phi_0,
         steps=LineSearchHistory.empty(max_probes, dtype),
     )
     out = bounded_loop(cond, body, init, max_probes, params.early_exit)

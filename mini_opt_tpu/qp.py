@@ -258,18 +258,26 @@ def _kkt_conditions(qp: QP, st: _IPState, include_inequalities: bool = True):
     return r_d, r_comp, r_pe, r_pi
 
 
+def _safe_norm(v: jax.Array) -> jax.Array:
+    """L2 norm with a finite gradient at 0 (norm's sqrt has d/dx = inf there;
+    KKT residuals are exactly 0 at a converged iterate, so plain norms poison
+    reverse-mode differentiation through the solver)."""
+    tiny = jnp.finfo(v.dtype).tiny
+    return jnp.sqrt(jnp.sum(v * v) + tiny)
+
+
 def _kkt_errors(r_d, r_comp, r_pe, r_pi, mu, M: int) -> KKTError:
     """L2 norms of the KKT residuals with the mu-corrected complementarity
     term (qp.cc:423-437)."""
-    r_dual = jnp.linalg.norm(r_d)
-    r_primal_eq = jnp.linalg.norm(r_pe) if r_pe.shape[0] > 0 else jnp.zeros((), r_d.dtype)
+    r_dual = _safe_norm(r_d)
+    r_primal_eq = _safe_norm(r_pe) if r_pe.shape[0] > 0 else jnp.zeros((), r_d.dtype)
     if M > 0:
         # || s*z - mu ||_2 computed from the stored s*z (qp.cc:430-433).
         corrected = (
             jnp.sum(r_comp * r_comp) - 2.0 * jnp.sum(r_comp) * mu + mu * mu * M
         )
-        r_comp_n = jnp.sqrt(jnp.maximum(corrected, 0.0))
-        r_primal_ineq = jnp.linalg.norm(r_pi)
+        r_comp_n = jnp.sqrt(jnp.maximum(corrected, jnp.finfo(r_d.dtype).tiny))
+        r_primal_ineq = _safe_norm(r_pi)
     else:
         r_comp_n = jnp.zeros((), r_d.dtype)
         r_primal_ineq = jnp.zeros((), r_d.dtype)
@@ -480,9 +488,10 @@ def qp_ip_solve(
         fact, ok = kkt_ops.kkt_factorize(H, params.kkt_solver)
         zeros_aff = (jnp.zeros((M,), dtype), jnp.zeros((M,), dtype))
 
-        nan = jnp.full((), jnp.nan, dtype)
-        alpha_probe = AlphaValues(nan, nan)
-        mu_aff = nan
+        # 0 = "not computed" sentinel (NaN would poison autodiff).
+        zero = jnp.zeros((), dtype)
+        alpha_probe = AlphaValues(zero, zero)
+        mu_aff = zero
         mu_used = mu
 
         if not has_ineq:

@@ -214,16 +214,18 @@ class QPIterationHistory:
 
     @staticmethod
     def empty(max_iterations: int, dtype=jnp.float64) -> "QPIterationHistory":
+        # alpha_probe/mu_affine are 0 (not NaN) when the predictor-corrector
+        # is unused: NaN sentinels poison reverse-mode autodiff through the
+        # solver. Rendering treats 0 as "not computed".
         v = jnp.zeros((max_iterations,), dtype)
-        nan = jnp.full((max_iterations,), jnp.nan, dtype)
         kkt = KKTError(v, v, v, v)
         return QPIterationHistory(
             kkt_initial=kkt,
             kkt_final=kkt,
             mu=v,
             alpha=AlphaValues(jnp.ones_like(v), jnp.ones_like(v)),
-            alpha_probe=AlphaValues(nan, nan),
-            mu_affine=nan,
+            alpha_probe=AlphaValues(v, v),
+            mu_affine=v,
         )
 
 
@@ -396,7 +398,7 @@ def qp_iteration_to_string(history: QPIterationHistory, i: int) -> str:
         f"  kkt final:   {_row(kf)}",
     ]
     mu_aff = float(history.mu_affine[i])
-    if mu_aff == mu_aff:  # not NaN
+    if mu_aff != 0.0 and mu_aff == mu_aff:  # computed (predictor-corrector)
         lines.append(f"  mu_affine={mu_aff:.3e}")
     return "\n".join(lines)
 

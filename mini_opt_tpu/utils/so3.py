@@ -80,7 +80,9 @@ def quat_exp(w: jax.Array) -> jax.Array:
     Taylor-guarded near zero so it is safe under jit/grad.
     """
     theta_sq = jnp.sum(w * w, axis=-1, keepdims=True)
-    theta = jnp.sqrt(theta_sq)
+    # tiny floor: sqrt at exactly 0 has infinite slope, which poisons
+    # reverse-mode gradients even through the discarded where-branch.
+    theta = jnp.sqrt(jnp.maximum(theta_sq, jnp.finfo(w.dtype).tiny))
     small = theta_sq < 1e-16
     half = 0.5 * theta
     # sin(t/2)/t with Taylor fallback 0.5 - t^2/48
