@@ -42,7 +42,13 @@ def _enable_compile_cache():
 
 
 def build_solver(
-    n_active, dtype, max_iterations, max_qp_iterations, kkt_solver, ls_iterations=2
+    n_active,
+    dtype,
+    max_iterations,
+    max_qp_iterations,
+    kkt_solver,
+    ls_iterations=2,
+    inner_unroll=1,
 ):
     from mini_opt_tpu.models.ik import (
         default_ik_params,
@@ -67,6 +73,7 @@ def build_solver(
         record_history=False,
         early_exit=False,
         max_line_search_iterations=ls_iterations,
+        inner_unroll=inner_unroll,
     )
 
     def solve_local(targets, x0):
@@ -161,9 +168,10 @@ def main():
     ap.add_argument("--ls-iters", type=int, default=2)
     ap.add_argument("--repeats", type=int, default=5)
     ap.add_argument("--dtype", default="float32")
-    # 'ldlt' default: jnp lu_factor's lowering crashes the TPU compiler's
-    # memory-space-assignment pass when nested in the solver loops.
-    ap.add_argument("--kkt-solver", default="ldlt")
+    # pallas_ldlt: lane-batched Pallas kernel, the fastest measured path
+    # (259k solves/s vs 225k for jnp ldlt; lu crashes the TPU compiler).
+    ap.add_argument("--kkt-solver", default="pallas_ldlt")
+    ap.add_argument("--inner-unroll", type=int, default=1)
     ap.add_argument("--shard", action="store_true",
                     help="shard the batch over all local devices (dp axis)")
     ap.add_argument("--profile-dir", default=None,
@@ -186,7 +194,7 @@ def main():
 
     solve, parity_fraction = build_solver(
         args.n_active, dtype, args.iters, args.qp_iters, args.kkt_solver,
-        args.ls_iters,
+        args.ls_iters, args.inner_unroll,
     )
     targets, x0 = make_instances(B, args.n_active, dtype)
 

@@ -119,6 +119,10 @@ class NLSParams:
     # nonlinear.cc:230); smaller = fewer inner iterations to reach the
     # complementarity tolerance, at some robustness cost.
     qp_sigma: float = 0.1
+    # Scan unroll factor for the INNER fixed-trip loops (QP iterations and
+    # line search) when early_exit=False: fuses iterations to cut dispatch
+    # overhead; compile time grows with the unrolled body count.
+    inner_unroll: int = 1
 
     def __post_init__(self):
         # Eager validation mirroring CheckParams (nonlinear.cc:49-73).
@@ -431,7 +435,9 @@ def select_step_size(
         phi_prev2=phi_0,
         steps=LineSearchHistory.empty(max_probes, dtype),
     )
-    out = bounded_loop(cond, body, init, max_probes, params.early_exit)
+    out = bounded_loop(
+        cond, body, init, max_probes, params.early_exit, params.inner_unroll
+    )
     status = jnp.where(
         out.status < 0, jnp.int32(StepSizeSelectionResult.MAX_ITERATIONS), out.status
     )
@@ -513,6 +519,7 @@ def nls_solve(
         kkt_solver=params.kkt_solver,
         record_history=params.record_history,
         early_exit=params.early_exit,
+        unroll=params.inner_unroll,
     )
     if exit_callback is not None:
         assert params.record_history, "exit_callback requires record_history"

@@ -181,6 +181,9 @@ class QPInteriorPointParams:
     # False replaces the data-dependent while_loop with a fixed-trip scan
     # (see bounded_loop) -- the right choice for large vmapped batches.
     early_exit: bool = True
+    # Scan unroll factor for the fixed-trip path (fuses iterations, cutting
+    # per-step dispatch overhead at some compile-time cost).
+    unroll: int = 1
 
     def __post_init__(self):
         # Eager validation, mirroring CheckParams (qp.cc:76-82).
@@ -213,7 +216,15 @@ def _ineq_matrix(qp: QP) -> jax.Array:
     return onehot * qp.ineq_a[:, None]
 
 
-def bounded_loop(cond, body, init, max_trips: int, early_exit: bool):
+def recommended_kkt_solver() -> str:
+    """'ldlt' on TPU (lu_factor's lowering crashes the TPU compiler when
+    nested in the solver loops; see CLAUDE.md), 'lu' elsewhere."""
+    import jax as _jax
+
+    return "ldlt" if _jax.default_backend() == "tpu" else "lu"
+
+
+def bounded_loop(cond, body, init, max_trips: int, early_exit: bool, unroll: int = 1):
     """``while_loop`` when early exit pays (single instance, CPU), or a
     fixed-trip ``lax.scan`` with a frozen-carry mask (TPU batched path).
 
@@ -232,7 +243,7 @@ def bounded_loop(cond, body, init, max_trips: int, early_exit: bool):
         carry = jax.tree.map(lambda old, nv: jnp.where(keep, nv, old), carry, new)
         return carry, None
 
-    out, _ = jax.lax.scan(scan_body, init, None, length=max_trips)
+    out, _ = jax.lax.scan(scan_body, init, None, length=max_trips, unroll=unroll)
     return out
 
 
@@ -594,7 +605,9 @@ def qp_ip_solve(
             params.max_iterations if params.record_history else 0, dtype
         ),
     )
-    out = bounded_loop(cond, body, init, params.max_iterations, params.early_exit)
+    out = bounded_loop(
+        cond, body, init, params.max_iterations, params.early_exit, params.unroll
+    )
 
     status = jnp.where(
         out.status < 0, jnp.int32(QPTerminationState.MAX_ITERATIONS), out.status
