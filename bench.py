@@ -246,6 +246,44 @@ def main():
         record["parity"] = "unverified(transfer-timeout)" if not args.skip_parity else "skipped"
 
     if args.native_baseline:
+        # Secondary metric (BASELINE.json): condensed-KKT solve time per
+        # instance, TPU lane-batched kernel vs single-core dense CPU baseline.
+        try:
+            from mini_opt_tpu.ops import pallas_ldlt
+
+            D = args.n_active + 1  # N + K of the IK problem family
+            rng = np.random.default_rng(0)
+            Hb = np.tile(np.eye(D) * 2.0, (B, 1, 1)) + 0.1 * rng.standard_normal(
+                (B, D, D)
+            )
+            Hb = (Hb + np.swapaxes(Hb, 1, 2)) / 2 + np.eye(D) * D
+            rhs = rng.standard_normal((B, D))
+            Hj = jnp.asarray(Hb, dtype)
+            rj = jnp.asarray(rhs, dtype)
+
+            @jax.jit
+            def kkt_once(H, r):
+                L, d, ok = pallas_ldlt._batched_factorize(H)
+                return pallas_ldlt._batched_solve(L, d, r)
+
+            kkt_once(Hj, rj).block_until_ready()
+            t0 = time.perf_counter()
+            reps = 20
+            for _ in range(reps):
+                kkt_once(Hj, rj).block_until_ready()
+            tpu_us = (time.perf_counter() - t0) / reps / B * 1e6
+            log(f"KKT factor+solve (D={D}): {tpu_us:.4f} us/instance on TPU "
+                f"(lane-batched, batch {B})")
+        except Exception as e:
+            log(f"kkt micro-bench failed: {e!r}")
+        try:
+            from mini_opt_tpu import native
+
+            cpu_us = native.ldlt_us(args.n_active + 1, reps=200000)
+            log(f"KKT factor+solve (D={args.n_active + 1}): {cpu_us:.4f} us on "
+                f"one CPU core (native dense baseline)")
+        except Exception as e:
+            log(f"native kkt baseline failed: {e!r}")
         try:
             from mini_opt_tpu import native
 
