@@ -172,6 +172,9 @@ def main():
     # (259k solves/s vs 225k for jnp ldlt; lu crashes the TPU compiler).
     ap.add_argument("--kkt-solver", default="pallas_ldlt")
     ap.add_argument("--inner-unroll", type=int, default=1)
+    ap.add_argument("--general", action="store_true",
+                    help="use the general nls_solve path instead of the fused "
+                         "whole-solver Pallas kernel")
     ap.add_argument("--shard", action="store_true",
                     help="shard the batch over all local devices (dp axis)")
     ap.add_argument("--profile-dir", default=None,
@@ -192,10 +195,41 @@ def main():
         f"devices={len(jax.local_devices())} shard={args.shard}"
     )
 
-    solve, parity_fraction = build_solver(
-        args.n_active, dtype, args.iters, args.qp_iters, args.kkt_solver,
-        args.ls_iters, args.inner_unroll,
-    )
+    if not args.general and args.n_active == 2:
+        # Fused whole-solver Pallas kernel: the production serving path for
+        # this family (same algorithm, zero inter-op dispatch).
+        from mini_opt_tpu.ops.pallas_ik import fused_ik_solve_batch
+
+        def solve(targets, x0):
+            return fused_ik_solve_batch(
+                targets, x0,
+                max_iterations=args.iters,
+                qp_iterations=args.qp_iters,
+                ls_iterations=args.ls_iters,
+            )
+
+        @jax.jit
+        def parity_fraction(targets, x0):
+            x = solve(targets, x0)
+            # Direct planar FK (identical to chain.update for this family;
+            # cross-checked in tests/test_native.py and test_chains.py).
+            L = 0.4
+            phi1 = x[:, 0]
+            phi2 = x[:, 0] + x[:, 1]
+            px = L * (jnp.cos(phi1) + jnp.cos(phi2))
+            py = L * (jnp.sin(phi1) + jnp.sin(phi2))
+            err = jnp.maximum(
+                jnp.abs(px - targets[:, 0]), jnp.abs(py - targets[:, 1])
+            )
+            return jnp.mean((err < 1e-3).astype(jnp.float32))
+
+        log("path=fused-pallas-kernel")
+    else:
+        solve, parity_fraction = build_solver(
+            args.n_active, dtype, args.iters, args.qp_iters, args.kkt_solver,
+            args.ls_iters, args.inner_unroll,
+        )
+        log("path=general-nls-solve")
     targets, x0 = make_instances(B, args.n_active, dtype)
 
     t0 = time.perf_counter()
