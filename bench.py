@@ -138,21 +138,25 @@ def make_instances(B, n_active, dtype, seed=0):
     return jnp.asarray(targets, dtype), jnp.asarray(x0, dtype)
 
 
-def _fetch_with_timeout(arr, timeout_s):
-    """Device->host fetch guarded by a watchdog (tunnel transfers can take
-    minutes). Returns None on timeout."""
-    out = {}
+class _AsyncFetch:
+    """Device->host fetch on a daemon thread (tunnel transfers can take
+    minutes when the channel is cold); poll with .get(timeout)."""
 
-    def work():
-        try:
-            out["v"] = float(np.asarray(arr))
-        except Exception as e:  # pragma: no cover
-            out["err"] = repr(e)
+    def __init__(self, arr):
+        self._out = {}
 
-    t = threading.Thread(target=work, daemon=True)
-    t.start()
-    t.join(timeout_s)
-    return out.get("v")
+        def work():
+            try:
+                self._out["v"] = float(np.asarray(arr))
+            except Exception as e:  # pragma: no cover
+                self._out["err"] = repr(e)
+
+        self._t = threading.Thread(target=work, daemon=True)
+        self._t.start()
+
+    def get(self, timeout_s):
+        self._t.join(timeout_s)
+        return self._out.get("v")
 
 
 def log(msg):
@@ -180,12 +184,22 @@ def main():
     ap.add_argument("--profile-dir", default=None,
                     help="capture a jax.profiler trace of the timed runs")
     ap.add_argument("--skip-parity", action="store_true")
-    ap.add_argument("--parity-timeout", type=float, default=600.0)
+    ap.add_argument("--parity-timeout", type=float, default=900.0)
     ap.add_argument("--native-baseline", action="store_true",
                     help="also time the C++ CPU runtime on the same instances")
     args = ap.parse_args()
 
     _enable_compile_cache()
+    # Warm the device->host transfer channel in the background: the tunnel's
+    # first fetch after going cold can take minutes, and the parity readback
+    # at the end should not eat that.
+    def _warm_transfer():
+        try:
+            np.asarray(jnp.zeros((4,)))
+        except Exception:
+            pass
+
+    threading.Thread(target=_warm_transfer, daemon=True).start()
     if args.shard:
         os.environ["MINI_OPT_BENCH_SHARD"] = "1"
     dtype = jnp.dtype(args.dtype)
@@ -254,13 +268,15 @@ def main():
     log(f"times_ms={[round(t*1e3,1) for t in times]}")
 
     parity = None
+    fetch = None
     if not args.skip_parity:
         t0 = time.perf_counter()
         frac_dev = parity_fraction(targets, x0)
         frac_dev.block_until_ready()
         log(f"parity compute: {time.perf_counter()-t0:.1f}s; fetching scalar...")
         t0 = time.perf_counter()
-        parity = _fetch_with_timeout(frac_dev, args.parity_timeout)
+        fetch = _AsyncFetch(frac_dev)
+        parity = fetch.get(args.parity_timeout)
         log(f"parity fetch: {time.perf_counter()-t0:.1f}s -> {parity}")
 
     record = {
@@ -269,15 +285,6 @@ def main():
         "unit": "solves/s",
         "vs_baseline": round(solves_per_s / NORTH_STAR, 3),
     }
-    if parity is not None:
-        if parity < 0.99:
-            record["value"] = 0.0
-            record["vs_baseline"] = 0.0
-            record["error"] = f"parity only {parity:.3f} at tol 1e-3"
-        else:
-            record["parity"] = round(parity, 4)
-    else:
-        record["parity"] = "unverified(transfer-timeout)" if not args.skip_parity else "skipped"
 
     if args.native_baseline:
         # Secondary metric (BASELINE.json): condensed-KKT solve time per
@@ -336,6 +343,23 @@ def main():
             )
         except Exception as e:
             log(f"native baseline failed: {e!r}")
+
+    # Last chance for a slow parity fetch to land (the watchdog thread kept
+    # running through the native-baseline section).
+    if parity is None and fetch is not None:
+        parity = fetch.get(60.0)
+        log(f"parity late fetch -> {parity}")
+    if parity is not None:
+        if parity < 0.99:
+            record["value"] = 0.0
+            record["vs_baseline"] = 0.0
+            record["error"] = f"parity only {parity:.3f} at tol 1e-3"
+        else:
+            record["parity"] = round(parity, 4)
+    else:
+        record["parity"] = (
+            "unverified(transfer-timeout)" if not args.skip_parity else "skipped"
+        )
 
     print(json.dumps(record))
     return 0
