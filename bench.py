@@ -190,16 +190,10 @@ def main():
     args = ap.parse_args()
 
     _enable_compile_cache()
-    # Warm the device->host transfer channel in the background: the tunnel's
-    # first fetch after going cold can take minutes, and the parity readback
-    # at the end should not eat that.
-    def _warm_transfer():
-        try:
-            np.asarray(jnp.zeros((4,)))
-        except Exception:
-            pass
-
-    threading.Thread(target=_warm_transfer, daemon=True).start()
+    # NOTE: do NOT issue a concurrent device->host warmup fetch here: a cold
+    # tunnel fetch in flight stalls every other device operation (observed
+    # 27ms/step instead of 0.1ms while one was pending). The parity readback
+    # at the end has a 900s watchdog + late re-poll instead.
     if args.shard:
         os.environ["MINI_OPT_BENCH_SHARD"] = "1"
     dtype = jnp.dtype(args.dtype)
