@@ -185,7 +185,7 @@ def compute_all_poses(buffers: ChainBuffers) -> Pose:
     def one(q, t):
         return start_T_end.compose(Pose(q, t).inverse())
 
-    return jax.vmap(one)(buffers.i_R_end, jnp.moveaxis(buffers.i_t_end, 0, 0))
+    return jax.vmap(one)(buffers.i_R_end, buffers.i_t_end)
 
 
 # ---------------------------------------------------------------------------
