@@ -166,3 +166,32 @@ def solve_ik_batch(
         return nls_solve(problem, params, x0_one, retraction=mod_pi_retraction)
 
     return jax.vmap(one)(targets, x0)
+
+
+def solve_ik_multi_start(
+    targets: jax.Array,  # (B, 2)
+    x0: jax.Array,  # (B, S, P): S starts per instance
+    chain: Optional[ActuatorChain] = None,
+    params: Optional[NLSParams] = None,
+    with_joint_limits: bool = True,
+) -> NLSResult:
+    """Multi-start robustification: solve every instance from S starts (all
+    B*S solves batched together -- on TPU extra starts are nearly free) and
+    keep, per instance, the start with the lowest merit. The standard cure
+    for the basin-of-attraction failures hard targets cause from a single
+    cold start."""
+    B, S, P = x0.shape
+    dtype = x0.dtype
+    if chain is None:
+        chain = make_planar_chain(n_active=P, dtype=dtype)
+    if params is None:
+        params = default_ik_params(dtype)
+
+    targets_rep = jnp.repeat(targets, S, axis=0)  # (B*S, 2)
+    res = solve_ik_batch(
+        targets_rep, x0.reshape(B * S, P), chain, params, with_joint_limits
+    )
+    res = jax.tree.map(lambda a: a.reshape((B, S) + a.shape[1:]), res)
+    merit = res.errors.f + res.errors.equality  # (B, S)
+    best = jnp.argmin(merit, axis=1)
+    return jax.tree.map(lambda a: a[jnp.arange(B), best], res)
