@@ -245,21 +245,45 @@ def main():
     log(f"compile+first run: {time.perf_counter()-t0:.1f}s")
 
     import contextlib
+    import functools
 
     prof = (
         jax.profiler.trace(args.profile_dir)
         if args.profile_dir
         else contextlib.nullcontext()
     )
-    times = []
+
+    # Honest timing on the tunnel: block_until_ready can return before device
+    # execution completes here, so time a K-long CHAINED scan (each solve's
+    # output feeds the next input -- a hard data dependency) terminated by a
+    # host readback, and difference K vs 1 to cancel dispatch + transfer
+    # overhead.
+    # K large enough that +-10ms of transfer noise contributes <0.05ms/batch.
+    K = 513 if not args.general else 33
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def chained(targets, x0, k):
+        def body(x, _):
+            return solve(targets, x), None
+        out, _ = jax.lax.scan(body, x0, None, length=k)
+        return out
+
+    def timed_fetch(k):
+        t0 = time.perf_counter()
+        np.asarray(chained(targets, x0, k=k))
+        return time.perf_counter() - t0
+
     with prof:
+        np.asarray(chained(targets, x0, k=1))  # compile + warm transfer
+        np.asarray(chained(targets, x0, k=K))
+        times = []
         for _ in range(args.repeats):
-            t0 = time.perf_counter()
-            solve(targets, x0).block_until_ready()
-            times.append(time.perf_counter() - t0)
-    best = min(times)
+            t1 = timed_fetch(1)
+            tk = timed_fetch(K)
+            times.append((tk - t1) / (K - 1))
+    best = max(float(np.median(times)), 1e-9)
     solves_per_s = B / best
-    log(f"times_ms={[round(t*1e3,1) for t in times]}")
+    log(f"per-batch times_ms={[round(t*1e3,3) for t in times]} (chained, K={K})")
 
     parity = None
     fetch = None
