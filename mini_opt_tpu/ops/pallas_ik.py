@@ -1,18 +1,25 @@
-"""Fused whole-solver Pallas kernel for the flagship 2-link IK family.
+"""Fused whole-solver Pallas kernel for the planar-chain IK family.
 
 The general solver (nonlinear.py) is a composition of XLA ops under nested
-scans; at ~4 us/solve it is dispatch-bound, not FLOP-bound. This kernel is
-the speed-of-light serving path for the benchmark problem family
-(models/ik.py, the reference's actuator-limit IK): the ENTIRE constrained
-SQP solve -- forward kinematics, Gauss-Newton assembly, the condensed-KKT
-interior-point inner loop (closed-form 3x3 LDLT), fraction-to-boundary,
-L1-merit Armijo line search with angle-wrap retraction, and the LM lambda
-state machine -- unrolled into straight-line elementwise code over
-``(1, BB)`` lane rows. One kernel invocation solves BB instances with zero
+scans; it is dispatch/granularity-bound, not FLOP-bound (measured ~1M
+solves/s/chip). This kernel is the speed-of-light serving path for the
+benchmark problem family (models/ik.py, the reference's actuator-limit IK):
+the ENTIRE constrained SQP solve -- forward kinematics, Gauss-Newton
+assembly, the condensed-KKT interior-point inner loop with a fully unrolled
+scalar LDL^T, fraction-to-boundary, L1-merit Armijo line search with
+angle-wrap retraction, and the LM lambda state machine -- unrolled into
+straight-line elementwise code over ``(1, BB)`` lane rows (measured 65M
+solves/s/chip at n=2). One kernel invocation solves BB instances with zero
 inter-op overhead; the grid tiles the batch.
 
-Semantics mirror nls_solve's fixed-trip configuration on this family
-(same mu schedule, tolerances, penalty update, Armijo constants); parity is
+Generalized over the number of active joints ``n``: the chain has n
+cumulative planar rotations with equal link lengths; joints 1..n-1 carry
+[0, pi] box constraints (matching make_ik_problem). All matrices are nested
+Python lists of (1, BB) rows, so every linear-algebra step unrolls to scalar
+lane arithmetic.
+
+Semantics mirror nls_solve's fixed-trip configuration on this family (same
+mu schedule, tolerances, penalty update, Armijo constants); parity is
 asserted against the general solver in tests and against the 1e-3 effector
 gate in bench.py.
 
@@ -40,196 +47,222 @@ def _mod_pi(a):
     return a - 2.0 * _PI * jnp.floor((a + _PI) / (2.0 * _PI))
 
 
-def _make_kernel(link_len, max_iterations, qp_iterations, ls_iterations):
+def _ldlt_solve_unrolled(H, r):
+    """Solve the symmetric DxD system H x = r where H is a nested list of
+    (1, BB) rows (lower triangle read); fully unrolled scalar LDL^T."""
+    n = len(r)
+    L = [[None] * n for _ in range(n)]
+    d = [None] * n
+    for j in range(n):
+        acc = H[j][j]
+        for k in range(j):
+            acc = acc - L[j][k] * L[j][k] * d[k]
+        d[j] = acc
+        for i in range(j + 1, n):
+            aij = H[i][j] if i >= j else H[j][i]
+            for k in range(j):
+                aij = aij - L[i][k] * L[j][k] * d[k]
+            L[i][j] = aij / d[j]
+    # Forward substitution (unit lower).
+    y = list(r)
+    for i in range(n):
+        for k in range(i):
+            y[i] = y[i] - L[i][k] * y[k]
+    for i in range(n):
+        y[i] = y[i] / d[i]
+    # Backward substitution (L^T).
+    for i in range(n - 1, -1, -1):
+        for k in range(i + 1, n):
+            y[i] = y[i] - L[k][i] * y[k]
+    return y
+
+
+def _make_kernel(n, link_len, max_iterations, qp_iterations, ls_iterations):
     L = link_len
+    ncon = n - 1  # joints 1..n-1 carry [0, pi] limits (2 rows each)
 
-    def fk(th0, th1):
-        """Effector (px, py) and Jacobian rows for the cumulative-angle
-        planar chain; all (1, BB)."""
-        c1, s1 = jnp.cos(th0), jnp.sin(th0)
-        c12, s12 = jnp.cos(th0 + th1), jnp.sin(th0 + th1)
-        px = L * (c1 + c12)
-        py = L * (s1 + s12)
-        # d px/d th = (-L(s1+s12), -L s12); d py/d th = (L(c1+c12), L c12)
-        jx0, jx1 = -L * (s1 + s12), -L * s12
-        jy0, jy1 = L * (c1 + c12), L * c12
-        return px, py, jx0, jx1, jy0, jy1
+    def fk(th):
+        """Effector position and Jacobian rows; th is a list of n rows."""
+        phis = []
+        acc = None
+        for i in range(n):
+            acc = th[i] if acc is None else acc + th[i]
+            phis.append(acc)
+        c = [jnp.cos(p) for p in phis]
+        s = [jnp.sin(p) for p in phis]
+        px = L * sum(c)
+        py = L * sum(s)
+        # dpx/dth_a = -L sum_{i>=a} s_i ; dpy/dth_a = L sum_{i>=a} c_i
+        jx, jy = [], []
+        sx = sy = None
+        for a in range(n - 1, -1, -1):
+            sx = s[a] if sx is None else sx + s[a]
+            sy = c[a] if sy is None else sy + c[a]
+            jx.append(-L * sx)
+            jy.append(L * sy)
+        jx.reverse()
+        jy.reverse()
+        return px, py, jx, jy
 
-    def errors(th0, th1, tx, ty):
-        px, py, *_ = fk(th0, th1)
-        f = 0.5 * (py - ty) ** 2
-        eq = jnp.abs(px - tx)
-        return f, eq
+    def errors(th, tx, ty):
+        px, py, _, _ = fk(th)
+        return 0.5 * (py - ty) ** 2, jnp.abs(px - tx)
 
-    def qp_solve(g00, g01, g11, c0, c1v, a0, a1, b_eq, ib0, ib1):
-        """Interior-point solve of the condensed QP for this family:
-        min 0.5 dx^T G dx + c^T dx, s.t. [a0 a1] dx + b_eq = 0 and the two
-        theta1 box rows dx1 + ib0 >= 0, -dx1 + ib1 >= 0. Returns
-        (dx0, dx1, |y|) after `qp_iterations` steps; all (1, BB)."""
-        one = jnp.ones_like(g00)
-        zero = jnp.zeros_like(g00)
+    def qp_solve(G, c, jx, b_eq, ib_lo, ib_hi, one, zero):
+        """Interior point on the condensed (n+1)x(n+1) system. Box rows act
+        on joints 1..n-1: dx_j + ib_lo[j-1] >= 0 and -dx_j + ib_hi[j-1] >= 0.
+        Returns (dx list, |y|)."""
+        D = n + 1
 
-        def ldlt3_solve(h00, h01, h02, h11, h12, h22, r0, r1, r2):
-            """Closed-form LDL^T solve of the symmetric 3x3 system."""
-            d0 = h00
-            l10 = h01 / d0
-            l20 = h02 / d0
-            d1 = h11 - l10 * l10 * d0
-            l21 = (h12 - l20 * l10 * d0) / d1
-            d2 = h22 - l20 * l20 * d0 - l21 * l21 * d1
-            # forward
-            y0 = r0
-            y1 = r1 - l10 * y0
-            y2 = r2 - l20 * y0 - l21 * y1
-            # scale
-            y0, y1, y2 = y0 / d0, y1 / d1, y2 / d2
-            # backward
-            x2 = y2
-            x1 = y1 - l21 * x2
-            x0 = y0 - l10 * x1 - l20 * x2
-            return x0, x1, x2
+        def assemble(sig_lo, sig_hi):
+            H = [[zero] * D for _ in range(D)]
+            for i in range(n):
+                for j in range(i + 1):
+                    H[i][j] = G[i][j]
+            for j in range(1, n):
+                H[j][j] = H[j][j] + sig_lo[j - 1] + sig_hi[j - 1]
+            for j in range(n):
+                H[n][j] = jx[j]
+            return H
 
-        def kkt(x0, x1, s0, s1, y, z0, z1):
-            """KKT residuals (mu = 0)."""
-            r_d0 = g00 * x0 + g01 * x1 + c0 - a0 * y
-            r_d1 = g01 * x0 + g11 * x1 + c1v - a1 * y - z0 + z1
-            r_pe = a0 * x0 + a1 * x1 + b_eq
-            r_pi0 = x1 + ib0 - s0
-            r_pi1 = -x1 + ib1 - s1
-            r_c0 = s0 * z0
-            r_c1 = s1 * z1
-            return r_d0, r_d1, r_pe, r_pi0, r_pi1, r_c0, r_c1
-
-        # Equality-constrained initial guess (mu-free solve), then clamp.
-        x0g, x1g, yneg = ldlt3_solve(
-            g00, g01, a0, g11, a1, zero, -c0, -c1v, -b_eq
-        )
-        yg = -yneg
-        # Clamp dx1 into [-ib0, ib1] (the feasible band of the shifted rows).
-        x1g = jnp.clip(x1g, -ib0, ib1)
-        s0 = jnp.maximum(1e-9, x1g + ib0)
-        s1 = jnp.maximum(1e-9, -x1g + ib1)
-        z0 = 1.0 / s0
-        z1 = 1.0 / s1
+        # Equality-constrained initial guess, then clamp + slack init.
+        H0 = assemble([zero] * ncon, [zero] * ncon)
+        rhs0 = [-c[i] for i in range(n)] + [-b_eq]
+        sol = _ldlt_solve_unrolled(H0, rhs0)
+        x = sol[:n]
+        y = -sol[n]
+        for j in range(1, n):
+            x[j] = jnp.clip(x[j], -ib_lo[j - 1], ib_hi[j - 1])
+        s_lo = [jnp.maximum(1e-9, x[j + 1] + ib_lo[j]) for j in range(ncon)]
+        s_hi = [jnp.maximum(1e-9, -x[j + 1] + ib_hi[j]) for j in range(ncon)]
+        z_lo = [1.0 / v for v in s_lo]
+        z_hi = [1.0 / v for v in s_hi]
 
         mu = one
-        x0v, x1v, yv = x0g, x1g, yg
+        tau = 0.995
         for _ in range(qp_iterations):
-            r_d0, r_d1, r_pe, r_pi0, r_pi1, r_c0, r_c1 = kkt(
-                x0v, x1v, s0, s1, yv, z0, z1
-            )
-            sig0 = z0 / s0
-            sig1 = z1 / s1
-            # Condensed H = G + A_i^T Sigma A_i (theta1 only), bordered by A_eq.
-            h11 = g11 + sig0 + sig1
-            # Augmented dual residual after eliminating (s, z).
-            r_aug0 = r_d0
-            r_aug1 = (
-                r_d1
-                + sig0 * r_pi0 + (r_c0 - mu) / s0
-                - sig1 * r_pi1 - (r_c1 - mu) / s1
-            )
-            dx0, dx1, dyneg = ldlt3_solve(
-                g00, g01, a0, h11, a1, zero, -r_aug0, -r_aug1, -r_pe
-            )
-            dy = -dyneg
-            ds0 = dx1 + r_pi0
-            ds1 = -dx1 + r_pi1
-            dz0 = -sig0 * ds0 - (r_c0 - mu) / s0
-            dz1 = -sig1 * ds1 - (r_c1 - mu) / s1
-            # Fraction-to-boundary, tau = 0.995.
-            tau = 0.995
+            # KKT residuals.
+            r_d = []
+            for i in range(n):
+                acc = c[i] - jx[i] * y
+                for j in range(n):
+                    acc = acc + (G[i][j] if i >= j else G[j][i]) * x[j]
+                r_d.append(acc)
+            for j in range(ncon):
+                r_d[j + 1] = r_d[j + 1] - z_lo[j] + z_hi[j]
+            r_pe = b_eq
+            for j in range(n):
+                r_pe = r_pe + jx[j] * x[j]
+            r_pi_lo = [x[j + 1] + ib_lo[j] - s_lo[j] for j in range(ncon)]
+            r_pi_hi = [-x[j + 1] + ib_hi[j] - s_hi[j] for j in range(ncon)]
+            r_c_lo = [s_lo[j] * z_lo[j] for j in range(ncon)]
+            r_c_hi = [s_hi[j] * z_hi[j] for j in range(ncon)]
 
-            def ftb(v, dv, alpha):
-                blocking = (v + dv <= 0.0) & (jnp.abs(dv) > 0.0)
-                cand = -tau * v / jnp.where(blocking, dv, one)
-                return jnp.minimum(alpha, jnp.where(blocking, cand, one))
+            sig_lo = [z_lo[j] / s_lo[j] for j in range(ncon)]
+            sig_hi = [z_hi[j] / s_hi[j] for j in range(ncon)]
+            H = assemble(sig_lo, sig_hi)
+            r_aug = list(r_d)
+            for j in range(ncon):
+                r_aug[j + 1] = (
+                    r_aug[j + 1]
+                    + sig_lo[j] * r_pi_lo[j] + (r_c_lo[j] - mu) / s_lo[j]
+                    - sig_hi[j] * r_pi_hi[j] - (r_c_hi[j] - mu) / s_hi[j]
+                )
+            rhs = [-v for v in r_aug] + [-r_pe]
+            sol = _ldlt_solve_unrolled(H, rhs)
+            dx = sol[:n]
+            dy = -sol[n]
+            ds_lo = [dx[j + 1] + r_pi_lo[j] for j in range(ncon)]
+            ds_hi = [-dx[j + 1] + r_pi_hi[j] for j in range(ncon)]
+            dz_lo = [
+                -sig_lo[j] * ds_lo[j] - (r_c_lo[j] - mu) / s_lo[j]
+                for j in range(ncon)
+            ]
+            dz_hi = [
+                -sig_hi[j] * ds_hi[j] - (r_c_hi[j] - mu) / s_hi[j]
+                for j in range(ncon)
+            ]
 
-            ap = ftb(s1, ds1, ftb(s0, ds0, one))
-            ad = ftb(z1, dz1, ftb(z0, dz0, one))
-            x0v = x0v + ap * dx0
-            x1v = x1v + ap * dx1
-            s0 = s0 + ap * ds0
-            s1 = s1 + ap * ds1
-            yv = yv + ad * dy
-            z0 = z0 + ad * dz0
-            z1 = z1 + ad * dz1
-            mu = 0.1 * (s0 * z0 + s1 * z1) / 2.0
-        return x0v, x1v, jnp.abs(yv)
+            def ftb(vs, dvs):
+                alpha = one
+                for v, dv in zip(vs, dvs):
+                    blocking = (v + dv <= 0.0) & (jnp.abs(dv) > 0.0)
+                    cand = -tau * v / jnp.where(blocking, dv, one)
+                    alpha = jnp.minimum(alpha, jnp.where(blocking, cand, one))
+                return alpha
+
+            ap = ftb(s_lo + s_hi, ds_lo + ds_hi)
+            ad = ftb(z_lo + z_hi, dz_lo + dz_hi)
+            x = [x[i] + ap * dx[i] for i in range(n)]
+            s_lo = [s_lo[j] + ap * ds_lo[j] for j in range(ncon)]
+            s_hi = [s_hi[j] + ap * ds_hi[j] for j in range(ncon)]
+            y = y + ad * dy
+            z_lo = [z_lo[j] + ad * dz_lo[j] for j in range(ncon)]
+            z_hi = [z_hi[j] + ad * dz_hi[j] for j in range(ncon)]
+            if ncon > 0:
+                comp = sum(
+                    s_lo[j] * z_lo[j] + s_hi[j] * z_hi[j] for j in range(ncon)
+                ) / (2 * ncon)
+                mu = 0.1 * comp
+        return x, jnp.abs(y)
 
     def kernel(tgt_ref, x0_ref, out_ref):
         tx = tgt_ref[0:1, :]
         ty = tgt_ref[1:2, :]
-        th0 = x0_ref[0:1, :]
-        th1 = x0_ref[1:2, :]
+        th = [x0_ref[i : i + 1, :] for i in range(n)]
         one = jnp.ones_like(tx)
         zero = jnp.zeros_like(tx)
 
         lam = 0.001 * one
         penalty = 0.01 * one
-        restore = zero  # 0 nominal, 1 attempting-restore
+        restore = zero
 
         for _ in range(max_iterations):
-            # --- linearize ------------------------------------------------
-            px, py, jx0, jx1, jy0, jy1 = fk(th0, th1)
+            px, py, jx, jy = fk(th)
             ry = py - ty
             rx = px - tx
             f_pre = 0.5 * ry * ry
             eq_pre = jnp.abs(rx)
-            g00 = jy0 * jy0 + lam
-            g01 = jy0 * jy1
-            g11 = jy1 * jy1 + lam
-            c0 = jy0 * ry
-            c1v = jy1 * ry
-            # Shifted box rows for theta1 in [0, pi].
-            ib0 = th1
-            ib1 = _PI - th1
+            G = [[None] * n for _ in range(n)]
+            for i in range(n):
+                for j in range(i + 1):
+                    G[i][j] = jy[i] * jy[j] + (lam if i == j else zero)
+            c = [jy[i] * ry for i in range(n)]
+            ib_lo = [th[j + 1] for j in range(ncon)]
+            ib_hi = [_PI - th[j + 1] for j in range(ncon)]
 
-            # --- inner QP ---------------------------------------------------
-            dx0, dx1, y_abs = qp_solve(
-                g00, g01, g11, c0, c1v, jx0, jx1, rx, ib0, ib1
-            )
+            dx, y_abs = qp_solve(G, c, jx, rx, ib_lo, ib_hi, one, zero)
 
-            # --- penalty + directional derivative ---------------------------
-            penalty = jnp.where(
-                y_abs > penalty, y_abs * 1.01, penalty
-            )
-            d_f = c0 * dx0 + c1v * dx1
-            d_eq = jnp.sign(rx) * (jx0 * dx0 + jx1 * dx1)
+            penalty = jnp.where(y_abs > penalty, y_abs * 1.01, penalty)
+            d_f = sum(c[i] * dx[i] for i in range(n))
+            d_eq = jnp.sign(rx) * sum(jx[i] * dx[i] for i in range(n))
             dd = d_f + penalty * d_eq
             merit_pre = f_pre + penalty * eq_pre
 
-            # --- Armijo backtracking line search ----------------------------
             alpha = one
-            accepted = zero  # bool mask as float
-            best_th0, best_th1 = th0, th1
+            accepted = zero
+            best = list(th)
             for probe in range(ls_iterations + 1):
                 if probe > 0:
                     alpha = alpha * 0.5
-                c_th0 = _mod_pi(th0 + alpha * dx0)
-                c_th1 = _mod_pi(th1 + alpha * dx1)
-                f_c, eq_c = errors(c_th0, c_th1, tx, ty)
+                cand = [_mod_pi(th[i] + alpha * dx[i]) for i in range(n)]
+                f_c, eq_c = errors(cand, tx, ty)
                 merit_c = f_c + penalty * eq_c
                 ok = (merit_c <= merit_pre + 1e-4 * alpha * dd).astype(tx.dtype)
                 take = ok * (1.0 - accepted)
-                best_th0 = take * c_th0 + (1.0 - take) * best_th0
-                best_th1 = take * c_th1 + (1.0 - take) * best_th1
+                best = [take * cand[i] + (1.0 - take) * best[i] for i in range(n)]
                 accepted = jnp.minimum(accepted + ok, 1.0)
 
-            # --- lambda state machine --------------------------------------
-            th0 = jnp.where(accepted > 0, best_th0, th0)
-            th1 = jnp.where(accepted > 0, best_th1, th1)
-            lam_succ = jnp.maximum(
-                lam * jnp.where(restore > 0, 0.8, 0.1), 1e-9
-            )
+            th = [jnp.where(accepted > 0, best[i], th[i]) for i in range(n)]
+            lam_succ = jnp.maximum(lam * jnp.where(restore > 0, 0.8, 0.1), 1e-9)
             lam_fail = jnp.where(
                 restore > 0, lam * 10.0, jnp.maximum(0.001 * one, lam * 10.0)
             )
             lam = jnp.where(accepted > 0, lam_succ, lam_fail)
             restore = jnp.where(accepted > 0, zero, one)
 
-        out_ref[0:1, :] = th0
-        out_ref[1:2, :] = th1
+        for i in range(n):
+            out_ref[i : i + 1, :] = th[i]
 
     return kernel
 
@@ -240,33 +273,40 @@ def _make_kernel(link_len, max_iterations, qp_iterations, ls_iterations):
 )
 def fused_ik_solve_batch(
     targets: jax.Array,  # (B, 2)
-    x0: jax.Array,  # (B, 2)
+    x0: jax.Array,  # (B, n)
     link_len: float = 0.4,
     max_iterations: int = 10,
     qp_iterations: int = 6,
     ls_iterations: int = 2,
 ) -> jax.Array:
-    """Solve B 2-link IK instances with the fused kernel. Returns (B, 2)."""
+    """Solve B planar n-link IK instances with the fused kernel.
+    Returns (B, n)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     B = targets.shape[0]
+    n = x0.shape[1]
     bb = min(_LANES, max(128, B))
     b_pad = -(-B // bb) * bb
-    pad = [(0, b_pad - B), (0, 0)]
-    tgt = jnp.moveaxis(jnp.pad(targets, pad, constant_values=0.5), 0, -1)
-    x0t = jnp.moveaxis(jnp.pad(x0, pad, constant_values=0.3), 0, -1)
+    tgt = jnp.moveaxis(
+        jnp.pad(targets, [(0, b_pad - B), (0, 0)], constant_values=0.5), 0, -1
+    )
+    x0t = jnp.moveaxis(
+        jnp.pad(x0, [(0, b_pad - B), (0, 0)], constant_values=0.3), 0, -1
+    )
 
-    kernel = _make_kernel(link_len, max_iterations, qp_iterations, ls_iterations)
+    kernel = _make_kernel(
+        n, link_len, max_iterations, qp_iterations, ls_iterations
+    )
     out = pl.pallas_call(
         kernel,
         grid=(b_pad // bb,),
         in_specs=[
             pl.BlockSpec((2, bb), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, bb), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, bb), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((2, bb), lambda i: (0, i), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((2, b_pad), targets.dtype),
+        out_specs=pl.BlockSpec((n, bb), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, b_pad), targets.dtype),
         interpret=_INTERPRET,
     )(tgt, x0t)
     return jnp.moveaxis(out, -1, 0)[:B]

@@ -53,3 +53,30 @@ def test_fused_kernel_padding():
     )
     assert out.shape == (B, 2)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_fused_kernel_four_links():
+    """Generalized kernel: 4-joint chain with [0, pi] limits on joints 1-3."""
+    rng = np.random.default_rng(0)
+    B, n, L = 256, 4, 0.4
+    radius = rng.uniform(0.5, 0.9, B) * n * L
+    angle = rng.uniform(0.3, 1.2, B)
+    targets = np.stack([radius * np.cos(angle), radius * np.sin(angle)], 1)
+    x0 = np.tile(np.array([0.4] + [0.3] * (n - 1)), (B, 1)) + rng.uniform(
+        -0.1, 0.1, (B, n)
+    )
+    x0[:, 0] = angle - 0.2
+    out = fused_ik_solve_batch(
+        jnp.asarray(targets, jnp.float32),
+        jnp.asarray(x0, jnp.float32),
+        max_iterations=14,
+        qp_iterations=6,
+        ls_iterations=3,
+    )
+    x = np.asarray(out)
+    phi = np.cumsum(x, axis=1)
+    px = L * np.cos(phi).sum(1)
+    py = L * np.sin(phi).sum(1)
+    err = np.maximum(np.abs(px - targets[:, 0]), np.abs(py - targets[:, 1]))
+    assert (err < 1e-3).mean() >= 0.99, (err < 1e-3).mean()
+    assert ((x[:, 1:] >= -1e-4) & (x[:, 1:] <= np.pi + 1e-4)).all()
