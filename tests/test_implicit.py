@@ -1,0 +1,113 @@
+"""Implicit differentiation (KKT-based custom VJP) vs closed forms and vs
+the unrolled fixed-trip gradients."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mini_opt_tpu import make_residual
+from mini_opt_tpu.implicit import make_implicit_solver
+from mini_opt_tpu.nonlinear import NLSParams, Problem, nls_solve
+
+PARAMS = NLSParams(max_iterations=20, max_qp_iterations=1, absolute_exit_tol=1e-14)
+
+
+def test_implicit_grad_unconstrained():
+    """min ||x - t||^2: x*(t) = t, dx*/dt = I exactly."""
+
+    def problem_fn(target):
+        return Problem(
+            dimension=2, costs=(make_residual([0, 1], lambda v: v - target, 2),)
+        )
+
+    solve = make_implicit_solver(problem_fn, PARAMS)
+    t = jnp.asarray([0.4, -0.9])
+    J = jax.jacrev(lambda d: solve(d, jnp.zeros(2)))(t)
+    np.testing.assert_allclose(np.asarray(J), np.eye(2), atol=1e-7)
+
+
+def test_implicit_grad_weighted():
+    """min 0.5 (w (x - 1))^2 + 0.5 (x - t)^2 over scalar x:
+    x* = (w^2 + t) / (w^2 + 1); check dx*/dt and dx*/dw."""
+
+    def problem_fn(data):
+        w, t = data[0], data[1]
+        return Problem(
+            dimension=1,
+            costs=(
+                make_residual([0], lambda v: jnp.stack([w * (v[0] - 1.0)]), 1),
+                make_residual([0], lambda v: jnp.stack([v[0] - t]), 1),
+            ),
+        )
+
+    solve = make_implicit_solver(problem_fn, PARAMS)
+    data = jnp.asarray([2.0, -0.5])
+    x = solve(data, jnp.zeros(1))
+    w, t = 2.0, -0.5
+    x_exact = (w**2 + t) / (w**2 + 1)
+    np.testing.assert_allclose(float(x[0]), x_exact, atol=1e-9)
+
+    J = jax.jacrev(lambda d: solve(d, jnp.zeros(1)))(data)
+    # closed forms
+    dx_dw = (2 * w * (w**2 + 1) - (w**2 + t) * 2 * w) / (w**2 + 1) ** 2
+    dx_dt = 1.0 / (w**2 + 1)
+    np.testing.assert_allclose(np.asarray(J)[0], [dx_dw, dx_dt], atol=1e-7)
+
+
+def test_implicit_grad_equality_constrained():
+    """min ||x||^2 s.t. x0 * x1 = v -> x* = (sqrt(v), sqrt(v)) for v > 0;
+    dx*/dv = 1/(2 sqrt(v)) per coordinate."""
+
+    def problem_fn(v):
+        return Problem(
+            dimension=2,
+            costs=(make_residual([0, 1], lambda x: x, 2),),
+            equality_constraints=(
+                make_residual([0, 1], lambda x: jnp.stack([x[0] * x[1] - v[0]]), 1),
+            ),
+        )
+
+    params = dataclasses.replace(PARAMS, max_iterations=60, lambda_initial=1e-3)
+    solve = make_implicit_solver(problem_fn, params)
+    v = jnp.asarray([4.0])
+    x = solve(v, jnp.asarray([1.5, 2.5]))
+    np.testing.assert_allclose(np.asarray(x), [2.0, 2.0], atol=1e-6)
+
+    J = jax.jacrev(lambda d: solve(d, jnp.asarray([1.5, 2.5])))(v)
+    np.testing.assert_allclose(
+        np.asarray(J).ravel(), [0.25, 0.25], atol=1e-5
+    )  # 1/(2 sqrt(4)) = 0.25
+
+
+def test_implicit_matches_unrolled():
+    """Implicit and unrolled gradients agree at a converged solution."""
+
+    def problem_fn(target):
+        return Problem(
+            dimension=2,
+            costs=(
+                make_residual(
+                    [0, 1],
+                    lambda v: jnp.stack(
+                        [v[0] * v[0] - target[0], v[1] + 0.5 * v[0] - target[1]]
+                    ),
+                    2,
+                ),
+            ),
+        )
+
+    x0 = jnp.asarray([1.0, 0.5])
+    t = jnp.asarray([2.0, 1.0])
+
+    solve_imp = make_implicit_solver(problem_fn, PARAMS)
+    J_imp = jax.jacrev(lambda d: solve_imp(d, x0))(t)
+
+    unroll_params = dataclasses.replace(
+        PARAMS, record_history=False, early_exit=False
+    )
+    J_unr = jax.jacrev(
+        lambda d: nls_solve(problem_fn(d), unroll_params, x0).x
+    )(t)
+    np.testing.assert_allclose(np.asarray(J_imp), np.asarray(J_unr), atol=1e-4)
