@@ -10,6 +10,8 @@ problem instances per chip and shard across TPU pod slices.
 """
 
 from .assertions import MiniOptError, validate_problem
+from .implicit import make_implicit_solver
+from .nonlinear import NLSParams, Problem, nls_solve
 from .qp import (
     QP,
     LinearInequalityConstraint,
