@@ -387,3 +387,110 @@ def test_null_space_not_positive_definite():
         int(res.termination_state) == QPNullSpaceTerminationState.NOT_POSITIVE_DEFINITE
     )
     assert np.all(np.isfinite(np.asarray(res.x)))
+
+
+def test_solve_no_inequalities_matches_reduced_problem():
+    """The include_inequalities=False path (used by the equality-constrained
+    initial guess) must equal solving the reduced problem that simply has no
+    box constraints (qp_test.cc:140-166 analog)."""
+    from mini_opt_tpu.qp import _solve_condensed
+
+    rng = np.random.default_rng(2)
+    n, k = 6, 2
+    G = random_pd_matrix(rng, n)
+    c = rng.standard_normal(n)
+    A = rng.standard_normal((k, n))
+    b = rng.standard_normal(k)
+    qp_with = QP.create(G, c, A, b, constraints=[Var(0) >= -1.0, Var(2) <= 3.0])
+    qp_without = QP.create(G, c, A, b)
+
+    st0 = _IPState(
+        x=jnp.zeros(n), s=jnp.zeros(2), y=jnp.zeros(k), z=jnp.zeros(2)
+    )
+    st0_red = _IPState(
+        x=jnp.zeros(n), s=jnp.zeros(0), y=jnp.zeros(k), z=jnp.zeros(0)
+    )
+    H1 = _build_condensed(qp_with, st0, include_inequalities=False)
+    H2 = _build_condensed(qp_without, st0_red, include_inequalities=True)
+    np.testing.assert_allclose(np.asarray(H1), np.asarray(H2), atol=0)
+
+    r1 = _kkt_conditions(qp_with, st0, include_inequalities=False)
+    r2 = _kkt_conditions(qp_without, st0_red)
+    f1, ok1 = kkt_ops.kkt_factorize(H1, "lu")
+    dx1, dy1 = _solve_condensed(f1, r1[0], r1[2], n, k, "lu")
+    f2, ok2 = kkt_ops.kkt_factorize(H2, "lu")
+    dx2, dy2 = _solve_condensed(f2, r2[0], r2[2], n, k, "lu")
+    np.testing.assert_allclose(np.asarray(dx1), np.asarray(dx2), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(dy1), np.asarray(dy2), atol=1e-12)
+
+
+def test_predictor_corrector_mu_affine_formula():
+    """mu_affine must equal (s + a_p ds)^T (z + a_d dz) / M directly
+    (eq 19.21/19.22; qp.cc:519-537 computes it incrementally)."""
+    from mini_opt_tpu.qp import _mu_affine
+    from mini_opt_tpu.structs import AlphaValues
+
+    rng = np.random.default_rng(3)
+    M = 5
+    s = jnp.asarray(rng.uniform(0.5, 2.0, M))
+    z = jnp.asarray(rng.uniform(0.5, 2.0, M))
+    ds = jnp.asarray(rng.standard_normal(M) * 0.1)
+    dz = jnp.asarray(rng.standard_normal(M) * 0.1)
+    st = _IPState(x=jnp.zeros(3), s=s, y=jnp.zeros(0), z=z)
+    delta = _IPState(x=jnp.zeros(3), s=ds, y=jnp.zeros(0), z=dz)
+    ap, ad = 0.7, 0.9
+    mu = float(jnp.dot(s, z) / M)
+    got = float(
+        _mu_affine(st, delta, mu, AlphaValues(jnp.asarray(ap), jnp.asarray(ad)), M)
+    )
+    want = float(jnp.dot(s + ap * ds, z + ad * dz) / M)
+    assert got == pytest.approx(want, abs=1e-12)
+
+
+def test_decrease_mu_only_on_small_error():
+    """With decrease_mu_only_on_small_error=True, mu must hold until the max
+    KKT error drops below mu (qp.cc:140-146)."""
+    rng = np.random.default_rng(4)
+    n = 4
+    G = random_pd_matrix(rng, n)
+    c = rng.standard_normal(n) * 10  # large initial KKT error
+    qp = QP.create(G, c, constraints=[Var(0) >= -50.0, Var(1) <= 50.0])
+    # A deliberately terrible warm start (tiny slacks, huge duals) keeps the
+    # fraction-to-boundary steps short so KKT errors stay above mu for a few
+    # iterations -- which is exactly when the gate must hold mu.
+    bad = dict(
+        initial_guess_method=InitialGuessMethod.USER_PROVIDED,
+    )
+    start = dict(
+        x0=jnp.asarray(rng.standard_normal(n) * 20.0),
+        s0=jnp.asarray([1e-6, 1e-6]),
+        y0=jnp.zeros(0),
+        z0=jnp.asarray([1e6, 1e6]),
+    )
+    params_gate = QPInteriorPointParams(
+        max_iterations=6,
+        initial_mu=0.01,
+        barrier_strategy=BarrierStrategy.FIXED_DECREASE,
+        sigma=0.5,
+        decrease_mu_only_on_small_error=True,
+        termination_kkt_tol=1e-14,
+        **bad,
+    )
+    params_free = QPInteriorPointParams(
+        max_iterations=6,
+        initial_mu=0.01,
+        barrier_strategy=BarrierStrategy.FIXED_DECREASE,
+        sigma=0.5,
+        decrease_mu_only_on_small_error=False,
+        termination_kkt_tol=1e-14,
+        **bad,
+    )
+    res_gate = qp_ip_solve(qp, params_gate, **start)
+    res_free = qp_ip_solve(qp, params_free, **start)
+    mu_gate = np.asarray(res_gate.iterations.mu)
+    mu_free = np.asarray(res_free.iterations.mu)
+    # The free schedule halves every iteration; the gated one must be >= it
+    # everywhere and strictly larger somewhere (it holds while errors are big).
+    n_it = min(int(res_gate.num_iterations), int(res_free.num_iterations))
+    assert (mu_gate[:n_it] >= mu_free[:n_it] - 1e-15).all()
+    assert (mu_gate[:n_it] > mu_free[:n_it]).any(), (mu_gate, mu_free)
