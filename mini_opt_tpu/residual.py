@@ -154,17 +154,23 @@ def accumulate_hessian(
 def accumulate_hessian_block(
     G: jax.Array, c: jax.Array, block: BlockResidual, x: jax.Array
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Batched scatter-add of B block linearizations (one segment-sum)."""
+    """Batched accumulation of B block linearizations.
+
+    TPU-first: the per-block index maps become one-hot matrices (built by
+    iota-compare) and the global Gauss-Newton accumulation becomes two MXU
+    matmuls -- `G += O_b^T JtJ_b O_b` summed over blocks -- instead of a
+    scatter-add (traced-index scatters both lower poorly on TPU and trigger
+    an XLA memory-space-assignment compiler crash inside solver loops)."""
     r, J = block.errors_and_jacobians(x)  # (B,R), (B,R,P)
     idx = block._idx()  # (B, P)
+    n = G.shape[-1]
     JtJ = jnp.einsum("brp,brq->bpq", J, J)
     Jtr = jnp.einsum("brp,br->bp", J, r)
-    rows = idx[:, :, None]  # (B,P,1)
-    cols = idx[:, None, :]  # (B,1,P)
-    G = G.at[jnp.broadcast_to(rows, JtJ.shape), jnp.broadcast_to(cols, JtJ.shape)].add(
-        JtJ
-    )
-    c = c.at[idx].add(Jtr)
+    onehot = (
+        jnp.arange(n, dtype=idx.dtype)[None, None, :] == idx[:, :, None]
+    ).astype(G.dtype)  # (B, P, N)
+    G = G + jnp.einsum("bpn,bpq,bqm->nm", onehot, JtJ, onehot)
+    c = c + jnp.einsum("bpn,bp->n", onehot, Jtr)
     return G, c, 0.5 * jnp.sum(r * r)
 
 
