@@ -58,18 +58,45 @@ def _lu_solve(fact, rhs: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
+_LDLT_UNROLL_MAX = 24
+
+
 def ldlt_factorize(H: jax.Array) -> Tuple[Tuple[jax.Array, jax.Array], jax.Array]:
     """Unpivoted LDL^T: H = L diag(d) L^T with unit-lower L.
 
-    Column recurrence with masking instead of dynamic slices so the loop body
-    is fixed-shape (required under jit and in the Pallas port):
-
-      c_j   = H[:, j] - L @ (d * L[j, :] masked to columns < j)
-      d_j   = c_j[j]
-      L[:, j] = c_j / d_j on rows > j, 1 at j, 0 above.
+    For small D (the solver's condensed systems) the column recurrence is
+    unrolled into straight-line code: no fori_loop means no loop nesting when
+    this sits inside the SQP scans -- far cheaper to compile on TPU and
+    better fused. Larger D falls back to a masked fori_loop.
     """
     D = H.shape[-1]
     dtype = H.dtype
+
+    if D <= _LDLT_UNROLL_MAX:
+        cols = []
+        ds = []
+        for j in range(D):
+            c = H[:, j]
+            for k in range(j):
+                # c_j -= L[:, k] * d_k * L[j, k]
+                c = c - cols[k] * (ds[k] * cols[k][j])
+            dj = c[j]
+            col = jnp.concatenate(
+                [
+                    jnp.zeros((j,), dtype),
+                    jnp.ones((1,), dtype),
+                    c[j + 1 :] / dj,
+                ]
+            )
+            cols.append(col)
+            ds.append(dj)
+        L = jnp.stack(cols, axis=1)
+        d = jnp.stack(ds)
+        ok = jnp.all(jnp.isfinite(L)) & jnp.all(
+            jnp.abs(d) > jnp.finfo(dtype).tiny
+        )
+        return (L, d), ok
+
     rows = jnp.arange(D)
 
     def body(j, carry):
