@@ -111,3 +111,19 @@ def test_warm_start_round_trip(tmp_path):
     res2 = qp_ip_solve(qp, params, x0=w["x"], s0=w["s"], y0=w["y"], z0=w["z"])
     # Warm-started from the converged iterate: immediately at the solution.
     np.testing.assert_allclose(np.asarray(res2.x), np.asarray(res1.x), atol=1e-6)
+
+
+def test_orbax_pytree_checkpoint(tmp_path):
+    pytest_orbax = __import__("pytest")
+    pytest_orbax.importorskip("orbax.checkpoint")
+    from mini_opt_tpu.utils.checkpoint import (
+        load_pytree_orbax,
+        save_pytree_orbax,
+    )
+
+    res = _solve_one()
+    path = str(tmp_path / "ckpt")
+    assert save_pytree_orbax(path, {"x": res.x, "it": res.num_iterations})
+    back = load_pytree_orbax(path)
+    np.testing.assert_array_equal(np.asarray(back["x"]), np.asarray(res.x))
+    assert int(back["it"]) == int(res.num_iterations)
