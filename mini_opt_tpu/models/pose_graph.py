@@ -1,0 +1,119 @@
+"""Second model family: 2-D pose-graph optimization (SLAM-style).
+
+No analog in the reference's test tree (which is kinematics-only); this
+family demonstrates the framework on a different problem shape: many poses
+(N = 3 * n_poses variables), a large homogeneous set of relative-pose
+residuals expressed as ONE BlockResidual (odometry + loop closures), an
+anchor prior, and the angle-wrap retraction on every heading variable.
+Assembly runs through the one-hot MXU path; the problem vmaps over graph
+batches and partitions its edge set across a mesh axis like any other
+BlockResidual problem.
+
+Pose i = (x_i, y_i, theta_i). Edge (i, j) with measurement (dx, dy, dtheta)
+in frame i contributes the residual
+
+    r = [ R(theta_i)^T (t_j - t_i) - (dx, dy) ;  wrap(theta_j - theta_i - dtheta) ]
+
+weighted per-edge.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..nonlinear import NLSParams, Problem, nls_solve
+from ..residual import BlockResidual, make_residual
+from ..structs import LineSearchStrategy, NLSResult
+from ..utils import so3
+
+
+def _wrap(a):
+    return so3.mod_pi(a)
+
+
+def make_pose_graph_problem(
+    n_poses: int,
+    edges_ij,  # (E, 2) int array-like: (i, j) pose indices per edge
+    measurements: jax.Array,  # (E, 3): (dx, dy, dtheta) in frame i
+    weights: jax.Array,  # (E,) or (E, 3)
+    anchor_weight: float = 100.0,
+) -> Problem:
+    """Build the pose-graph Problem. Pose p occupies variables
+    [3p, 3p+1, 3p+2]. Pose 0 is softly anchored at the origin."""
+    import numpy as np
+
+    edges = np.asarray(edges_ij, dtype=np.int64)
+    E = edges.shape[0]
+    if weights.ndim == 1:
+        weights = weights[:, None] * jnp.ones((1, 3), weights.dtype)
+    data = jnp.concatenate([measurements, weights], axis=1)  # (E, 6)
+
+    indices = tuple(
+        tuple(
+            int(v)
+            for v in (3 * i, 3 * i + 1, 3 * i + 2, 3 * j, 3 * j + 1, 3 * j + 2)
+        )
+        for i, j in edges
+    )
+
+    def edge_residual(xl, row):
+        xi, yi, thi, xj, yj, thj = xl[0], xl[1], xl[2], xl[3], xl[4], xl[5]
+        meas, w = row[:3], row[3:]
+        c, s = jnp.cos(thi), jnp.sin(thi)
+        dx_w = xj - xi
+        dy_w = yj - yi
+        # world -> frame i
+        rx = c * dx_w + s * dy_w
+        ry = -s * dx_w + c * dy_w
+        rt = _wrap(thj - thi - meas[2])
+        return w * jnp.stack([rx - meas[0], ry - meas[1], rt])
+
+    def anchor(xl):
+        return anchor_weight * jnp.stack([xl[0], xl[1], _wrap(xl[2])])
+
+    return Problem(
+        dimension=3 * n_poses,
+        costs=(
+            BlockResidual(fn=edge_residual, indices=indices, dim=3, data=data),
+            make_residual([0, 1, 2], anchor, 3),
+        ),
+    )
+
+
+def pose_graph_retraction(x, dx, alpha):
+    """Additive update with heading wrap on every third variable."""
+    x_new = x + alpha * dx
+    n = x.shape[0] // 3
+    heads = _wrap(x_new[2::3])
+    return x_new.at[2::3].set(heads)
+
+
+def default_pose_graph_params(dtype=jnp.float64, max_iterations: int = 30) -> NLSParams:
+    return NLSParams(
+        max_iterations=max_iterations,
+        max_qp_iterations=1,  # unconstrained: one Newton/GN step per outer
+        absolute_exit_tol=1e-12,
+        relative_exit_tol=1e-10,
+        max_line_search_iterations=8,
+        line_search_strategy=LineSearchStrategy.ARMIJO_BACKTRACK,
+        armijo_search_tau=0.5,
+        lambda_initial=1e-4,
+        min_lambda=1e-10,
+    )
+
+
+def solve_pose_graph(
+    n_poses: int,
+    edges_ij,
+    measurements: jax.Array,
+    weights: jax.Array,
+    x0: jax.Array,
+    params: Optional[NLSParams] = None,
+) -> NLSResult:
+    problem = make_pose_graph_problem(n_poses, edges_ij, measurements, weights)
+    if params is None:
+        params = default_pose_graph_params(x0.dtype)
+    return nls_solve(problem, params, x0, retraction=pose_graph_retraction)
