@@ -207,9 +207,20 @@ def _make_kernel(n, link_len, max_iterations, qp_iterations, ls_iterations):
         return x, jnp.abs(y)
 
     def kernel(tgt_ref, x0_ref, out_ref):
-        tx = tgt_ref[0:1, :]
-        ty = tgt_ref[1:2, :]
-        th = [x0_ref[i : i + 1, :] for i in range(n)]
+        # Compiled path: blocks are (vars, 1, 8, 128) -- each per-variable
+        # tile fills all 8 sublanes x 128 lanes of a VPU register (a (1, BB)
+        # row layout wastes 7/8 of each vector op). Interpret path: (vars,
+        # BB) rows -- the packed layout miscomputes scattered lanes under the
+        # Pallas interpreter (the same body on the same packed data is
+        # correct in plain jnp), so tests use rows.
+        if _INTERPRET:
+            tx = tgt_ref[0:1, :]
+            ty = tgt_ref[1:2, :]
+            th = [x0_ref[i : i + 1, :] for i in range(n)]
+        else:
+            tx = tgt_ref[0, 0]
+            ty = tgt_ref[1, 0]
+            th = [x0_ref[i, 0] for i in range(n)]
         one = jnp.ones_like(tx)
         zero = jnp.zeros_like(tx)
 
@@ -262,7 +273,10 @@ def _make_kernel(n, link_len, max_iterations, qp_iterations, ls_iterations):
             restore = jnp.where(accepted > 0, zero, one)
 
         for i in range(n):
-            out_ref[i : i + 1, :] = th[i]
+            if _INTERPRET:
+                out_ref[i : i + 1, :] = th[i]
+            else:
+                out_ref[i, 0] = th[i]
 
     return kernel
 
@@ -286,27 +300,58 @@ def fused_ik_solve_batch(
 
     B = targets.shape[0]
     n = x0.shape[1]
-    bb = min(_LANES, max(128, B))
-    b_pad = -(-B // bb) * bb
-    tgt = jnp.moveaxis(
-        jnp.pad(targets, [(0, b_pad - B), (0, 0)], constant_values=0.5), 0, -1
-    )
-    x0t = jnp.moveaxis(
-        jnp.pad(x0, [(0, b_pad - B), (0, 0)], constant_values=0.3), 0, -1
-    )
-
     kernel = _make_kernel(
         n, link_len, max_iterations, qp_iterations, ls_iterations
     )
+
+    if _INTERPRET:
+        bb = min(_LANES, max(128, B))
+        b_pad = -(-B // bb) * bb
+        tgt = jnp.moveaxis(
+            jnp.pad(targets, [(0, b_pad - B), (0, 0)], constant_values=0.5), 0, -1
+        )
+        x0t = jnp.moveaxis(
+            jnp.pad(x0, [(0, b_pad - B), (0, 0)], constant_values=0.3), 0, -1
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid=(b_pad // bb,),
+            in_specs=[
+                pl.BlockSpec((2, bb), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((n, bb), lambda i: (0, i), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (n, bb), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((n, b_pad), targets.dtype),
+            interpret=True,
+        )(tgt, x0t)
+        return jnp.moveaxis(out, -1, 0)[:B]
+
+    tile = 8 * 128  # one full (sublanes x lanes) VPU register per variable
+    b_pad = -(-B // tile) * tile
+    grid = b_pad // tile
+
+    def pack(arr, fill):
+        p = jnp.pad(arr, [(0, b_pad - B), (0, 0)], constant_values=fill)
+        # (b_pad, vars) -> (vars, grid, 8, 128)
+        return jnp.moveaxis(p, 0, -1).reshape(arr.shape[1], grid, 8, 128)
+
     out = pl.pallas_call(
         kernel,
-        grid=(b_pad // bb,),
+        grid=(grid,),
         in_specs=[
-            pl.BlockSpec((2, bb), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, bb), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (2, 1, 8, 128), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (n, 1, 8, 128), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
+            ),
         ],
-        out_specs=pl.BlockSpec((n, bb), lambda i: (0, i), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, b_pad), targets.dtype),
-        interpret=_INTERPRET,
-    )(tgt, x0t)
-    return jnp.moveaxis(out, -1, 0)[:B]
+        out_specs=pl.BlockSpec(
+            (n, 1, 8, 128), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, grid, 8, 128), targets.dtype),
+        interpret=False,
+    )(pack(targets, 0.5), pack(x0, 0.3))
+    return jnp.moveaxis(out.reshape(n, b_pad), -1, 0)[:B]
