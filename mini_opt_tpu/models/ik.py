@@ -12,13 +12,13 @@ thousands of per-instance targets, sharded over a device mesh.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
 from ..nonlinear import NLSParams, Problem, nls_solve
-from ..qp import Var
+from ..qp import Var, recommended_kkt_solver
 from ..residual import BlockResidual, make_residual
 from ..structs import LineSearchStrategy, NLSResult
 from ..utils import so3
@@ -143,7 +143,9 @@ def default_ik_params(
         armijo_search_tau=0.5,
         lambda_initial=0.001,
         min_lambda=1e-9,
-        kkt_solver="lu",
+        # ldlt on TPU (lu_factor's lowering crashes the TPU compiler when
+        # nested in solver loops; see CLAUDE.md), lu elsewhere.
+        kkt_solver=recommended_kkt_solver(),
     )
 
 

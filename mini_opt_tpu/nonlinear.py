@@ -21,7 +21,7 @@ linearize -> QP -> L1-merit line search, per Nocedal & Wright ch. 18.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, NamedTuple, Optional, Sequence, Tuple, Union
+from typing import Callable, NamedTuple, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp

@@ -13,8 +13,6 @@ from __future__ import annotations
 
 import dataclasses
 import enum
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

@@ -17,9 +17,7 @@ import jax
 import numpy as np
 
 from ..structs import (
-    DirectionalDerivatives,
     Errors,
-    LineSearchHistory,
     NLSIterationHistory,
     NLSResult,
     NLSTerminationState,
