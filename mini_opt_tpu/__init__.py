@@ -49,6 +49,7 @@ from .structs import (
     QPTerminationState,
     StepSizeSelectionResult,
     nls_result_to_string,
+    summarize_counts,
     termination_state_indicates_satisfied_tol,
 )
 

@@ -401,6 +401,44 @@ def qp_iteration_to_string(history: QPIterationHistory, i: int) -> str:
     return "\n".join(lines)
 
 
+def summarize_counts(batched_result: "NLSResult") -> dict:
+    """Aggregate iteration statistics over a batched solve; analog of the
+    reference tests' StatCounters/SummarizeCounts (nonlinear_test.cc:350-373)
+    which print mean/median/p95 per suite and gate regressions on them."""
+    import numpy as np
+
+    r = batched_result
+    iters = np.asarray(r.num_iterations)
+    qp_iters = np.asarray(r.iterations.qp_num_iterations).sum(axis=-1)
+    ls_steps = np.asarray(r.iterations.line_search.num_steps).sum(axis=-1)
+    n_it = np.asarray(r.iterations.step_result.shape[-1])
+    valid = np.arange(int(n_it))[None, :] < iters[..., None]
+    failed_codes = (
+        StepSizeSelectionResult.MAX_ITERATIONS,
+        StepSizeSelectionResult.FAILURE_NON_FINITE_COST,
+        StepSizeSelectionResult.FAILURE_INVALID_ALPHA,
+    )
+    sr = np.asarray(r.iterations.step_result)
+    failed = np.isin(sr, failed_codes) & valid
+    failed_ls = failed.sum(axis=-1)
+
+    def stats(v):
+        v = np.asarray(v, np.float64).ravel()
+        return {
+            "mean": float(v.mean()),
+            "median": float(np.median(v)),
+            "p95": float(np.quantile(v, 0.95)),
+            "max": float(v.max()),
+        }
+
+    return {
+        "num_iterations": stats(iters),
+        "num_qp_iterations": stats(qp_iters),
+        "num_line_search_steps": stats(ls_steps),
+        "num_failed_line_searches": stats(failed_ls),
+    }
+
+
 def nls_result_to_string(
     result: NLSResult, use_color: bool = False, include_qp: bool = False
 ) -> str:

@@ -460,3 +460,21 @@ def test_armijo_backtrack_strategy():
     res = nls_solve(problem, params, jnp.asarray([-5.0, -3.0]))
     assert bool(termination_state_indicates_satisfied_tol(res.termination_state))
     np.testing.assert_allclose(np.asarray(res.x), [1.0, 1.0], atol=1e-6)
+
+
+def test_summarize_counts_regression_gates():
+    """Iteration-count statistics over a suite (the reference's
+    SummarizeCounts pattern, nonlinear_test.cc:350-373) with regression
+    caps: Rosenbrock from the 9 reference starts."""
+    from mini_opt_tpu import summarize_counts
+
+    problem = Problem(dimension=2, costs=(make_residual([0, 1], rosenbrock, 2),))
+    params = NLSParams(max_iterations=10, max_qp_iterations=1)
+    res = jax.vmap(lambda x0: nls_solve(problem, params, x0))(
+        jnp.asarray(ROSENBROCK_GUESSES)
+    )
+    s = summarize_counts(res)
+    assert s["num_iterations"]["max"] <= 5  # reference gate: <= 5 outer iters
+    assert s["num_failed_line_searches"]["max"] == 0
+    assert s["num_qp_iterations"]["mean"] == s["num_iterations"]["mean"]
+    assert s["num_line_search_steps"]["p95"] <= 10
