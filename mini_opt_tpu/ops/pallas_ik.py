@@ -47,10 +47,10 @@ def _mod_pi(a):
     return a - 2.0 * _PI * jnp.floor((a + _PI) / (2.0 * _PI))
 
 
-def _ldlt_solve_unrolled(H, r):
-    """Solve the symmetric DxD system H x = r where H is a nested list of
-    (1, BB) rows (lower triangle read); fully unrolled scalar LDL^T."""
-    n = len(r)
+def _ldlt_factor_unrolled(H):
+    """Factor the symmetric DxD system (nested list of lane rows, lower
+    triangle read) as unit-lower L and diagonal d; fully unrolled."""
+    n = len(H)
     L = [[None] * n for _ in range(n)]
     d = [None] * n
     for j in range(n):
@@ -63,21 +63,40 @@ def _ldlt_solve_unrolled(H, r):
             for k in range(j):
                 aij = aij - L[i][k] * L[j][k] * d[k]
             L[i][j] = aij / d[j]
-    # Forward substitution (unit lower).
+    return L, d
+
+
+def _ldlt_apply(L, d, r):
+    """Solve with an existing LDL^T factorization (unrolled substitutions)."""
+    n = len(r)
     y = list(r)
     for i in range(n):
         for k in range(i):
             y[i] = y[i] - L[i][k] * y[k]
     for i in range(n):
         y[i] = y[i] / d[i]
-    # Backward substitution (L^T).
     for i in range(n - 1, -1, -1):
         for k in range(i + 1, n):
             y[i] = y[i] - L[k][i] * y[k]
     return y
 
 
-def _make_kernel(n, link_len, max_iterations, qp_iterations, ls_iterations):
+def _ldlt_solve_unrolled(H, r):
+    L, d = _ldlt_factor_unrolled(H)
+    return _ldlt_apply(L, d, r)
+
+
+def _make_kernel(
+    n,
+    link_len,
+    max_iterations,
+    qp_iterations,
+    ls_iterations,
+    line_search="armijo",
+    barrier="complementarity",
+):
+    assert line_search in ("armijo", "polynomial")
+    assert barrier in ("complementarity", "mpc")
     L = link_len
     ncon = n - 1  # joints 1..n-1 carry [0, pi] limits (2 rows each)
 
@@ -161,38 +180,80 @@ def _make_kernel(n, link_len, max_iterations, qp_iterations, ls_iterations):
             sig_lo = [z_lo[j] / s_lo[j] for j in range(ncon)]
             sig_hi = [z_hi[j] / s_hi[j] for j in range(ncon)]
             H = assemble(sig_lo, sig_hi)
-            r_aug = list(r_d)
-            for j in range(ncon):
-                r_aug[j + 1] = (
-                    r_aug[j + 1]
-                    + sig_lo[j] * r_pi_lo[j] + (r_c_lo[j] - mu) / s_lo[j]
-                    - sig_hi[j] * r_pi_hi[j] - (r_c_hi[j] - mu) / s_hi[j]
-                )
-            rhs = [-v for v in r_aug] + [-r_pe]
-            sol = _ldlt_solve_unrolled(H, rhs)
-            dx = sol[:n]
-            dy = -sol[n]
-            ds_lo = [dx[j + 1] + r_pi_lo[j] for j in range(ncon)]
-            ds_hi = [-dx[j + 1] + r_pi_hi[j] for j in range(ncon)]
-            dz_lo = [
-                -sig_lo[j] * ds_lo[j] - (r_c_lo[j] - mu) / s_lo[j]
-                for j in range(ncon)
-            ]
-            dz_hi = [
-                -sig_hi[j] * ds_hi[j] - (r_c_hi[j] - mu) / s_hi[j]
-                for j in range(ncon)
-            ]
+            Lf, df = _ldlt_factor_unrolled(H)
 
-            def ftb(vs, dvs):
+            def solve_step(mu_v, corr_lo, corr_hi):
+                """Variable elimination + condensed solve + back-substitution
+                for a given barrier value and Mehrotra corrector terms."""
+                r_aug = list(r_d)
+                for j in range(ncon):
+                    r_aug[j + 1] = (
+                        r_aug[j + 1]
+                        + sig_lo[j] * r_pi_lo[j]
+                        + (r_c_lo[j] + corr_lo[j] - mu_v) / s_lo[j]
+                        - sig_hi[j] * r_pi_hi[j]
+                        - (r_c_hi[j] + corr_hi[j] - mu_v) / s_hi[j]
+                    )
+                rhs = [-v for v in r_aug] + [-r_pe]
+                sol = _ldlt_apply(Lf, df, rhs)
+                dx_v = sol[:n]
+                dy_v = -sol[n]
+                ds_lo_v = [dx_v[j + 1] + r_pi_lo[j] for j in range(ncon)]
+                ds_hi_v = [-dx_v[j + 1] + r_pi_hi[j] for j in range(ncon)]
+                dz_lo_v = [
+                    -sig_lo[j] * ds_lo_v[j]
+                    - (r_c_lo[j] + corr_lo[j] - mu_v) / s_lo[j]
+                    for j in range(ncon)
+                ]
+                dz_hi_v = [
+                    -sig_hi[j] * ds_hi_v[j]
+                    - (r_c_hi[j] + corr_hi[j] - mu_v) / s_hi[j]
+                    for j in range(ncon)
+                ]
+                return dx_v, dy_v, ds_lo_v, ds_hi_v, dz_lo_v, dz_hi_v
+
+            def ftb(vs, dvs, tau_v):
                 alpha = one
                 for v, dv in zip(vs, dvs):
                     blocking = (v + dv <= 0.0) & (jnp.abs(dv) > 0.0)
-                    cand = -tau * v / jnp.where(blocking, dv, one)
+                    cand = -tau_v * v / jnp.where(blocking, dv, one)
                     alpha = jnp.minimum(alpha, jnp.where(blocking, cand, one))
                 return alpha
 
-            ap = ftb(s_lo + s_hi, ds_lo + ds_hi)
-            ad = ftb(z_lo + z_hi, dz_lo + dz_hi)
+            zeros_c = [zero] * ncon
+            if barrier == "mpc" and ncon > 0:
+                # Mehrotra predictor-corrector, algorithm 16.4 / eq 19.22
+                # (same math as qp.cc:170-188): affine probe with mu = 0,
+                # sigma = (mu_aff / mu)^3, corrector diag(ds_aff) dz_aff.
+                dxa, dya, dsl_a, dsh_a, dzl_a, dzh_a = solve_step(
+                    zero, zeros_c, zeros_c
+                )
+                ap_a = ftb(s_lo + s_hi, dsl_a + dsh_a, 1.0)
+                ad_a = ftb(z_lo + z_hi, dzl_a + dzh_a, 1.0)
+                M = 2 * ncon
+                mu_aff = zero
+                for j in range(ncon):
+                    mu_aff = mu_aff + (s_lo[j] + ap_a * dsl_a[j]) * (
+                        z_lo[j] + ad_a * dzl_a[j]
+                    )
+                    mu_aff = mu_aff + (s_hi[j] + ap_a * dsh_a[j]) * (
+                        z_hi[j] + ad_a * dzh_a[j]
+                    )
+                mu_aff = jnp.maximum(mu_aff / M, 0.0)
+                sigma = (mu_aff / mu) ** 3
+                mu_used = sigma * mu
+                corr_lo = [dsl_a[j] * dzl_a[j] for j in range(ncon)]
+                corr_hi = [dsh_a[j] * dzh_a[j] for j in range(ncon)]
+                dx, dy, ds_lo, ds_hi, dz_lo, dz_hi = solve_step(
+                    mu_used, corr_lo, corr_hi
+                )
+            else:
+                dx, dy, ds_lo, ds_hi, dz_lo, dz_hi = solve_step(
+                    mu, zeros_c, zeros_c
+                )
+
+            ap = ftb(s_lo + s_hi, ds_lo + ds_hi, tau)
+            ad = ftb(z_lo + z_hi, dz_lo + dz_hi, tau)
             x = [x[i] + ap * dx[i] for i in range(n)]
             s_lo = [s_lo[j] + ap * ds_lo[j] for j in range(ncon)]
             s_hi = [s_hi[j] + ap * ds_hi[j] for j in range(ncon)]
@@ -252,17 +313,54 @@ def _make_kernel(n, link_len, max_iterations, qp_iterations, ls_iterations):
 
             alpha = one
             accepted = zero
+            dead = zero  # lanes whose polynomial fit went invalid
             best = list(th)
+            alpha_prev = one
+            phi_prev = merit_pre
+            alpha_prev2 = 2.0 * one
+            phi_prev2 = merit_pre
             for probe in range(ls_iterations + 1):
                 if probe > 0:
-                    alpha = alpha * 0.5
+                    if line_search == "armijo":
+                        alpha = alpha * 0.5
+                    else:
+                        # quadratic fit (probe 1), cubic after (the
+                        # nonlinear.cc:418-443 schedule), with the reference's
+                        # validity gating; an invalid fit kills the lane's
+                        # remaining probes (FAILURE_INVALID_ALPHA analog).
+                        if probe == 1:
+                            num = phi_prev - dd * alpha_prev - merit_pre
+                            num_s = jnp.where(num == 0.0, one, num)
+                            a_new = -dd * alpha_prev * alpha_prev / (2.0 * num_s)
+                            valid = (dd <= 0.0) & (num > 0.0)
+                        else:
+                            a0, a1 = alpha_prev2, alpha_prev
+                            r0 = phi_prev2 - merit_pre - dd * a0
+                            r1 = phi_prev - merit_pre - dd * a1
+                            det = a0 * a0 * a1 * a1 * (a0 - a1)
+                            det_s = jnp.where(det == 0.0, one, det)
+                            ca = (a1 * a1 * r0 - a0 * a0 * r1) / det_s
+                            cb = (-a1 * a1 * a1 * r0 + a0 * a0 * a0 * r1) / det_s
+                            arg = cb * cb - 3.0 * ca * dd
+                            ca_s = jnp.where(ca == 0.0, one, ca)
+                            a_new = (
+                                -cb + jnp.sqrt(jnp.maximum(arg, 1e-30))
+                            ) / (3.0 * ca_s)
+                            valid = (ca != 0.0) & (arg >= -1e-12) & (det != 0.0)
+                        valid = valid & (a_new > 0.0) & (a_new < alpha)
+                        dead = jnp.maximum(
+                            dead, (1.0 - valid.astype(tx.dtype)) * (1.0 - accepted)
+                        )
+                        alpha = jnp.where(valid, a_new, alpha * 0.5)
                 cand = [_mod_pi(th[i] + alpha * dx[i]) for i in range(n)]
                 f_c, eq_c = errors(cand, tx, ty)
                 merit_c = f_c + penalty * eq_c
                 ok = (merit_c <= merit_pre + 1e-4 * alpha * dd).astype(tx.dtype)
-                take = ok * (1.0 - accepted)
+                take = ok * (1.0 - accepted) * (1.0 - dead)
                 best = [take * cand[i] + (1.0 - take) * best[i] for i in range(n)]
-                accepted = jnp.minimum(accepted + ok, 1.0)
+                accepted = jnp.minimum(accepted + take, 1.0)
+                alpha_prev2, phi_prev2 = alpha_prev, phi_prev
+                alpha_prev, phi_prev = alpha, merit_c
 
             th = [jnp.where(accepted > 0, best[i], th[i]) for i in range(n)]
             lam_succ = jnp.maximum(lam * jnp.where(restore > 0, 0.8, 0.1), 1e-9)
@@ -283,7 +381,14 @@ def _make_kernel(n, link_len, max_iterations, qp_iterations, ls_iterations):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("link_len", "max_iterations", "qp_iterations", "ls_iterations"),
+    static_argnames=(
+        "link_len",
+        "max_iterations",
+        "qp_iterations",
+        "ls_iterations",
+        "line_search",
+        "barrier",
+    ),
 )
 def fused_ik_solve_batch(
     targets: jax.Array,  # (B, 2)
@@ -292,6 +397,8 @@ def fused_ik_solve_batch(
     max_iterations: int = 10,
     qp_iterations: int = 6,
     ls_iterations: int = 2,
+    line_search: str = "armijo",  # or "polynomial"
+    barrier: str = "complementarity",  # or "mpc"
 ) -> jax.Array:
     """Solve B planar n-link IK instances with the fused kernel.
     Returns (B, n)."""
@@ -301,7 +408,8 @@ def fused_ik_solve_batch(
     B = targets.shape[0]
     n = x0.shape[1]
     kernel = _make_kernel(
-        n, link_len, max_iterations, qp_iterations, ls_iterations
+        n, link_len, max_iterations, qp_iterations, ls_iterations,
+        line_search, barrier,
     )
 
     if _INTERPRET:

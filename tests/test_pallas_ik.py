@@ -80,3 +80,40 @@ def test_fused_kernel_four_links():
     err = np.maximum(np.abs(px - targets[:, 0]), np.abs(py - targets[:, 1]))
     assert (err < 1e-3).mean() >= 0.99, (err < 1e-3).mean()
     assert ((x[:, 1:] >= -1e-4) & (x[:, 1:] <= np.pi + 1e-4)).all()
+
+
+def test_fused_kernel_polynomial_line_search():
+    B = 256
+    targets, x0 = _instances(B, seed=5)
+    out = fused_ik_solve_batch(
+        jnp.asarray(targets, jnp.float32),
+        jnp.asarray(x0, jnp.float32),
+        ls_iterations=3,
+        line_search="polynomial",
+    )
+    chain = make_planar_chain(2, dtype=jnp.float64)
+    final = jax.vmap(lambda x: chain.update(x).translation[:2])(
+        jnp.asarray(np.asarray(out), jnp.float64)
+    )
+    err = np.abs(np.asarray(final) - targets).max(axis=1)
+    assert (err < 1e-3).mean() >= 0.99, (err < 1e-3).mean()
+
+
+def test_fused_kernel_predictor_corrector():
+    B = 256
+    targets, x0 = _instances(B, seed=6)
+    out = fused_ik_solve_batch(
+        jnp.asarray(targets, jnp.float32),
+        jnp.asarray(x0, jnp.float32),
+        qp_iterations=5,
+        barrier="mpc",
+    )
+    chain = make_planar_chain(2, dtype=jnp.float64)
+    final = jax.vmap(lambda x: chain.update(x).translation[:2])(
+        jnp.asarray(np.asarray(out), jnp.float64)
+    )
+    err = np.abs(np.asarray(final) - targets).max(axis=1)
+    assert (err < 1e-3).mean() >= 0.99, (err < 1e-3).mean()
+    # joint limit still respected under MPC
+    th1 = np.asarray(out)[:, 1]
+    assert (th1 >= -1e-4).all() and (th1 <= np.pi + 1e-4).all()
