@@ -377,10 +377,17 @@ def select_step_size(
         errs = evaluate_nonlinear_errors(problem, candidate, axis_name)
         phi = errs.total(penalty)
 
+        # An invalid polynomial fit is not logged: the reference returns
+        # FAILURE_INVALID_ALPHA before evaluating the probe
+        # (nonlinear.cc:374-377), so the steps history must not contain it.
         steps = LineSearchHistory(
-            alpha=c.steps.alpha.at[it].set(alpha),
-            f=c.steps.f.at[it].set(errs.f),
-            equality=c.steps.equality.at[it].set(errs.equality),
+            alpha=c.steps.alpha.at[it].set(
+                jnp.where(invalid, c.steps.alpha[it], alpha)
+            ),
+            f=c.steps.f.at[it].set(jnp.where(invalid, c.steps.f[it], errs.f)),
+            equality=c.steps.equality.at[it].set(
+                jnp.where(invalid, c.steps.equality[it], errs.equality)
+            ),
             num_steps=c.steps.num_steps + jnp.where(invalid, 0, 1),
         )
 

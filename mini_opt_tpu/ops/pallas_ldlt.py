@@ -95,7 +95,7 @@ def _batched_factorize(H):
     from jax.experimental.pallas import tpu as pltpu
 
     B, D, _ = H.shape
-    bb = min(_LANE_BLOCK, max(128, B))
+    bb = min(_LANE_BLOCK, -(-max(B, 1) // 128) * 128)
     b_pad = -(-B // bb) * bb
     # Pad with identity systems so the padded lanes stay finite.
     H_p = _pad_batch(H, b_pad)
@@ -136,7 +136,7 @@ def _batched_solve(L, d, rhs):
     from jax.experimental.pallas import tpu as pltpu
 
     B, D, _ = L.shape
-    bb = min(_LANE_BLOCK, max(128, B))
+    bb = min(_LANE_BLOCK, -(-max(B, 1) // 128) * 128)
     b_pad = -(-B // bb) * bb
     eye = jnp.eye(D, dtype=L.dtype)
     mask = (jnp.arange(b_pad) < B)[:, None, None]

@@ -550,7 +550,11 @@ def qp_ip_solve(
         st1, (mu_used, alpha, alpha_probe, mu_aff), ok = iterate(st0_, mu)
 
         r1 = _kkt_conditions(qp, st1)
-        kkt_after = _kkt_errors(*r1, mu_used, M)
+        # kkt_after uses the incoming loop mu, not the Mehrotra-adjusted
+        # mu_used: the reference (qp.cc:117-128) evaluates termination and the
+        # decrease_mu_only_on_small_error gate against the loop mu; mu_used is
+        # recorded in the history only.
+        kkt_after = _kkt_errors(*r1, mu, M)
 
         h = carry.history
         if params.record_history:

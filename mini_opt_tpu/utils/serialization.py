@@ -167,22 +167,8 @@ def load_result_json(path: str) -> NLSResult:
 # ---------------------------------------------------------------------------
 
 
-def save_result_npz(path: str, result: NLSResult) -> None:
-    """Save a (batched or unbatched) NLSResult pytree as one npz file."""
-    leaves, treedef = jax.tree.flatten(_np(result))
-    np.savez_compressed(
-        path, *leaves, __treedef__=np.frombuffer(str(treedef).encode(), np.uint8)
-    )
-
-
-def load_result_npz(path: str) -> NLSResult:
-    import jax.numpy as jnp
-
-    with np.load(path) as data:
-        leaves = [data[k] for k in data.files if k != "__treedef__"]
-    # NLSResult flatten order is stable; unflatten against a template
-    # structure.
-    template = jax.tree.structure(
+def _template_treedef():
+    return jax.tree.structure(
         NLSResult(
             termination_state=0,
             num_iterations=0,
@@ -191,4 +177,30 @@ def load_result_npz(path: str) -> NLSResult:
             iterations=NLSIterationHistory.empty(0, 0),
         )
     )
+
+
+def save_result_npz(path: str, result: NLSResult) -> None:
+    """Save a (batched or unbatched) NLSResult pytree as one npz file.
+
+    Leaves are stored under explicit ``leaf_{i}`` keys (flatten order) so the
+    load path never depends on npz key enumeration order."""
+    leaves, treedef = jax.tree.flatten(_np(result))
+    named = {f"leaf_{i}": leaf for i, leaf in enumerate(leaves)}
+    np.savez_compressed(
+        path, __treedef__=np.frombuffer(str(treedef).encode(), np.uint8), **named
+    )
+
+
+def load_result_npz(path: str) -> NLSResult:
+    import jax.numpy as jnp
+
+    template = _template_treedef()
+    with np.load(path) as data:
+        stored = bytes(data["__treedef__"]).decode() if "__treedef__" in data else None
+        if stored is not None and stored != str(template):
+            raise ValueError(
+                "npz treedef does not match the current NLSResult structure "
+                f"(stored {stored!r})"
+            )
+        leaves = [data[f"leaf_{i}"] for i in range(template.num_leaves)]
     return jax.tree.unflatten(template, [jnp.asarray(l) for l in leaves])
