@@ -53,6 +53,7 @@ from .structs import (
     OptimizerState,
     QPEigenvalues,
     QPNullSpaceTerminationState,
+    QPSolverVariant,
     QPTerminationState,
     StepSizeSelectionResult,
 )
@@ -545,13 +546,16 @@ def nls_solve(
         if use_ns:
             ns = qp_null_space_solve(qp)
             dx = ns.x
+            # Any NS failure (non-PD reduced Hessian, inconsistent degenerate
+            # constraints) terminates the outer loop via the QP_INDEFINITE
+            # path (the reference's early return, nonlinear.cc:103-105).
             qp_indefinite = (
-                ns.termination_state
-                == QPNullSpaceTerminationState.NOT_POSITIVE_DEFINITE
+                ns.termination_state != QPNullSpaceTerminationState.SUCCESS
             )
             qp_term = ns.termination_state
             qp_iters = jnp.zeros((), jnp.int32)
             qp_kkt_final = jnp.zeros((), dtype)
+            qp_hist_row = None
             lagrange_l_inf = None
         else:
             ipres = qp_ip_solve(qp, qp_params)
@@ -568,8 +572,10 @@ def nls_solve(
                 qp_kkt_final = jax.tree.map(
                     lambda a: a[last], ipres.iterations.kkt_final
                 ).max()
+                qp_hist_row = ipres.iterations
             else:
                 qp_kkt_final = jnp.zeros((), dtype)
+                qp_hist_row = None
             lagrange_l_inf = (
                 ipres.lagrange_multipliers.l_infinity if has_eq else None
             )
@@ -695,6 +701,14 @@ def nls_solve(
                 num_steps=h.line_search.num_steps.at[i].set(steps.num_steps),
             ),
             qp_eigenvalues=h.qp_eigenvalues,
+            # Nested per-QP-iteration telemetry (structs.hpp:307 qp_outputs).
+            qp_iterations=(
+                jax.tree.map(
+                    lambda buf, v: buf.at[i].set(v), h.qp_iterations, qp_hist_row
+                )
+                if qp_hist_row is not None
+                else h.qp_iterations
+            ),
         )
         if params.log_qp_eigenvalues:
             w = jnp.linalg.eigvalsh(qp.G)
@@ -744,6 +758,11 @@ def nls_solve(
             max_probes if params.record_history else 0,
             dtype,
             with_eigenvalues=params.log_qp_eigenvalues and params.record_history,
+            max_qp_iterations=(
+                params.max_qp_iterations
+                if (params.record_history and not use_ns)
+                else 0
+            ),
         ),
     )
     out = bounded_loop(cond, body, init, params.max_iterations, params.early_exit)
@@ -759,4 +778,7 @@ def nls_solve(
         x=out.x,
         errors=final_errors,
         iterations=out.history,
+        solver_variant=jnp.int32(
+            QPSolverVariant.NULL_SPACE if use_ns else QPSolverVariant.INTERIOR_POINT
+        ),
     )

@@ -677,40 +677,74 @@ def build_full_kkt_system(qp: QP, x, s, y, z):
 
 
 def qp_null_space_solve(qp: QP) -> QPNullSpaceResult:
-    """Equality-constrained QP via the null-space method (qp.cc:657-729).
+    """Equality-constrained QP via the null-space method (qp.cc:657-729),
+    rank-aware.
 
-    QR of A_eq^T gives [Q1 Q2]; a particular solution u solves the
-    constraints; the reduced Hessian Q2^T G Q2 is factored by Cholesky --
-    a non-PD reduced Hessian yields NOT_POSITIVE_DEFINITE status (the
-    jittable analog of the reference's LLT failure path).
+    The reference factors A_eq^T by column-pivoted Householder QR and sizes
+    the null-space basis Q2 from the *numerical rank* (qp.cc:687-698).
+    Dynamic basis widths don't jit, so this uses the static-shape equivalent:
+    an SVD ``A_eq^T = U S V^T`` whose trailing columns of U span null(A_eq),
+    selected by a rank MASK rather than a slice. The reduced system
+    ``(Q2^T G Q2) y = -Q2^T (c + G u)`` becomes a masked N x N system in the
+    rotated basis U (identity rows outside the null space), factored by
+    Cholesky -- non-PD yields NOT_POSITIVE_DEFINITE exactly as the
+    reference's LLT failure path.
 
-    Assumes A_eq has full row rank (the reference computes numerical rank via
-    column-pivoted QR; all its tests use full-rank constraints).
+    Rank-deficient A_eq with *consistent* constraints succeeds (minimum-norm
+    particular solution; the redundant rows are inert). Rank-deficient with
+    *inconsistent* constraints -- no x satisfies them -- returns
+    CONSTRAINT_RANK_DEFICIENT instead of the silent garbage a full-row-rank
+    assumption would produce.
     """
     K, N = qp.A_eq.shape
     assert K > 0, "Problem must have at least one equality constraint"
-    Q, R = jnp.linalg.qr(qp.A_eq.T, mode="complete")  # (N,N), (N,K)
-    Q1, Q2 = Q[:, :K], Q[:, K:]
-    R_up = R[:K, :K]
+    dtype = qp.G.dtype
+    eps = jnp.finfo(dtype).eps
 
-    # Particular solution u: A_eq u + b_eq = 0.
-    u = Q1 @ jax.scipy.linalg.solve_triangular(R_up.T, -qp.b_eq, lower=True)
+    U, S, Vt = jnp.linalg.svd(qp.A_eq.T, full_matrices=True)  # (N,N),(m,),(K,K)
+    m_sv = S.shape[0]  # min(N, K)
+    smax = jnp.maximum(S[0], eps)
+    # Numerical-rank threshold (Eigen/NumPy convention): relative to the
+    # largest singular value, scaled by the matrix size.
+    nonzero = S > smax * max(N, K) * eps
+    rank = jnp.sum(nonzero.astype(jnp.int32))
 
-    G_red = Q2.T @ qp.G @ Q2
-    L = jnp.linalg.cholesky(G_red)  # NaN rows when not PD
-    ok = jnp.all(jnp.isfinite(L))
-    L_safe = jnp.where(ok, L, jnp.eye(G_red.shape[0], dtype=L.dtype))
+    # Minimum-norm particular solution u = A_eq^+ (-b_eq) = U S^+ V^T (-b_eq).
+    s_inv = jnp.where(nonzero, 1.0 / jnp.where(nonzero, S, 1.0), 0.0)
+    u = U[:, :m_sv] @ (s_inv * (Vt @ (-qp.b_eq))[:m_sv])
 
-    rhs = -(Q2.T @ (qp.c + qp.G @ u))
+    # Consistency of the (possibly redundant) constraint set at u.
+    resid = jnp.max(jnp.abs(qp.A_eq @ u + qp.b_eq))
+    consistent = resid <= jnp.sqrt(eps) * (1.0 + jnp.max(jnp.abs(qp.b_eq)))
+
+    # Masked reduced problem: column j of U is a null-space direction iff
+    # j >= rank (static-shape analog of Q2 = U[:, rank:]).
+    null_mask = (jnp.arange(N) >= rank).astype(dtype)
+    B = U.T @ qp.G @ U
+    B_masked = null_mask[:, None] * B * null_mask[None, :] + jnp.diag(
+        1.0 - null_mask
+    )
+    L = jnp.linalg.cholesky(B_masked)  # NaN rows when not PD
+    ok_pd = jnp.all(jnp.isfinite(L))
+    L_safe = jnp.where(ok_pd, L, jnp.eye(N, dtype=dtype))
+
+    rhs = -(U.T @ (qp.c + qp.G @ u)) * null_mask
     w = jax.scipy.linalg.solve_triangular(L_safe, rhs, lower=True)
     yv = jax.scipy.linalg.solve_triangular(L_safe.T, w, lower=False)
-    x = u + Q2 @ yv
+    x = u + U @ (yv * null_mask)
 
-    return QPNullSpaceResult(
-        termination_state=jnp.where(
-            ok,
+    ok = ok_pd & consistent
+    status = jnp.where(
+        ~consistent,
+        jnp.int32(QPNullSpaceTerminationState.CONSTRAINT_RANK_DEFICIENT),
+        jnp.where(
+            ok_pd,
             jnp.int32(QPNullSpaceTerminationState.SUCCESS),
             jnp.int32(QPNullSpaceTerminationState.NOT_POSITIVE_DEFINITE),
         ),
+    )
+    return QPNullSpaceResult(
+        termination_state=status,
         x=jnp.where(ok, x, jnp.zeros_like(x)),
+        rank=rank,
     )

@@ -76,10 +76,23 @@ class QPTerminationState(enum.IntEnum):
 
 
 class QPNullSpaceTerminationState(enum.IntEnum):
-    """Null-space solver termination (structs.hpp:137-142)."""
+    """Null-space solver termination (structs.hpp:137-142), plus a
+    rank-deficiency status: the reference adapts its null-space basis to the
+    numerical rank of A_eq (qp.cc:687-698) but produces garbage for an
+    INCONSISTENT degenerate constraint set; this framework reports it."""
 
     SUCCESS = 0
     NOT_POSITIVE_DEFINITE = 1
+    CONSTRAINT_RANK_DEFICIENT = 2
+
+
+class QPSolverVariant(enum.IntEnum):
+    """Which inner-QP solver an NLS solve used; the static discriminator of
+    the reference's variant<QPNullSpaceTerminationState,
+    QPInteriorPointSolverOutputs> (structs.hpp:307, serialization.cc:79-91)."""
+
+    INTERIOR_POINT = 0
+    NULL_SPACE = 1
 
 
 class NLSTerminationState(enum.IntEnum):
@@ -249,6 +262,9 @@ class QPNullSpaceResult:
 
     termination_state: jax.Array  # int32, QPNullSpaceTerminationState
     x: jax.Array  # (N,)
+    # Numerical rank of A_eq (the reference computes it via pivoted QR,
+    # qp.cc:694); rank < K means redundant or inconsistent constraints.
+    rank: jax.Array  # int32
 
 
 @_pytree_dataclass
@@ -293,6 +309,11 @@ class NLSIterationHistory:
     qp_kkt_final_max: jax.Array  # max KKT error of last QP iteration
     line_search: LineSearchHistory  # leaves (max_iter, max_steps)
     qp_eigenvalues: QPEigenvalues  # zeros unless log_qp_eigenvalues
+    # Full nested per-QP-iteration telemetry: leaves (max_iter, max_qp_iter).
+    # The analog of NLSIteration.qp_outputs carrying the complete
+    # QPInteriorPointSolverOutputs per outer iteration (structs.hpp:307);
+    # zero-size trailing dim when not recorded (null-space path / history off).
+    qp_iterations: QPIterationHistory
 
     @staticmethod
     def empty(
@@ -300,6 +321,7 @@ class NLSIterationHistory:
         max_line_search_steps: int,
         dtype=jnp.float64,
         with_eigenvalues: bool = False,
+        max_qp_iterations: int = 0,
     ) -> "NLSIterationHistory":
         v = jnp.zeros((max_iterations,), dtype)
         i = jnp.zeros((max_iterations,), jnp.int32)
@@ -310,6 +332,10 @@ class NLSIterationHistory:
             num_steps=jnp.zeros((max_iterations,), jnp.int32),
         )
         ev = jnp.zeros((max_iterations if with_eigenvalues else 0,), dtype)
+        qp_hist = jax.tree.map(
+            lambda a: jnp.broadcast_to(a, (max_iterations,) + a.shape).copy(),
+            QPIterationHistory.empty(max_qp_iterations, dtype),
+        )
         return NLSIterationHistory(
             optimizer_state=i,
             lam=v,
@@ -322,6 +348,7 @@ class NLSIterationHistory:
             qp_kkt_final_max=v,
             line_search=ls,
             qp_eigenvalues=QPEigenvalues(ev, ev, ev),
+            qp_iterations=qp_hist,
         )
 
 
@@ -335,6 +362,10 @@ class NLSResult:
     x: jax.Array  # (N,) final linearization point
     errors: Errors  # nonlinear errors at the final iterate
     iterations: NLSIterationHistory
+    # int32 QPSolverVariant: discriminates qp_termination_state's enum and
+    # whether qp_iterations is meaningful (the reference's variant key,
+    # serialization.cc:79-91). Static per problem, carried as data for vmap.
+    solver_variant: jax.Array
 
     def num_qp_iterations(self) -> jax.Array:
         """Total inner-QP iterations (structs.cc:208-214)."""
@@ -475,9 +506,22 @@ def nls_result_to_string(
                 f"|eq|={float(it.line_search.equality[i, j]):.6e}"
             )
         if include_qp:
-            out.append(
-                f"    qp: term={int(it.qp_termination_state[i])} "
-                f"iters={int(it.qp_num_iterations[i])} "
-                f"kkt_final_max={float(it.qp_kkt_final_max[i]):.3e}"
-            )
+            variant = QPSolverVariant(int(getattr(result, "solver_variant", 0)))
+            if variant == QPSolverVariant.NULL_SPACE:
+                ns = QPNullSpaceTerminationState(int(it.qp_termination_state[i]))
+                out.append(f"    qp (null-space): {ns.name}")
+            else:
+                qp_term = QPTerminationState(int(it.qp_termination_state[i]))
+                out.append(
+                    f"    qp: term={qp_term.name} "
+                    f"iters={int(it.qp_num_iterations[i])} "
+                    f"kkt_final_max={float(it.qp_kkt_final_max[i]):.3e}"
+                )
+                # Full nested per-QP-iteration rows when recorded (the
+                # include_qp rendering of structs.cc:159-206).
+                if it.qp_iterations.mu.shape[-1] > 0:
+                    row = jax.tree.map(lambda a: a[i], it.qp_iterations)
+                    for j in range(int(it.qp_num_iterations[i])):
+                        qp_str = qp_iteration_to_string(row, j)
+                        out.extend("    " + ln for ln in qp_str.split("\n"))
     return "\n".join(out)

@@ -22,12 +22,47 @@ from ..structs import (
     NLSResult,
     NLSTerminationState,
     OptimizerState,
+    QPNullSpaceTerminationState,
+    QPSolverVariant,
+    QPTerminationState,
     StepSizeSelectionResult,
 )
 
 
 def _np(tree):
     return jax.tree.map(lambda a: np.asarray(a), tree)
+
+
+def _kkt_row(k, i, j):
+    return {
+        "r_dual": float(k.r_dual[i, j]),
+        "r_comp": float(k.r_comp[i, j]),
+        "r_primal_eq": float(k.r_primal_eq[i, j]),
+        "r_primal_ineq": float(k.r_primal_ineq[i, j]),
+    }
+
+
+def _qp_iterations_to_json(qh, i, n_qp):
+    """Render the nested per-QP-iteration records of outer iteration ``i``
+    (the information content of QPInteriorPointIteration,
+    serialization.cc:98-124)."""
+    return [
+        {
+            "kkt_initial": _kkt_row(qh.kkt_initial, i, j),
+            "kkt_final": _kkt_row(qh.kkt_final, i, j),
+            "mu": float(qh.mu[i, j]),
+            "alpha": {
+                "primal": float(qh.alpha.primal[i, j]),
+                "dual": float(qh.alpha.dual[i, j]),
+            },
+            "alpha_probe": {
+                "primal": float(qh.alpha_probe.primal[i, j]),
+                "dual": float(qh.alpha_probe.dual[i, j]),
+            },
+            "mu_affine": float(qh.mu_affine[i, j]),
+        }
+        for j in range(n_qp)
+    ]
 
 
 def nls_result_to_json(result: NLSResult) -> Dict[str, Any]:
@@ -38,6 +73,11 @@ def nls_result_to_json(result: NLSResult) -> Dict[str, Any]:
     n = int(r.num_iterations)
     it = r.iterations
     with_ev = it.qp_eigenvalues.min.shape[0] > 0
+    variant = QPSolverVariant(int(getattr(r, "solver_variant", 0)))
+    with_qp_hist = (
+        variant == QPSolverVariant.INTERIOR_POINT
+        and it.qp_iterations.mu.shape[-1] > 0
+    )
     iterations = []
     for i in range(n):
         nsteps = int(it.line_search.num_steps[i])
@@ -68,11 +108,38 @@ def nls_result_to_json(result: NLSResult) -> Dict[str, Any]:
                 },
                 "penalty": float(it.penalty[i]),
                 "step_result": StepSizeSelectionResult(int(it.step_result[i])).name,
-                "qp": {
-                    "termination_state": int(it.qp_termination_state[i]),
-                    "num_iterations": int(it.qp_num_iterations[i]),
-                    "kkt_final_max": float(it.qp_kkt_final_max[i]),
-                },
+                # Discriminated union by key presence, mirroring the
+                # reference's variant serializer (serialization.cc:79-91):
+                # null-space iterations carry only the NS termination enum;
+                # interior-point iterations carry the full qp_outputs tree.
+                **(
+                    {
+                        "qp_null_space_termination_state": (
+                            QPNullSpaceTerminationState(
+                                int(it.qp_termination_state[i])
+                            ).name
+                        )
+                    }
+                    if variant == QPSolverVariant.NULL_SPACE
+                    else {
+                        "qp_outputs": {
+                            "termination_state": QPTerminationState(
+                                int(it.qp_termination_state[i])
+                            ).name,
+                            "num_iterations": int(it.qp_num_iterations[i]),
+                            "kkt_final_max": float(it.qp_kkt_final_max[i]),
+                            "iterations": (
+                                _qp_iterations_to_json(
+                                    it.qp_iterations,
+                                    i,
+                                    int(it.qp_num_iterations[i]),
+                                )
+                                if with_qp_hist
+                                else []
+                            ),
+                        }
+                    }
+                ),
                 "line_search_steps": [
                     {
                         "alpha": float(it.line_search.alpha[i, j]),
@@ -88,10 +155,12 @@ def nls_result_to_json(result: NLSResult) -> Dict[str, Any]:
         "num_iterations": n,
         "x": r.x.tolist(),
         "errors": {"f": float(r.errors.f), "equality": float(r.errors.equality)},
+        "solver_variant": variant.name,
         "iterations": iterations,
         "_shape": {
             "max_iterations": int(it.lam.shape[0]),
             "max_line_search_steps": int(it.line_search.alpha.shape[1]),
+            "max_qp_iterations": int(it.qp_iterations.mu.shape[-1]),
             "dtype": str(r.x.dtype),
             "with_eigenvalues": bool(with_ev),
         },
@@ -106,9 +175,15 @@ def nls_result_from_json(doc: Dict[str, Any]) -> NLSResult:
     shape = doc["_shape"]
     mi = shape["max_iterations"]
     ms = shape["max_line_search_steps"]
+    mq = shape.get("max_qp_iterations", 0)
     dtype = jnp.dtype(shape["dtype"])
+    variant = QPSolverVariant[doc.get("solver_variant", "INTERIOR_POINT")]
     hist = NLSIterationHistory.empty(
-        mi, ms, dtype, with_eigenvalues=shape.get("with_eigenvalues", False)
+        mi,
+        ms,
+        dtype,
+        with_eigenvalues=shape.get("with_eigenvalues", False),
+        max_qp_iterations=mq,
     )
     hist = _np(hist)
     hist = jax.tree.map(lambda a: a.copy(), hist)
@@ -124,9 +199,30 @@ def nls_result_from_json(doc: Dict[str, Any]) -> NLSResult:
         ]["d_equality"]
         hist.penalty[i] = row["penalty"]
         hist.step_result[i] = StepSizeSelectionResult[row["step_result"]]
-        hist.qp_termination_state[i] = row["qp"]["termination_state"]
-        hist.qp_num_iterations[i] = row["qp"]["num_iterations"]
-        hist.qp_kkt_final_max[i] = row["qp"]["kkt_final_max"]
+        if "qp_null_space_termination_state" in row:
+            hist.qp_termination_state[i] = QPNullSpaceTerminationState[
+                row["qp_null_space_termination_state"]
+            ]
+        else:
+            qp = row["qp_outputs"]
+            hist.qp_termination_state[i] = QPTerminationState[
+                qp["termination_state"]
+            ]
+            hist.qp_num_iterations[i] = qp["num_iterations"]
+            hist.qp_kkt_final_max[i] = qp["kkt_final_max"]
+            for j, q in enumerate(qp["iterations"]):
+                for name in ("kkt_initial", "kkt_final"):
+                    dst = getattr(hist.qp_iterations, name)
+                    for f in ("r_dual", "r_comp", "r_primal_eq", "r_primal_ineq"):
+                        getattr(dst, f)[i, j] = q[name][f]
+                hist.qp_iterations.mu[i, j] = q["mu"]
+                hist.qp_iterations.alpha.primal[i, j] = q["alpha"]["primal"]
+                hist.qp_iterations.alpha.dual[i, j] = q["alpha"]["dual"]
+                hist.qp_iterations.alpha_probe.primal[i, j] = q["alpha_probe"][
+                    "primal"
+                ]
+                hist.qp_iterations.alpha_probe.dual[i, j] = q["alpha_probe"]["dual"]
+                hist.qp_iterations.mu_affine[i, j] = q["mu_affine"]
         if "qp_eigenvalues" in row:
             hist.qp_eigenvalues.min[i] = row["qp_eigenvalues"]["min"]
             hist.qp_eigenvalues.max[i] = row["qp_eigenvalues"]["max"]
@@ -137,7 +233,7 @@ def nls_result_from_json(doc: Dict[str, Any]) -> NLSResult:
             hist.line_search.f[i, j] = step["f"]
             hist.line_search.equality[i, j] = step["equality"]
 
-    to_jnp = lambda a: jnp.asarray(a)
+    to_jnp = lambda a: jnp.asarray(a)  # noqa: E731
     return NLSResult(
         termination_state=jnp.asarray(
             int(NLSTerminationState[doc["termination_state"]]), jnp.int32
@@ -149,6 +245,7 @@ def nls_result_from_json(doc: Dict[str, Any]) -> NLSResult:
             jnp.asarray(doc["errors"]["equality"], dtype),
         ),
         iterations=jax.tree.map(to_jnp, hist),
+        solver_variant=jnp.asarray(int(variant), jnp.int32),
     )
 
 
@@ -175,6 +272,7 @@ def _template_treedef():
             x=0,
             errors=Errors(0, 0),
             iterations=NLSIterationHistory.empty(0, 0),
+            solver_variant=0,
         )
     )
 

@@ -127,3 +127,104 @@ def test_orbax_pytree_checkpoint(tmp_path):
     back = load_pytree_orbax(path)
     np.testing.assert_array_equal(np.asarray(back["x"]), np.asarray(res.x))
     assert int(back["it"]) == int(res.num_iterations)
+
+
+def test_nested_qp_telemetry_round_trip(tmp_path):
+    """The NLS history embeds the COMPLETE per-QP-iteration records (the
+    reference's NLSIteration.qp_outputs, structs.hpp:307), they render under
+    include_qp=True (structs.cc:159-206), and they serialize through the
+    discriminated-union JSON format (serialization.cc:79-124)."""
+    from mini_opt_tpu.qp import Var
+    from mini_opt_tpu.structs import QPSolverVariant, nls_result_to_string
+    from mini_opt_tpu.utils.serialization import (
+        load_result_json,
+        save_result_json,
+    )
+
+    def rosenbrock(xy):
+        return jnp.stack([1.0 - xy[0], 10.0 * (xy[1] - xy[0] * xy[0])])
+
+    # Box constraints -> interior-point path with real QP iterations.
+    problem = Problem(
+        dimension=2,
+        costs=(make_residual([0, 1], rosenbrock, 2),),
+        inequality_constraints=(Var(0) >= -2.0, Var(1) <= 4.0),
+    )
+    params = NLSParams(max_iterations=6, max_qp_iterations=4)
+    res = nls_solve(problem, params, jnp.asarray([-1.5, 2.0]))
+    assert int(res.solver_variant) == QPSolverVariant.INTERIOR_POINT
+
+    it = res.iterations
+    n = int(res.num_iterations)
+    assert it.qp_iterations.mu.shape == (6, 4)
+    # Every executed outer iteration has its inner QP trajectory recorded:
+    # mu values for executed QP iterations are positive, kkt errors decrease.
+    for i in range(n):
+        nq = int(it.qp_num_iterations[i])
+        assert nq >= 1
+        assert np.all(np.asarray(it.qp_iterations.mu[i, :nq]) > 0)
+        k0 = float(it.qp_iterations.kkt_initial.r_dual[i, 0])
+        kf = float(it.qp_iterations.kkt_final.r_dual[i, nq - 1])
+        assert kf <= k0 * 1.01 + 1e-12
+        # The summary scalar agrees with the nested record it summarizes.
+        kkt_final_row = jax.tree.map(
+            lambda a: a[i, nq - 1], it.qp_iterations.kkt_final
+        )
+        np.testing.assert_allclose(
+            float(it.qp_kkt_final_max[i]), float(kkt_final_row.max()), rtol=1e-12
+        )
+
+    # Rendering includes the nested QP rows.
+    text = nls_result_to_string(res, include_qp=True)
+    assert "QP iteration 0" in text and "kkt initial" in text and "mu=" in text
+
+    # JSON round trip preserves every nested value bit-exactly.
+    path = str(tmp_path / "nested.json")
+    save_result_json(path, res)
+    with open(path) as f:
+        doc = json.load(f)
+    assert doc["solver_variant"] == "INTERIOR_POINT"
+    row0 = doc["iterations"][0]
+    assert "qp_outputs" in row0 and "qp_null_space_termination_state" not in row0
+    assert len(row0["qp_outputs"]["iterations"]) == int(it.qp_num_iterations[0])
+    for key in ("kkt_initial", "kkt_final", "mu", "alpha", "alpha_probe",
+                "mu_affine"):
+        assert key in row0["qp_outputs"]["iterations"][0]
+    back = load_result_json(path)
+    for a, b in zip(jax.tree.leaves(res), jax.tree.leaves(back)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0, rtol=0)
+
+
+def test_null_space_variant_serialization(tmp_path):
+    """Equality-only problems serialize the null-space side of the variant
+    (key presence discriminates, serialization.cc:79-91)."""
+    from mini_opt_tpu.structs import QPSolverVariant
+    from mini_opt_tpu.utils.serialization import (
+        load_result_json,
+        save_result_json,
+    )
+
+    def cost(xy):
+        return jnp.stack([xy[0] - 2.0, xy[1] + 1.0])
+
+    def eq(xy):
+        return jnp.stack([xy[0] * xy[1] - 1.0])
+
+    problem = Problem(
+        dimension=2,
+        costs=(make_residual([0, 1], cost, 2),),
+        equality_constraints=(make_residual([0, 1], eq, 1),),
+    )
+    params = NLSParams(max_iterations=8)
+    res = nls_solve(problem, params, jnp.asarray([1.5, 1.0]))
+    assert int(res.solver_variant) == QPSolverVariant.NULL_SPACE
+
+    path = str(tmp_path / "ns.json")
+    save_result_json(path, res)
+    with open(path) as f:
+        doc = json.load(f)
+    row0 = doc["iterations"][0]
+    assert "qp_null_space_termination_state" in row0 and "qp_outputs" not in row0
+    back = load_result_json(path)
+    for a, b in zip(jax.tree.leaves(res), jax.tree.leaves(back)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0, rtol=0)

@@ -264,15 +264,17 @@ def _active_set_oracle(G, c, var, a, b):
 
 
 def test_ip_randomized_sweep_vmapped():
-    """Analog of qp_test.cc:483-574: seeded random box-constrained QPs with
-    solutions far from the origin and ~half the constraints active, checked
-    against an exact active-set oracle, solved as ONE vmapped batch (the
-    TPU-native execution style).
+    """Analog of qp_test.cc:483-574 at full reference strength: 1000 seeded
+    random box-constrained QPs (dim 8, half the variables bound, all bounds
+    active at the solution), checked against an exact active-set oracle,
+    solved as ONE vmapped batch (the TPU-native execution style).
 
-    Also asserts the equality-constrained warm start uses far fewer total
-    iterations than the naive zero start (qp_test.cc:570-573 asserts 4x).
+    Reference gates mirrored exactly: every problem within 5e-5 of the known
+    solution and active slacks at zero (qp_test.cc:561-568 asserts accuracy,
+    not termination state), and the equality-constrained warm start uses 4x
+    fewer total iterations than the naive start (qp_test.cc:570-573).
     """
-    B, n, m = 256, 8, 4
+    B, n, m = 1000, 8, 4
     rng = np.random.default_rng(42)
     Gs, cs = [], []
     avs, aas, abs_ = [], [], []
@@ -322,17 +324,33 @@ def test_ip_randomized_sweep_vmapped():
     res_naive = jax.jit(jax.vmap(lambda q: solve(q, InitialGuessMethod.NAIVE)))(qp)
 
     for res in (res_warm, res_naive):
-        ok = (
-            np.asarray(res.termination_state) == QPTerminationState.SATISFIED_KKT_TOL
-        )
-        assert ok.mean() > 0.95, f"only {ok.mean():.2%} converged"
+        # 100% of problems within reference accuracy, both start methods
+        # (the reference asserts this for every problem regardless of
+        # termination state -- a few naive starts legitimately hit the 30-
+        # iteration cap a hair above kkt 1e-12 while already at 1e-6 accuracy).
         err = np.abs(np.asarray(res.x) - np.stack(x_expected)).max(axis=1)
-        assert (err[ok] < 5e-5).all(), f"max err {err[ok].max()}"
+        assert (err < 5e-5).all(), f"max err {err.max()}"
+        # Slacks agree with the oracle solution's constraint values
+        # (strictly stronger than qp_test.cc:566-568's all-active s == 0,
+        # since with a coupled G some bounds are legitimately inactive here).
+        x_exp = np.stack(x_expected)
+        s_expected = np.stack(aas) * np.take_along_axis(
+            x_exp, np.stack(avs), axis=1
+        ) + np.stack(abs_)
+        assert np.abs(np.asarray(res.s) - s_expected).max() < 5e-5
 
-    # Warm start must be dramatically more efficient (reference asserts 4x).
+    # The warm start itself must fully converge.
+    ok_warm = (
+        np.asarray(res_warm.termination_state)
+        == QPTerminationState.SATISFIED_KKT_TOL
+    )
+    assert ok_warm.all(), f"warm start convergence only {ok_warm.mean():.2%}"
+
+    # Warm start must be dramatically more efficient (reference asserts 4x,
+    # qp_test.cc:570-573).
     total_warm = int(np.sum(np.asarray(res_warm.num_iterations)))
     total_naive = int(np.sum(np.asarray(res_naive.num_iterations)))
-    assert total_warm * 2 < total_naive, (total_warm, total_naive)
+    assert total_warm * 4 < total_naive, (total_warm, total_naive)
 
 
 # ---------------------------------------------------------------------------
@@ -494,3 +512,63 @@ def test_decrease_mu_only_on_small_error():
     n_it = min(int(res_gate.num_iterations), int(res_free.num_iterations))
     assert (mu_gate[:n_it] >= mu_free[:n_it] - 1e-15).all()
     assert (mu_gate[:n_it] > mu_free[:n_it]).any(), (mu_gate, mu_free)
+
+
+def test_null_space_redundant_consistent_constraints():
+    """Duplicated (rank-deficient but consistent) equality constraints must
+    yield the SAME minimizer as the full-rank problem, with the numerical
+    rank reported (the reference adapts its Q2 basis to the pivoted-QR rank,
+    qp.cc:687-698)."""
+    rng = np.random.default_rng(21)
+    n, k = 6, 2
+    G = random_pd_matrix(rng, n)
+    c = rng.standard_normal(n)
+    A = rng.standard_normal((k, n))
+    b = rng.standard_normal(k)
+
+    res_full = qp_null_space_solve(QP.create(G, c, A, b))
+    assert int(res_full.termination_state) == QPNullSpaceTerminationState.SUCCESS
+    assert int(res_full.rank) == k
+
+    # Duplicate row 0 and append a scaled copy of row 1: rank stays 2.
+    A_red = np.vstack([A, A[0], 2.0 * A[1]])
+    b_red = np.concatenate([b, b[:1], 2.0 * b[1:2]])
+    res_red = qp_null_space_solve(QP.create(G, c, A_red, b_red))
+    assert int(res_red.termination_state) == QPNullSpaceTerminationState.SUCCESS
+    assert int(res_red.rank) == k
+    np.testing.assert_allclose(
+        np.asarray(res_red.x), np.asarray(res_full.x), atol=1e-10
+    )
+
+
+def test_null_space_inconsistent_constraints_status():
+    """Contradictory equality constraints (same row, different offsets: no
+    feasible x exists) must return CONSTRAINT_RANK_DEFICIENT instead of
+    silently producing garbage."""
+    G = np.eye(3)
+    c = np.zeros(3)
+    A = np.array([[1.0, 1.0, 0.0], [1.0, 1.0, 0.0]])
+    b = np.array([-1.0, -2.0])  # x0+x1 = 1 AND x0+x1 = 2
+    res = qp_null_space_solve(QP.create(G, c, A, b))
+    assert (
+        int(res.termination_state)
+        == QPNullSpaceTerminationState.CONSTRAINT_RANK_DEFICIENT
+    )
+    assert np.all(np.isfinite(np.asarray(res.x)))
+
+
+def test_null_space_square_full_rank():
+    """K == N full-rank constraints pin x completely: the solution is the
+    unique constraint solution (empty null space)."""
+    rng = np.random.default_rng(31)
+    n = 4
+    G = random_pd_matrix(rng, n)
+    c = rng.standard_normal(n)
+    A = rng.standard_normal((n, n))
+    b = rng.standard_normal(n)
+    res = qp_null_space_solve(QP.create(G, c, A, b))
+    assert int(res.termination_state) == QPNullSpaceTerminationState.SUCCESS
+    assert int(res.rank) == n
+    np.testing.assert_allclose(
+        np.asarray(res.x), np.linalg.solve(A, -b), atol=1e-10
+    )
