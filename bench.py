@@ -49,6 +49,8 @@ def build_solver(
     kkt_solver,
     ls_iterations=2,
     inner_unroll=1,
+    outer_unroll=1,
+    parallel_ls=False,
 ):
     from mini_opt_tpu.models.ik import (
         default_ik_params,
@@ -74,6 +76,8 @@ def build_solver(
         early_exit=False,
         max_line_search_iterations=ls_iterations,
         inner_unroll=inner_unroll,
+        outer_unroll=outer_unroll,
+        parallel_line_search=parallel_ls,
     )
 
     def solve_local(targets, x0):
@@ -176,6 +180,10 @@ def main():
     # (259k solves/s vs 225k for jnp ldlt; lu crashes the TPU compiler).
     ap.add_argument("--kkt-solver", default="pallas_ldlt")
     ap.add_argument("--inner-unroll", type=int, default=1)
+    ap.add_argument("--outer-unroll", type=int, default=1)
+    ap.add_argument("--parallel-ls", action="store_true",
+                    help="batched-probe Armijo line search (one fused "
+                         "evaluation of all probes)")
     ap.add_argument("--general", action="store_true",
                     help="use the general nls_solve path instead of the fused "
                          "whole-solver Pallas kernel")
@@ -235,7 +243,8 @@ def main():
     else:
         solve, parity_fraction = build_solver(
             args.n_active, dtype, args.iters, args.qp_iters, args.kkt_solver,
-            args.ls_iters, args.inner_unroll,
+            args.ls_iters, args.inner_unroll, args.outer_unroll,
+            args.parallel_ls,
         )
         log("path=general-nls-solve")
     targets, x0 = make_instances(B, args.n_active, dtype)

@@ -13,11 +13,15 @@ Two ways to differentiate through this framework:
    optimization / learning-through-optimization (cf. jaxopt).
 
 Supported problem class: sum-of-squares costs with optional nonlinear
-EQUALITY constraints (the L1-merit stationary point satisfies the classic
-KKT equations). Box-inequality constraints are not handled here -- at an
-active bound the solution is nonsmooth in the data; use the unrolled path
-(whose where-masked fixed-trip gradients are the subgradient-style answer)
-for such problems.
+EQUALITY constraints and diagonal box INEQUALITY constraints. Inequalities
+are handled by an active-set KKT system: constraints within ``active_tol``
+of their bound at the solution are treated as equalities (strict
+complementarity assumed); inactive constraints contribute the trivial
+equation ``z_m = 0`` so shapes stay static under jit. The resulting
+gradients are exact wherever the active set is locally stable -- at a point
+where the active set changes (a weakly-active bound) the solution map is
+genuinely nonsmooth and this returns the one-sided derivative of the branch
+the solver landed on.
 """
 
 from __future__ import annotations
@@ -48,20 +52,40 @@ def _problem_value_and_constraints(problem: Problem, x: jax.Array):
     return f, g
 
 
+def _ineq_values(problem: Problem, x: jax.Array) -> jax.Array:
+    """Constraint values a_m * x[v_m] + b_m, shape (M,) (static indices)."""
+    cons = problem.inequality_constraints
+    if not cons:
+        return jnp.zeros((0,), x.dtype)
+    return jnp.stack(
+        [
+            jnp.asarray(c.a, x.dtype) * x[c.variable] + jnp.asarray(c.b, x.dtype)
+            for c in cons
+        ]
+    )
+
+
 def make_implicit_solver(
     problem_fn: Callable[..., Problem],
     params: NLSParams,
     retraction=None,
+    active_tol: float = 1.0e-6,
 ) -> Callable:
     """Build ``solve(data, x0) -> x*`` that is differentiable in ``data``
     through the KKT conditions at the solution.
 
-    ``problem_fn(data) -> Problem`` must build a problem with costs and
-    (optionally) equality constraints only.
+    ``problem_fn(data) -> Problem`` may build costs, equality constraints,
+    and diagonal box inequality constraints (whose a/b offsets may themselves
+    depend on ``data``). ``active_tol`` classifies a box constraint as active
+    when |a x[v] + b| <= active_tol at the solution.
     """
 
-    def _kkt_residual(x, y, data):
-        """F(x, y; data) = [grad f + (dg/dx)^T y ; g] -- zero at a KKT point."""
+    def _kkt_residual(x, y, z, act_mask, data):
+        """F(x, y, z; data) = [grad f + Jg^T y + A_act^T z ;
+                               g ;
+                               act*(a x[v]+b) + (1-act)*z]  -- zero at a KKT
+        point with the given active set (act_mask is a constant of the
+        differentiation, computed from the forward solution)."""
         problem = problem_fn(data)
 
         def f0(xx):
@@ -70,35 +94,52 @@ def make_implicit_solver(
         def g0(xx):
             return _problem_value_and_constraints(problem, xx)[1]
 
-        grad_f = jax.grad(f0)(x)
+        grad_l = jax.grad(f0)(x)
         g = g0(x)
         if g.shape[0] > 0:
             _, jg_vjp = jax.vjp(g0, x)
             (jg_t_y,) = jg_vjp(y)
-            grad_l = grad_f + jg_t_y
+            grad_l = grad_l + jg_t_y
+        vals = _ineq_values(problem, x)
+        if vals.shape[0] > 0:
+            _, ji_vjp = jax.vjp(lambda xx: _ineq_values(problem, xx), x)
+            (ji_t_z,) = ji_vjp(act_mask * z)
+            grad_l = grad_l + ji_t_z
+            comp = act_mask * vals + (1.0 - act_mask) * z
         else:
-            grad_l = grad_f
-        return jnp.concatenate([grad_l, g])
+            comp = vals
+        return jnp.concatenate([grad_l, g, comp])
 
-    def _multipliers(x, data):
-        """Least-squares multipliers at the solution:
-        y* = -(Jg Jg^T)^-1 Jg grad_f."""
+    def _multipliers(x, act_mask, data):
+        """Least-squares multipliers (y, z) at the solution:
+        minimize ||grad f + [Jg; A_act]^T [y; z]||."""
         problem = problem_fn(data)
         k = sum(eq.dim for eq in problem.equality_constraints)
-        if k == 0:
-            return jnp.zeros((0,), x.dtype)
+        m = len(problem.inequality_constraints)
+        if k + m == 0:
+            e = jnp.zeros((0,), x.dtype)
+            return e, e
 
         def f0(xx):
             return _problem_value_and_constraints(problem, xx)[0]
 
-        def g0(xx):
-            return _problem_value_and_constraints(problem, xx)[1]
-
         grad_f = jax.grad(f0)(x)
-        Jg = jax.jacfwd(g0)(x)  # (k, n)
-        rhs = -(Jg @ grad_f)
-        JJt = Jg @ Jg.T + 1e-12 * jnp.eye(k, dtype=x.dtype)
-        return jnp.linalg.solve(JJt, rhs)
+        rows = []
+        if k > 0:
+            rows.append(
+                jax.jacfwd(
+                    lambda xx: _problem_value_and_constraints(problem, xx)[1]
+                )(x)
+            )
+        if m > 0:
+            Ji = jax.jacfwd(lambda xx: _ineq_values(problem, xx))(x)
+            rows.append(act_mask[:, None] * Ji)
+        J_all = jnp.concatenate(rows, axis=0)  # (k+m, n)
+        JJt = J_all @ J_all.T + 1e-12 * jnp.eye(k + m, dtype=x.dtype)
+        mult = jnp.linalg.solve(JJt, -(J_all @ grad_f))
+        y = mult[:k]
+        z = act_mask * mult[k:] if m > 0 else jnp.zeros((0,), x.dtype)
+        return y, z
 
     @jax.custom_vjp
     def solve(data, x0):
@@ -110,20 +151,33 @@ def make_implicit_solver(
 
     def solve_bwd(res, gx):
         data, x, x0 = res
-        y = _multipliers(x, data)
+        problem = problem_fn(data)
+        m = len(problem.inequality_constraints)
+        vals = _ineq_values(problem, x)
+        act_mask = (
+            (jnp.abs(vals) <= active_tol).astype(x.dtype)
+            if m > 0
+            else jnp.zeros((0,), x.dtype)
+        )
+        act_mask = jax.lax.stop_gradient(act_mask)
+        y, z = _multipliers(x, act_mask, data)
         n, k = x.shape[0], y.shape[0]
 
-        # dF/d(x, y) at the solution.
-        def F_xy(xy):
-            return _kkt_residual(xy[:n], xy[n:], data)
+        # dF/d(x, y, z) at the solution.
+        def F_xyz(xyz):
+            return _kkt_residual(
+                xyz[:n], xyz[n : n + k], xyz[n + k :], act_mask, data
+            )
 
-        xy = jnp.concatenate([x, y])
-        A = jax.jacfwd(F_xy)(xy)  # (n+k, n+k)
-        rhs = jnp.concatenate([gx, jnp.zeros((k,), gx.dtype)])
+        xyz = jnp.concatenate([x, y, z])
+        A = jax.jacfwd(F_xyz)(xyz)  # (n+k+m, n+k+m)
+        rhs = jnp.concatenate([gx, jnp.zeros((k + m,), gx.dtype)])
         lam = jnp.linalg.solve(A.T, rhs)
 
         # dtheta_bar = -lam^T dF/d(data) via vjp.
-        _, f_vjp = jax.vjp(lambda d: _kkt_residual(x, y, d), data)
+        _, f_vjp = jax.vjp(
+            lambda d: _kkt_residual(x, y, z, act_mask, d), data
+        )
         (dbar,) = f_vjp(-lam)
         return dbar, jnp.zeros_like(x0)
 

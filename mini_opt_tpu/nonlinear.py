@@ -124,6 +124,16 @@ class NLSParams:
     # line search) when early_exit=False: fuses iterations to cut dispatch
     # overhead; compile time grows with the unrolled body count.
     inner_unroll: int = 1
+    # Scan unroll factor for the OUTER fixed-trip SQP loop (early_exit=False
+    # only): hands XLA a straight-line program so fusion crosses iteration
+    # boundaries -- the main dispatch-overhead lever for batched throughput.
+    outer_unroll: int = 1
+    # Evaluate ALL Armijo backtracking probes (alpha = tau^i is a fixed
+    # schedule) in one batched call and select the first acceptance --
+    # semantically identical to the sequential loop, but one fused kernel
+    # instead of max_line_search_iterations+1 dispatch rounds. Requires
+    # ARMIJO_BACKTRACK.
+    parallel_line_search: bool = False
 
     def __post_init__(self):
         # Eager validation mirroring CheckParams (nonlinear.cc:49-73).
@@ -144,6 +154,10 @@ class NLSParams:
         assert self.lambda_failure_init >= 0
         assert 0 <= self.lambda_decrease_on_success < 1.0
         assert 0 <= self.lambda_decrease_on_restore < 1.0
+        assert not (
+            self.parallel_line_search
+            and self.line_search_strategy != LineSearchStrategy.ARMIJO_BACKTRACK
+        ), "parallel_line_search requires ARMIJO_BACKTRACK (polynomial probes depend on previous probe values)"
 
 
 # ---------------------------------------------------------------------------
@@ -320,6 +334,95 @@ class _LSCarry(NamedTuple):
     steps: LineSearchHistory
 
 
+def _select_step_size_parallel(
+    problem: Problem,
+    params: NLSParams,
+    x: jax.Array,
+    dx: jax.Array,
+    errors_pre: Errors,
+    derivatives: DirectionalDerivatives,
+    penalty,
+    retraction: Optional[Retraction],
+    axis_name: Optional[str] = None,
+) -> Tuple[jax.Array, jax.Array, Errors, LineSearchHistory]:
+    """Armijo backtracking with every probe evaluated at once.
+
+    The backtracking schedule alpha_i = tau^i is data-independent, so the
+    sequential probe loop (nonlinear.cc:351-416) can be replaced by ONE
+    batched evaluation of all max_line_search_iterations+1 candidates and a
+    first-acceptance selection. Bit-for-bit identical statuses, history and
+    accepted candidate as the sequential path (pinned by
+    tests/test_nonlinear.py), but a single fused kernel instead of one
+    dispatch round per probe -- the measured hot spot of the batched
+    throughput path.
+    """
+    dtype = x.dtype
+    n_probes = params.max_line_search_iterations + 1
+    phi_0 = errors_pre.total(penalty)
+    dd_total = derivatives.total(penalty)
+    dd_linf = derivatives.l_infinity()
+
+    alphas = jnp.asarray(params.armijo_search_tau, dtype) ** jnp.arange(
+        n_probes, dtype=dtype
+    )
+
+    def retract(alpha):
+        if retraction is None:
+            return x + dx * alpha
+        return retraction(x, dx, alpha)
+
+    candidates = jax.vmap(retract)(alphas)  # (n_probes, N)
+    errs = jax.vmap(
+        lambda cand: evaluate_nonlinear_errors(problem, cand, axis_name)
+    )(candidates)
+    phi = errs.total(penalty)  # (n_probes,)
+
+    # Per-probe status lattice in reference evaluation order
+    # (nonlinear.cc:374-412); scalar conditions broadcast over probes.
+    armijo = phi <= phi_0 + dd_total * alphas * params.armijo_c1
+    status_i = jnp.where(
+        errs.contains_invalid_values(),
+        jnp.int32(StepSizeSelectionResult.FAILURE_NON_FINITE_COST),
+        jnp.where(
+            dd_linf < params.absolute_first_derivative_tol,
+            jnp.int32(StepSizeSelectionResult.FIRST_ORDER_SATISFIED),
+            jnp.where(
+                dd_total > 0,
+                jnp.int32(StepSizeSelectionResult.POSITIVE_DERIVATIVE),
+                jnp.where(
+                    armijo,
+                    jnp.int32(StepSizeSelectionResult.SUCCESS),
+                    jnp.int32(-1),
+                ),
+            ),
+        ),
+    )
+    stops = status_i >= 0
+    any_stop = jnp.any(stops)
+    # Index of the probe the sequential loop would have stopped at (last
+    # probe when none stops). One-hot selection instead of traced-index
+    # gathers (TPU memory-space-assignment crash; see CLAUDE.md).
+    k = jnp.where(any_stop, jnp.argmax(stops), n_probes - 1).astype(jnp.int32)
+    onehot = (jnp.arange(n_probes) == k).astype(dtype)
+    status = jnp.where(
+        any_stop,
+        jnp.sum(status_i * onehot.astype(jnp.int32)).astype(jnp.int32),
+        jnp.int32(StepSizeSelectionResult.MAX_ITERATIONS),
+    )
+    candidate = onehot @ candidates
+    final_errors = Errors(
+        f=jnp.sum(errs.f * onehot), equality=jnp.sum(errs.equality * onehot)
+    )
+    evaluated = jnp.arange(n_probes) <= k
+    steps = LineSearchHistory(
+        alpha=jnp.where(evaluated, alphas, 0.0),
+        f=jnp.where(evaluated, errs.f, 0.0),
+        equality=jnp.where(evaluated, errs.equality, 0.0),
+        num_steps=k + 1,
+    )
+    return status, candidate, final_errors, steps
+
+
 def select_step_size(
     problem: Problem,
     params: NLSParams,
@@ -337,6 +440,21 @@ def select_step_size(
 
     Returns (status, accepted_candidate, candidate_errors, steps_log).
     """
+    if (
+        params.parallel_line_search
+        and params.line_search_strategy == LineSearchStrategy.ARMIJO_BACKTRACK
+    ):
+        return _select_step_size_parallel(
+            problem,
+            params,
+            x,
+            dx,
+            errors_pre,
+            derivatives,
+            penalty,
+            retraction,
+            axis_name,
+        )
     dtype = x.dtype
     max_probes = params.max_line_search_iterations + 1
     phi_0 = errors_pre.total(penalty)
@@ -765,7 +883,10 @@ def nls_solve(
             ),
         ),
     )
-    out = bounded_loop(cond, body, init, params.max_iterations, params.early_exit)
+    out = bounded_loop(
+        cond, body, init, params.max_iterations, params.early_exit,
+        params.outer_unroll,
+    )
     status = jnp.where(
         out.status == NLSTerminationState.NONE,
         jnp.int32(NLSTerminationState.MAX_ITERATIONS),

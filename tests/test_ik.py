@@ -248,7 +248,7 @@ def test_dual_actuator_balancing():
         assert float(level_cost(xj[:1])[0]) ** 2 / 2 < 1e-8
         assert float(moments(xj)[0]) ** 2 / 2 < 1e-8
 
-    # Regression gate on total line-search work (the reference asserts < 36;
-    # our inner-QP trajectory differs slightly, observed max is 42).
+    # Regression gate on total line-search work, at the reference's own bound
+    # (nonlinear_test.cc:1131 asserts < 36; observed here: 9/17/32 per guess).
     ls_steps = np.asarray(res.iterations.line_search.num_steps).sum(axis=1)
-    assert (ls_steps < 50).all(), ls_steps
+    assert (ls_steps < 36).all(), ls_steps

@@ -478,3 +478,85 @@ def test_summarize_counts_regression_gates():
     assert s["num_failed_line_searches"]["max"] == 0
     assert s["num_qp_iterations"]["mean"] == s["num_iterations"]["mean"]
     assert s["num_line_search_steps"]["p95"] <= 10
+
+
+def test_parallel_line_search_matches_sequential():
+    """parallel_line_search=True (all Armijo probes in one batched call) must
+    reproduce the sequential loop exactly: statuses, iterates, and the full
+    line-search history, across a batch of IK solves with retraction and box
+    constraints."""
+    import dataclasses
+
+    from mini_opt_tpu.models.ik import (
+        default_ik_params,
+        make_ik_problem,
+        make_planar_chain,
+        mod_pi_retraction,
+    )
+
+    chain = make_planar_chain(n_active=2, dtype=jnp.float64)
+    base = default_ik_params(jnp.float64, max_iterations=8, max_qp_iterations=6)
+    rng = np.random.default_rng(3)
+    B = 64
+    r = rng.uniform(0.3, 0.75, B)
+    th = rng.uniform(0.1, 1.4, B)
+    targets = jnp.asarray(np.stack([r * np.cos(th), r * np.sin(th)], 1))
+    x0 = jnp.asarray(rng.uniform(0.2, 1.2, (B, 2)))
+
+    def solve(params):
+        def one(t, x):
+            problem = make_ik_problem(chain, t, with_joint_limits=True)
+            return nls_solve(problem, params, x, retraction=mod_pi_retraction)
+
+        return jax.vmap(one)(targets, x0)
+
+    res_seq = solve(base)
+    res_par = solve(dataclasses.replace(base, parallel_line_search=True))
+    for a, b in zip(jax.tree.leaves(res_seq), jax.tree.leaves(res_par)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-13, rtol=1e-12
+        )
+
+    # Same equivalence on the fixed-trip (TPU batched) configuration.
+    res_seq_ft = solve(dataclasses.replace(base, early_exit=False))
+    res_par_ft = solve(
+        dataclasses.replace(base, early_exit=False, parallel_line_search=True)
+    )
+    for a, b in zip(jax.tree.leaves(res_seq_ft), jax.tree.leaves(res_par_ft)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-13, rtol=1e-12
+        )
+
+
+def test_outer_unroll_matches_rolled():
+    """outer_unroll is a pure scheduling knob: results identical to the
+    rolled fixed-trip scan."""
+    import dataclasses
+
+    from mini_opt_tpu.models.ik import (
+        default_ik_params,
+        make_ik_problem,
+        make_planar_chain,
+        mod_pi_retraction,
+    )
+
+    chain = make_planar_chain(n_active=2, dtype=jnp.float64)
+    base = dataclasses.replace(
+        default_ik_params(jnp.float64, max_iterations=6, max_qp_iterations=4),
+        early_exit=False,
+        record_history=False,
+    )
+    targets = jnp.asarray([[0.5, 0.3], [0.2, 0.6], [0.4, 0.4]])
+    x0 = jnp.asarray([[0.4, 0.9], [1.0, 0.5], [0.3, 1.2]])
+
+    def solve(params):
+        def one(t, x):
+            problem = make_ik_problem(chain, t, with_joint_limits=True)
+            return nls_solve(problem, params, x, retraction=mod_pi_retraction)
+
+        return jax.vmap(one)(targets, x0)
+
+    res_rolled = solve(base)
+    res_unrolled = solve(dataclasses.replace(base, outer_unroll=6, inner_unroll=4))
+    for a, b in zip(jax.tree.leaves(res_rolled), jax.tree.leaves(res_unrolled)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-13)
