@@ -8,15 +8,16 @@ the ENTIRE constrained SQP solve -- forward kinematics, Gauss-Newton
 assembly, the condensed-KKT interior-point inner loop with a fully unrolled
 scalar LDL^T, fraction-to-boundary, L1-merit Armijo line search with
 angle-wrap retraction, and the LM lambda state machine -- unrolled into
-straight-line elementwise code over ``(1, BB)`` lane rows (measured 65M
-solves/s/chip at n=2). One kernel invocation solves BB instances with zero
-inter-op overhead; the grid tiles the batch.
+straight-line elementwise code over sublane-packed (8, 128) register tiles
+(measured ~130M solves/s/chip at n=2). One kernel invocation solves 1024
+instances per grid step with zero inter-op overhead; the same packed layout
+runs compiled on TPU and interpreted in CPU tests.
 
 Generalized over the number of active joints ``n``: the chain has n
 cumulative planar rotations with equal link lengths; joints 1..n-1 carry
 [0, pi] box constraints (matching make_ik_problem). All matrices are nested
-Python lists of (1, BB) rows, so every linear-algebra step unrolls to scalar
-lane arithmetic.
+Python lists of (8, 128) register tiles, so every linear-algebra step
+unrolls to scalar lane arithmetic.
 
 Semantics mirror nls_solve's fixed-trip configuration on this family (same
 mu schedule, tolerances, penalty update, Armijo constants); parity is
@@ -39,7 +40,7 @@ _INTERPRET = jax.default_backend() != "tpu" or bool(
     int(os.environ.get("MINI_OPT_PALLAS_INTERPRET", "0"))
 )
 
-_LANES = 512
+
 _PI = 3.14159265358979
 
 
@@ -268,20 +269,16 @@ def _make_kernel(
         return x, jnp.abs(y)
 
     def kernel(tgt_ref, x0_ref, out_ref):
-        # Compiled path: blocks are (vars, 1, 8, 128) -- each per-variable
-        # tile fills all 8 sublanes x 128 lanes of a VPU register (a (1, BB)
-        # row layout wastes 7/8 of each vector op). Interpret path: (vars,
-        # BB) rows -- the packed layout miscomputes scattered lanes under the
-        # Pallas interpreter (the same body on the same packed data is
-        # correct in plain jnp), so tests use rows.
-        if _INTERPRET:
-            tx = tgt_ref[0:1, :]
-            ty = tgt_ref[1:2, :]
-            th = [x0_ref[i : i + 1, :] for i in range(n)]
-        else:
-            tx = tgt_ref[0, 0]
-            ty = tgt_ref[1, 0]
-            th = [x0_ref[i, 0] for i in range(n)]
+        # Blocks are (vars, 1, 8, 128): each per-variable tile fills all
+        # 8 sublanes x 128 lanes of a VPU register (a (1, BB) row layout
+        # would waste 7/8 of each vector op). ONE layout for both the
+        # compiled TPU path and the CPU interpret path, so tests exercise
+        # exactly the production code (a round-1 interpreter miscomputation
+        # with this layout no longer reproduces; pinned by
+        # tests/test_pallas_ik.py).
+        tx = tgt_ref[0, 0]
+        ty = tgt_ref[1, 0]
+        th = [x0_ref[i, 0] for i in range(n)]
         one = jnp.ones_like(tx)
         zero = jnp.zeros_like(tx)
 
@@ -371,10 +368,7 @@ def _make_kernel(
             restore = jnp.where(accepted > 0, zero, one)
 
         for i in range(n):
-            if _INTERPRET:
-                out_ref[i : i + 1, :] = th[i]
-            else:
-                out_ref[i, 0] = th[i]
+            out_ref[i, 0] = th[i]
 
     return kernel
 
@@ -398,7 +392,12 @@ def fused_ik_solve_batch(
     qp_iterations: int = 6,
     ls_iterations: int = 2,
     line_search: str = "armijo",  # or "polynomial"
-    barrier: str = "complementarity",  # or "mpc"
+    # Mehrotra predictor-corrector by default: at the same iteration budget it
+    # converges EVERY instance of the test distribution (the plain
+    # complementarity schedule leaves ~1.5% of borderline instances in a
+    # wrong basin under f32 -- fp-context-sensitive, see
+    # tests/test_pallas_ik.py).
+    barrier: str = "mpc",  # or "complementarity"
 ) -> jax.Array:
     """Solve B planar n-link IK instances with the fused kernel.
     Returns (B, n)."""
@@ -411,30 +410,6 @@ def fused_ik_solve_batch(
         n, link_len, max_iterations, qp_iterations, ls_iterations,
         line_search, barrier,
     )
-
-    if _INTERPRET:
-        bb = min(_LANES, max(128, B))
-        b_pad = -(-B // bb) * bb
-        tgt = jnp.moveaxis(
-            jnp.pad(targets, [(0, b_pad - B), (0, 0)], constant_values=0.5), 0, -1
-        )
-        x0t = jnp.moveaxis(
-            jnp.pad(x0, [(0, b_pad - B), (0, 0)], constant_values=0.3), 0, -1
-        )
-        out = pl.pallas_call(
-            kernel,
-            grid=(b_pad // bb,),
-            in_specs=[
-                pl.BlockSpec((2, bb), lambda i: (0, i), memory_space=pltpu.VMEM),
-                pl.BlockSpec((n, bb), lambda i: (0, i), memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec(
-                (n, bb), lambda i: (0, i), memory_space=pltpu.VMEM
-            ),
-            out_shape=jax.ShapeDtypeStruct((n, b_pad), targets.dtype),
-            interpret=True,
-        )(tgt, x0t)
-        return jnp.moveaxis(out, -1, 0)[:B]
 
     tile = 8 * 128  # one full (sublanes x lanes) VPU register per variable
     b_pad = -(-B // tile) * tile
@@ -460,6 +435,6 @@ def fused_ik_solve_batch(
             (n, 1, 8, 128), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((n, grid, 8, 128), targets.dtype),
-        interpret=False,
+        interpret=_INTERPRET,
     )(pack(targets, 0.5), pack(x0, 0.3))
     return jnp.moveaxis(out.reshape(n, b_pad), -1, 0)[:B]

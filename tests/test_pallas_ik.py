@@ -117,3 +117,35 @@ def test_fused_kernel_predictor_corrector():
     # joint limit still respected under MPC
     th1 = np.asarray(out)[:, 1]
     assert (th1 >= -1e-4).all() and (th1 <= np.pi + 1e-4).all()
+
+
+def test_fused_kernel_layout_unified_and_mpc_robust():
+    """Round-2 pin: the packed (8, 128) register layout is the ONLY layout
+    (CPU tests interpret exactly the production kernel), and the MPC default
+    converges every instance of the adversarial distribution where the plain
+    complementarity schedule loses ~1.5% to fp-context-sensitive basin flips
+    (observed: identical inputs produced different f32 trajectories for 4/256
+    instances depending only on surrounding-program fusion)."""
+    B = 256
+    targets, x0 = _instances(B)
+    t32, x32 = jnp.asarray(targets, jnp.float32), jnp.asarray(x0, jnp.float32)
+    out = fused_ik_solve_batch(t32, x32)  # default barrier == mpc
+    chain = make_planar_chain(2, dtype=jnp.float64)
+    final = jax.vmap(lambda x: chain.update(x).translation[:2])(
+        jnp.asarray(np.asarray(out), jnp.float64)
+    )
+    err = np.abs(np.asarray(final) - targets).max(axis=1)
+    assert (err < 1e-3).all(), f"worst {np.sort(err)[-5:]}"
+
+    # Result must not depend on batch padding context: the same instances
+    # embedded in a full tile (1024) with explicit pad-fill content give the
+    # same answers the padded B=256 call produced.
+    t_fill = jnp.concatenate([t32, jnp.full((768, 2), 0.5, jnp.float32)])
+    x_fill = jnp.concatenate([x32, jnp.full((768, 2), 0.3, jnp.float32)])
+    out_full = fused_ik_solve_batch(t_fill, x_fill)[:B]
+    final2 = jax.vmap(lambda x: chain.update(x).translation[:2])(
+        jnp.asarray(np.asarray(out_full), jnp.float64)
+    )
+    err2 = np.abs(np.asarray(final2) - targets).max(axis=1)
+    # Trajectories may differ by fp context, but CONVERGENCE must not.
+    assert (err2 < 1e-3).all(), f"worst {np.sort(err2)[-5:]}"
