@@ -51,6 +51,7 @@ def build_solver(
     inner_unroll=1,
     outer_unroll=1,
     parallel_ls=False,
+    fused_qp=False,
 ):
     from mini_opt_tpu.models.ik import (
         default_ik_params,
@@ -78,6 +79,7 @@ def build_solver(
         inner_unroll=inner_unroll,
         outer_unroll=outer_unroll,
         parallel_line_search=parallel_ls,
+        qp_solver="pallas_fused" if fused_qp else "default",
     )
 
     def solve_local(targets, x0):
@@ -184,6 +186,9 @@ def main():
     ap.add_argument("--parallel-ls", action="store_true",
                     help="batched-probe Armijo line search (one fused "
                          "evaluation of all probes)")
+    ap.add_argument("--fused-qp", action="store_true",
+                    help="run the whole inner interior-point loop as one "
+                         "lane-batched Pallas kernel (ops/pallas_qp.py)")
     ap.add_argument("--general", action="store_true",
                     help="use the general nls_solve path instead of the fused "
                          "whole-solver Pallas kernel")
@@ -244,7 +249,7 @@ def main():
         solve, parity_fraction = build_solver(
             args.n_active, dtype, args.iters, args.qp_iters, args.kkt_solver,
             args.ls_iters, args.inner_unroll, args.outer_unroll,
-            args.parallel_ls,
+            args.parallel_ls, args.fused_qp,
         )
         log("path=general-nls-solve")
     targets, x0 = make_instances(B, args.n_active, dtype)

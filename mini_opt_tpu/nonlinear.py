@@ -42,6 +42,7 @@ from .residual import (
     fill_jacobian_rows,
 )
 from .structs import (
+    BarrierStrategy,
     DirectionalDerivatives,
     Errors,
     InitialGuessMethod,
@@ -120,6 +121,11 @@ class NLSParams:
     # nonlinear.cc:230); smaller = fewer inner iterations to reach the
     # complementarity tolerance, at some robustness cost.
     qp_sigma: float = 0.1
+    # Barrier schedule of the inner QP. The reference hard-codes
+    # COMPLEMENTARITY (nonlinear.cc:226-239); Mehrotra PREDICTOR_CORRECTOR
+    # converges borderline instances the plain schedule loses at tight
+    # iteration budgets (see ops/pallas_ik.py).
+    qp_barrier_strategy: BarrierStrategy = BarrierStrategy.COMPLEMENTARITY
     # Scan unroll factor for the INNER fixed-trip loops (QP iterations and
     # line search) when early_exit=False: fuses iterations to cut dispatch
     # overhead; compile time grows with the unrolled body count.
@@ -134,6 +140,12 @@ class NLSParams:
     # instead of max_line_search_iterations+1 dispatch rounds. Requires
     # ARMIJO_BACKTRACK.
     parallel_line_search: bool = False
+    # Inner-QP engine. "default" = qp.py::qp_ip_solve (full telemetry,
+    # early exit, any kkt_solver). "pallas_fused" = the whole fixed-trip
+    # interior-point loop as ONE lane-batched Pallas kernel under vmap
+    # (ops/pallas_qp.py) -- the batched throughput configuration; requires
+    # record_history=False (no per-QP-iteration telemetry is materialized).
+    qp_solver: str = "default"
 
     def __post_init__(self):
         # Eager validation mirroring CheckParams (nonlinear.cc:49-73).
@@ -158,6 +170,12 @@ class NLSParams:
             self.parallel_line_search
             and self.line_search_strategy != LineSearchStrategy.ARMIJO_BACKTRACK
         ), "parallel_line_search requires ARMIJO_BACKTRACK (polynomial probes depend on previous probe values)"
+        assert self.qp_solver in ("default", "pallas_fused")
+        assert not (self.qp_solver == "pallas_fused" and self.record_history), (
+            "qp_solver='pallas_fused' runs the whole inner loop in one kernel "
+            "and materializes no per-QP-iteration telemetry; set "
+            "record_history=False"
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -636,6 +654,7 @@ def nls_solve(
         termination_kkt_tol=params.termination_kkt_tolerance,
         initial_mu=1.0,
         sigma=params.qp_sigma,
+        barrier_strategy=params.qp_barrier_strategy,
         initialize_mu_with_complementarity=False,
         initial_guess_method=(
             InitialGuessMethod.SOLVE_EQUALITY_CONSTRAINED
@@ -675,6 +694,30 @@ def nls_solve(
             qp_kkt_final = jnp.zeros((), dtype)
             qp_hist_row = None
             lagrange_l_inf = None
+        elif params.qp_solver == "pallas_fused":
+            from .ops.pallas_qp import make_fused_qp_solver
+
+            fused = make_fused_qp_solver(
+                tuple(c_.variable for c_ in problem.inequality_constraints),
+                params.max_qp_iterations,
+                params.qp_sigma,
+                "mpc"
+                if params.qp_barrier_strategy == BarrierStrategy.PREDICTOR_CORRECTOR
+                else "complementarity",
+                has_eq,
+            )
+            dx, y_qp = fused(qp.G, qp.c, qp.A_eq, qp.b_eq, qp.ineq_a, qp.ineq_b)
+            qp_indefinite = ~jnp.all(jnp.isfinite(dx))
+            dx = jnp.where(qp_indefinite, jnp.zeros_like(dx), dx)
+            qp_term = jnp.where(
+                qp_indefinite,
+                jnp.int32(QPTerminationState.FAILED_FACTORIZATION),
+                jnp.int32(QPTerminationState.MAX_ITERATIONS),
+            )
+            qp_iters = jnp.int32(params.max_qp_iterations)
+            qp_kkt_final = jnp.zeros((), dtype)
+            qp_hist_row = None
+            lagrange_l_inf = jnp.max(jnp.abs(y_qp)) if has_eq else None
         else:
             ipres = qp_ip_solve(qp, qp_params)
             dx = ipres.x

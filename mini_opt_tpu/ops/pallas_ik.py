@@ -95,6 +95,7 @@ def _make_kernel(
     ls_iterations,
     line_search="armijo",
     barrier="complementarity",
+    debug_history=False,
 ):
     assert line_search in ("armijo", "polynomial")
     assert barrier in ("complementarity", "mpc")
@@ -268,7 +269,7 @@ def _make_kernel(
                 mu = 0.1 * comp
         return x, jnp.abs(y)
 
-    def kernel(tgt_ref, x0_ref, out_ref):
+    def kernel(tgt_ref, x0_ref, out_ref, *hist_refs):
         # Blocks are (vars, 1, 8, 128): each per-variable tile fills all
         # 8 sublanes x 128 lanes of a VPU register (a (1, BB) row layout
         # would waste 7/8 of each vector op). ONE layout for both the
@@ -286,12 +287,17 @@ def _make_kernel(
         penalty = 0.01 * one
         restore = zero
 
-        for _ in range(max_iterations):
+        for it in range(max_iterations):
             px, py, jx, jy = fk(th)
             ry = py - ty
             rx = px - tx
             f_pre = 0.5 * ry * ry
             eq_pre = jnp.abs(rx)
+            if debug_history:
+                # errors_initial per outer iteration (the NLSIteration
+                # analog), for state-level parity against nls_solve.
+                hist_refs[0][it, 0, 0] = f_pre
+                hist_refs[0][it, 1, 0] = eq_pre
             G = [[None] * n for _ in range(n)]
             for i in range(n):
                 for j in range(i + 1):
@@ -382,6 +388,7 @@ def _make_kernel(
         "ls_iterations",
         "line_search",
         "barrier",
+        "debug_history",
     ),
 )
 def fused_ik_solve_batch(
@@ -398,9 +405,13 @@ def fused_ik_solve_batch(
     # wrong basin under f32 -- fp-context-sensitive, see
     # tests/test_pallas_ik.py).
     barrier: str = "mpc",  # or "complementarity"
-) -> jax.Array:
+    # True additionally returns the per-outer-iteration (f, |eq|) history,
+    # shape (B, max_iterations, 2) -- the errors_initial trajectory, for
+    # state-level parity checks against nls_solve's recorded history.
+    debug_history: bool = False,
+):
     """Solve B planar n-link IK instances with the fused kernel.
-    Returns (B, n)."""
+    Returns (B, n), or ((B, n), (B, max_iterations, 2)) with debug_history."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -408,7 +419,7 @@ def fused_ik_solve_batch(
     n = x0.shape[1]
     kernel = _make_kernel(
         n, link_len, max_iterations, qp_iterations, ls_iterations,
-        line_search, barrier,
+        line_search, barrier, debug_history,
     )
 
     tile = 8 * 128  # one full (sublanes x lanes) VPU register per variable
@@ -420,7 +431,25 @@ def fused_ik_solve_batch(
         # (b_pad, vars) -> (vars, grid, 8, 128)
         return jnp.moveaxis(p, 0, -1).reshape(arr.shape[1], grid, 8, 128)
 
-    out = pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec((n, 1, 8, 128), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM)
+    ]
+    out_shapes = [jax.ShapeDtypeStruct((n, grid, 8, 128), targets.dtype)]
+    if debug_history:
+        out_specs.append(
+            pl.BlockSpec(
+                (max_iterations, 2, 1, 8, 128),
+                lambda i: (0, 0, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        out_shapes.append(
+            jax.ShapeDtypeStruct(
+                (max_iterations, 2, grid, 8, 128), targets.dtype
+            )
+        )
+
+    res = pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=[
@@ -431,10 +460,14 @@ def fused_ik_solve_batch(
                 (n, 1, 8, 128), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
             ),
         ],
-        out_specs=pl.BlockSpec(
-            (n, 1, 8, 128), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((n, grid, 8, 128), targets.dtype),
+        out_specs=out_specs if debug_history else out_specs[0],
+        out_shape=out_shapes if debug_history else out_shapes[0],
         interpret=_INTERPRET,
     )(pack(targets, 0.5), pack(x0, 0.3))
-    return jnp.moveaxis(out.reshape(n, b_pad), -1, 0)[:B]
+    if debug_history:
+        out, hist = res
+        x = jnp.moveaxis(out.reshape(n, b_pad), -1, 0)[:B]
+        # (iters, 2, grid, 8, 128) -> (B, iters, 2)
+        h = jnp.moveaxis(hist.reshape(max_iterations, 2, b_pad), -1, 0)[:B]
+        return x, h
+    return jnp.moveaxis(res.reshape(n, b_pad), -1, 0)[:B]

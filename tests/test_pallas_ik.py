@@ -149,3 +149,84 @@ def test_fused_kernel_layout_unified_and_mpc_robust():
     err2 = np.abs(np.asarray(final2) - targets).max(axis=1)
     # Trajectories may differ by fp context, but CONVERGENCE must not.
     assert (err2 < 1e-3).all(), f"worst {np.sort(err2)[-5:]}"
+
+
+@np.errstate(all="ignore")
+def _general_solver_history(targets, x0, barrier, iters=10, qp=6, ls=2):
+    """nls_solve configured step-identically to the fused kernel: no early
+    exits anywhere (the kernel runs fixed trips), matched lambda/penalty
+    machine, Armijo tau=0.5."""
+    import dataclasses
+
+    from mini_opt_tpu.models.ik import (
+        default_ik_params,
+        make_ik_problem,
+        mod_pi_retraction,
+    )
+    from mini_opt_tpu.nonlinear import nls_solve
+    from mini_opt_tpu.structs import BarrierStrategy
+
+    chain = make_planar_chain(2, dtype=jnp.float32)
+    params = dataclasses.replace(
+        default_ik_params(jnp.float32, max_iterations=iters, max_qp_iterations=qp),
+        max_line_search_iterations=ls,
+        termination_kkt_tolerance=1e-12,  # inner QP never early-stops
+        absolute_exit_tol=1e-30,
+        relative_exit_tol=0.0,
+        absolute_first_derivative_tol=0.0,
+        early_exit=False,
+        record_history=True,
+        kkt_solver="ldlt",
+        qp_barrier_strategy=barrier,
+    )
+
+    def one(t, x):
+        problem = make_ik_problem(chain, t, with_joint_limits=True)
+        return nls_solve(problem, params, x, retraction=mod_pi_retraction)
+
+    return jax.vmap(one)(jnp.asarray(targets, jnp.float32), jnp.asarray(x0, jnp.float32))
+
+
+@np.errstate(all="ignore")
+def test_fused_kernel_state_parity_vs_general_solver():
+    """STATE-LEVEL parity: the fused kernel's per-outer-iteration
+    errors_initial trajectory (f, |eq|) must match nls_solve's recorded
+    history on identical instances, per iteration, to f32 tolerance -- for
+    BOTH barrier variants. This pins the whole internal trajectory (QP steps,
+    penalty/lambda machine, line search), not just the final effector error."""
+    from mini_opt_tpu.structs import BarrierStrategy
+
+    B = 64
+    targets, x0 = _instances(B, seed=9)
+    for barrier, strat in (
+        ("complementarity", BarrierStrategy.COMPLEMENTARITY),
+        ("mpc", BarrierStrategy.PREDICTOR_CORRECTOR),
+    ):
+        x_fused, hist = fused_ik_solve_batch(
+            jnp.asarray(targets, jnp.float32),
+            jnp.asarray(x0, jnp.float32),
+            barrier=barrier,
+            debug_history=True,
+        )
+        res = _general_solver_history(targets, x0, strat)
+        f_gen = np.asarray(res.iterations.errors_initial.f)  # (B, 10)
+        e_gen = np.asarray(res.iterations.errors_initial.equality)
+        f_fus = np.asarray(hist[:, :, 0])
+        e_fus = np.asarray(hist[:, :, 1])
+
+        # Per-iteration trajectory agreement. f32 trajectories of chaotic
+        # lanes can drift late; require tight agreement for the bulk and
+        # bounded drift overall.
+        scale = 1.0 + np.maximum(f_gen, e_gen)
+        df = np.abs(f_fus - f_gen) / scale
+        de = np.abs(e_fus - e_gen) / scale
+        err = np.maximum(df, de)
+        frac_tight = (err < 1e-4).mean()
+        assert frac_tight >= 0.95, (
+            f"{barrier}: only {frac_tight:.3f} of (lane, iteration) history "
+            f"entries within 1e-4; worst {np.sort(err.ravel())[-5:]}"
+        )
+        # Final iterates agree for the non-drifting lanes (mod-pi wrapped).
+        dx = np.abs(np.asarray(x_fused) - np.asarray(res.x))
+        dx = np.minimum(dx, 2 * np.pi - dx).max(axis=1)
+        assert np.quantile(dx, 0.9) < 1e-3, f"{barrier}: x drift {np.sort(dx)[-8:]}"
