@@ -145,7 +145,14 @@ class NLSParams:
     # interior-point loop as ONE lane-batched Pallas kernel under vmap
     # (ops/pallas_qp.py) -- the batched throughput configuration; requires
     # record_history=False (no per-QP-iteration telemetry is materialized).
+    # "cg" = matrix-free preconditioned conjugate-gradient Gauss-Newton step:
+    # the (N, N) Hessian is never materialized ((J^T J + lambda I) v products
+    # run through jvp/vjp of the stacked residual), which is the large-N path
+    # (1000+ pose graphs) the dense assembly cannot reach. Costs only -- no
+    # equality/inequality constraints.
     qp_solver: str = "default"
+    # CG iterations per outer step for qp_solver="cg" (fixed-trip scan).
+    cg_iterations: int = 50
 
     def __post_init__(self):
         # Eager validation mirroring CheckParams (nonlinear.cc:49-73).
@@ -170,7 +177,8 @@ class NLSParams:
             self.parallel_line_search
             and self.line_search_strategy != LineSearchStrategy.ARMIJO_BACKTRACK
         ), "parallel_line_search requires ARMIJO_BACKTRACK (polynomial probes depend on previous probe values)"
-        assert self.qp_solver in ("default", "pallas_fused")
+        assert self.qp_solver in ("default", "pallas_fused", "cg")
+        assert self.cg_iterations >= 1
         assert not (self.qp_solver == "pallas_fused" and self.record_history), (
             "qp_solver='pallas_fused' runs the whole inner loop in one kernel "
             "and materializes no per-QP-iteration telemetry; set "
@@ -266,6 +274,67 @@ def evaluate_nonlinear_errors(
     for eq_c in problem.equality_constraints:
         eq = eq + jnp.sum(jnp.abs(eq_c.error_vector(x)))
     return Errors(f=f, equality=eq)
+
+
+def _stacked_residual(problem: Problem, x: jax.Array) -> jax.Array:
+    """All cost residuals as one flat vector (for matrix-free JᵀJ products)."""
+    parts = []
+    for cost in problem.costs:
+        if isinstance(cost, BlockResidual):
+            parts.append(cost.error_vectors(x).ravel())
+        else:
+            parts.append(cost.error_vector(x))
+    return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+
+
+def _pcg(matvec, b, diag, iterations: int):
+    """Fixed-trip preconditioned conjugate gradient (Jacobi M = diag).
+
+    A fixed ``lax.scan`` rather than a tolerance loop: the batched-TPU
+    configuration wants static trip counts, and converged iterates are stable
+    under further iterations (guards keep alpha/beta finite at exact
+    convergence)."""
+    tiny = jnp.finfo(b.dtype).tiny
+    x0 = jnp.zeros_like(b)
+    r0 = b
+    z0 = r0 / diag
+    rz0 = jnp.dot(r0, z0)
+
+    def body(carry, _):
+        xk, rk, zk, pk, rz = carry
+        Ap = matvec(pk)
+        denom = jnp.dot(pk, Ap)
+        alpha = rz / jnp.where(jnp.abs(denom) > tiny, denom, 1.0)
+        alpha = jnp.where(jnp.abs(denom) > tiny, alpha, 0.0)
+        x1 = xk + alpha * pk
+        r1 = rk - alpha * Ap
+        z1 = r1 / diag
+        rz1 = jnp.dot(r1, z1)
+        beta = jnp.where(jnp.abs(rz) > tiny, rz1 / jnp.where(jnp.abs(rz) > tiny, rz, 1.0), 0.0)
+        p1 = z1 + beta * pk
+        return (x1, r1, z1, p1, rz1), None
+
+    (xk, *_), _ = jax.lax.scan(
+        body, (x0, r0, z0, r0 / diag, rz0), None, length=iterations
+    )
+    return xk
+
+
+def _cg_step_direction(problem: Problem, x, lam, params: "NLSParams", diag_fn):
+    """Matrix-free Gauss-Newton step: solve (JᵀJ + lam I) dx = -Jᵀr by PCG
+    without materializing the Hessian. Returns (dx, errors_pre, grad)."""
+    r0, vjp = jax.vjp(lambda xx: _stacked_residual(problem, xx), x)
+    f_total = 0.5 * jnp.sum(r0 * r0)
+    (g,) = vjp(r0)  # Jᵀ r
+
+    def matvec(v):
+        _, jv = jax.jvp(lambda xx: _stacked_residual(problem, xx), (x,), (v,))
+        (jtjv,) = vjp(jv)
+        return jtjv + lam * v
+
+    diag = (diag_fn(x) + lam) if diag_fn is not None else jnp.ones_like(g)
+    dx = _pcg(matvec, -g, diag, params.cg_iterations)
+    return dx, Errors(f=f_total, equality=jnp.zeros((), x.dtype)), g
 
 
 def compute_qp_cost_derivative(qp: QP, dx: jax.Array) -> DirectionalDerivatives:
@@ -622,6 +691,7 @@ def nls_solve(
     retraction: Optional[Retraction] = None,
     exit_callback: Optional[Callable] = None,
     axis_name: Optional[str] = None,
+    cg_diag_preconditioner: Optional[Callable] = None,
 ) -> NLSResult:
     """Solve the constrained NLS problem (nonlinear.cc:75-157) as one pure,
     jittable, vmappable function.
@@ -639,6 +709,8 @@ def nls_solve(
       axis_name: when running inside shard_map with cost terms partitioned
         across a mesh axis, the axis to psum-reduce Gauss-Newton assembly and
         cost evaluation over (large-single-instance parallelism).
+      cg_diag_preconditioner: for ``qp_solver="cg"``, an optional
+        ``f(x) -> diag(JᵀJ)`` estimate used as the Jacobi preconditioner.
     """
     from .assertions import validate_problem
 
@@ -648,6 +720,12 @@ def nls_solve(
     use_ns = _uses_null_space(problem)
     has_eq = len(problem.equality_constraints) > 0
     max_probes = params.max_line_search_iterations + 1
+    use_cg = params.qp_solver == "cg"
+    if use_cg:
+        assert not problem.equality_constraints and not problem.inequality_constraints, (
+            "qp_solver='cg' is the unconstrained large-N Gauss-Newton path"
+        )
+        assert axis_name is None, "qp_solver='cg' does not support axis_name yet"
 
     qp_params = QPInteriorPointParams(
         max_iterations=params.max_qp_iterations,
@@ -677,10 +755,30 @@ def nls_solve(
             carry.opt_state,
             carry.it,
         )
-        qp, errors_pre = linearize_and_fill_qp(problem, x, lam, axis_name)
-
         # --- step direction (nonlinear.cc:216-259) -----------------------
-        if use_ns:
+        if use_cg:
+            dx, errors_pre, grad = _cg_step_direction(
+                problem, x, lam, params, cg_diag_preconditioner
+            )
+            qp_indefinite = ~jnp.all(jnp.isfinite(dx))
+            dx = jnp.where(qp_indefinite, jnp.zeros_like(dx), dx)
+            qp_term = jnp.where(
+                qp_indefinite,
+                jnp.int32(QPTerminationState.FAILED_FACTORIZATION),
+                jnp.int32(QPTerminationState.MAX_ITERATIONS),
+            )
+            qp_iters = jnp.int32(params.cg_iterations)
+            qp_kkt_final = jnp.zeros((), dtype)
+            qp_hist_row = None
+            derivatives = DirectionalDerivatives(
+                d_f=jnp.dot(grad, dx), d_equality=jnp.zeros((), dtype)
+            )
+        else:
+            qp, errors_pre = linearize_and_fill_qp(problem, x, lam, axis_name)
+
+        if use_cg:
+            pass
+        elif use_ns:
             ns = qp_null_space_solve(qp)
             dx = ns.x
             # Any NS failure (non-PD reduced Hessian, inconsistent degenerate
@@ -741,7 +839,8 @@ def nls_solve(
                 ipres.lagrange_multipliers.l_infinity if has_eq else None
             )
 
-        derivatives = compute_qp_cost_derivative(qp, dx)
+        if not use_cg:
+            derivatives = compute_qp_cost_derivative(qp, dx)
 
         # --- penalty update (nonlinear.cc:112-118) -----------------------
         if has_eq:
