@@ -52,6 +52,72 @@ def mod_pi_retraction(x, dx, alpha):
     return so3.mod_pi(x + dx * alpha)
 
 
+def make_spatial_chain(
+    n_active: int = 3, link_length: float = 0.4, dtype=jnp.float32
+) -> ActuatorChain:
+    """A 3-D chain of ``n_active`` single-axis actuators with ALTERNATING
+    rotation axes (z, y, z, y, ...) plus a fixed end link -- the non-planar
+    sibling of make_planar_chain, exercising the full SO(3) actuator-mask
+    machinery (the reference's masked-Euler links,
+    transform_chains.cc:94-158) instead of planar Z-rotations only."""
+    mask_z = (0, 0, 1, 0, 0, 0)
+    mask_y = (0, 1, 0, 0, 0, 0)
+    off = (0, 0, 0, 0, 0, 0)
+    qi = so3.quat_identity(dtype)
+    links = [ActuatorLink.create(Pose(qi, jnp.zeros(3, dtype)), mask_z)]
+    for a in range(1, n_active):
+        links.append(
+            ActuatorLink.create(
+                Pose(qi, jnp.asarray([link_length, 0.0, 0.0], dtype)),
+                mask_y if a % 2 else mask_z,
+            )
+        )
+    links.append(
+        ActuatorLink.create(Pose(qi, jnp.asarray([link_length, 0.0, 0.0], dtype)), off)
+    )
+    return ActuatorChain(links=tuple(links))
+
+
+def make_spatial_ik_problem(
+    chain: ActuatorChain,
+    target_xyz: jax.Array,
+    with_joint_limits: bool = True,
+    joint_limit: float = 3.14159265,
+) -> Problem:
+    """Spatial analog of make_ik_problem: soft cost pins effector (y, z),
+    equality constraint pins effector x, box limits on the non-leading
+    joints."""
+    P = chain.total_active
+
+    def yz_res(params):
+        st = chain.update(params)
+        return (
+            st.translation[1:3] - target_xyz[1:3],
+            st.translation_D_params[1:3, :],
+        )
+
+    def x_eq(params):
+        st = chain.update(params)
+        return jnp.stack([st.translation[0] - target_xyz[0]]), st.translation_D_params[
+            0:1, :
+        ]
+
+    ineq = ()
+    if with_joint_limits:
+        ineq = tuple(
+            c for i in range(1, P) for c in (Var(i) >= 0.0, Var(i) <= joint_limit)
+        )
+    idx = list(range(P))
+    return Problem(
+        dimension=P,
+        costs=(make_residual(idx, lambda p: yz_res(p)[0], 2, jac=yz_res),),
+        equality_constraints=(
+            make_residual(idx, lambda p: x_eq(p)[0], 1, jac=x_eq),
+        ),
+        inequality_constraints=ineq,
+    )
+
+
 def make_ik_problem(
     chain: ActuatorChain,
     target_xy: jax.Array,

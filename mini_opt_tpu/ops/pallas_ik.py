@@ -87,23 +87,13 @@ def _ldlt_solve_unrolled(H, r):
     return _ldlt_apply(L, d, r)
 
 
-def _make_kernel(
-    n,
-    link_len,
-    max_iterations,
-    qp_iterations,
-    ls_iterations,
-    line_search="armijo",
-    barrier="complementarity",
-    debug_history=False,
-):
-    assert line_search in ("armijo", "polynomial")
-    assert barrier in ("complementarity", "mpc")
+def planar_family(n, link_len):
+    """The planar Z-rotation chain family (the reference IK problem,
+    nonlinear_test.cc:828-960): cost on effector y, equality on effector x.
+    ``linearize``/``errors`` operate on lists of lane registers."""
     L = link_len
-    ncon = n - 1  # joints 1..n-1 carry [0, pi] limits (2 rows each)
 
     def fk(th):
-        """Effector position and Jacobian rows; th is a list of n rows."""
         phis = []
         acc = None
         for i in range(n):
@@ -125,9 +115,105 @@ def _make_kernel(
         jy.reverse()
         return px, py, jx, jy
 
-    def errors(th, tx, ty):
+    def linearize(th, tgt):
+        tx, ty = tgt
+        px, py, jx, jy = fk(th)
+        ry = py - ty
+        rx = px - tx
+        f_pre = 0.5 * ry * ry
+        G = [[jy[i] * jy[j] for j in range(i + 1)] for i in range(n)]
+        c = [jy[i] * ry for i in range(n)]
+        return f_pre, rx, jx, G, c
+
+    def errors(th, tgt):
+        tx, ty = tgt
         px, py, _, _ = fk(th)
         return 0.5 * (py - ty) ** 2, jnp.abs(px - tx)
+
+    return {"n": n, "target_rows": 2, "linearize": linearize, "errors": errors}
+
+
+def spatial_family(n, link_len):
+    """3-D chain with ALTERNATING rotation axes (z, y, z, y, ...), links
+    along local x: cost on effector (y, z), equality on effector x -- the
+    non-planar fused family (models/ik.py::make_spatial_chain is the
+    general-solver twin built from SO(3) actuator masks)."""
+    L = link_len
+
+    def fk(th):
+        """Returns effector p (3 registers) and per-joint world Jacobians
+        J[a] = w_a x (p - q_a), all as register lists."""
+        one = jnp.ones_like(th[0])
+        zero = jnp.zeros_like(th[0])
+        # R as columns; start at identity.
+        R = [[one, zero, zero], [zero, one, zero], [zero, zero, one]]
+        p = [zero, zero, zero]
+        ws, qs = [], []
+        for a in range(n):
+            axis_col = 2 if a % 2 == 0 else 1  # z-axis or y-axis column
+            ws.append([R[0][axis_col], R[1][axis_col], R[2][axis_col]])
+            qs.append(list(p))
+            c_, s_ = jnp.cos(th[a]), jnp.sin(th[a])
+            if a % 2 == 0:  # R = R @ Rz: col0' = c col0 + s col1, col1' = ...
+                c0 = [c_ * R[r][0] + s_ * R[r][1] for r in range(3)]
+                c1 = [-s_ * R[r][0] + c_ * R[r][1] for r in range(3)]
+                R = [[c0[r], c1[r], R[r][2]] for r in range(3)]
+            else:  # R = R @ Ry: col0' = c col0 - s col2, col2' = s col0 + c col2
+                c0 = [c_ * R[r][0] - s_ * R[r][2] for r in range(3)]
+                c2 = [s_ * R[r][0] + c_ * R[r][2] for r in range(3)]
+                R = [[c0[r], R[r][1], c2[r]] for r in range(3)]
+            p = [p[r] + L * R[r][0] for r in range(3)]
+        J = []
+        for a in range(n):
+            d = [p[r] - qs[a][r] for r in range(3)]
+            w = ws[a]
+            J.append(
+                [
+                    w[1] * d[2] - w[2] * d[1],
+                    w[2] * d[0] - w[0] * d[2],
+                    w[0] * d[1] - w[1] * d[0],
+                ]
+            )
+        return p, J
+
+    def linearize(th, tgt):
+        tx, ty, tz = tgt
+        p, J = fk(th)
+        ry = p[1] - ty
+        rz = p[2] - tz
+        rx = p[0] - tx
+        f_pre = 0.5 * (ry * ry + rz * rz)
+        jy = [J[a][1] for a in range(n)]
+        jz = [J[a][2] for a in range(n)]
+        jx = [J[a][0] for a in range(n)]
+        G = [
+            [jy[i] * jy[j] + jz[i] * jz[j] for j in range(i + 1)]
+            for i in range(n)
+        ]
+        c = [jy[i] * ry + jz[i] * rz for i in range(n)]
+        return f_pre, rx, jx, G, c
+
+    def errors(th, tgt):
+        tx, ty, tz = tgt
+        p, _ = fk(th)
+        return 0.5 * ((p[1] - ty) ** 2 + (p[2] - tz) ** 2), jnp.abs(p[0] - tx)
+
+    return {"n": n, "target_rows": 3, "linearize": linearize, "errors": errors}
+
+
+def _make_kernel(
+    family,
+    max_iterations,
+    qp_iterations,
+    ls_iterations,
+    line_search="armijo",
+    barrier="complementarity",
+    debug_history=False,
+):
+    assert line_search in ("armijo", "polynomial")
+    assert barrier in ("complementarity", "mpc")
+    n = family["n"]
+    ncon = n - 1  # joints 1..n-1 carry [0, pi] limits (2 rows each)
 
     def qp_solve(G, c, jx, b_eq, ib_lo, ib_hi, one, zero):
         """Interior point on the condensed (n+1)x(n+1) system. Box rows act
@@ -277,32 +363,27 @@ def _make_kernel(
         # exactly the production code (a round-1 interpreter miscomputation
         # with this layout no longer reproduces; pinned by
         # tests/test_pallas_ik.py).
-        tx = tgt_ref[0, 0]
-        ty = tgt_ref[1, 0]
+        tgt = [tgt_ref[i, 0] for i in range(family["target_rows"])]
         th = [x0_ref[i, 0] for i in range(n)]
-        one = jnp.ones_like(tx)
-        zero = jnp.zeros_like(tx)
+        one = jnp.ones_like(tgt[0])
+        zero = jnp.zeros_like(tgt[0])
 
         lam = 0.001 * one
         penalty = 0.01 * one
         restore = zero
 
         for it in range(max_iterations):
-            px, py, jx, jy = fk(th)
-            ry = py - ty
-            rx = px - tx
-            f_pre = 0.5 * ry * ry
+            f_pre, rx, jx, G0, c = family["linearize"](th, tgt)
             eq_pre = jnp.abs(rx)
             if debug_history:
                 # errors_initial per outer iteration (the NLSIteration
                 # analog), for state-level parity against nls_solve.
                 hist_refs[0][it, 0, 0] = f_pre
                 hist_refs[0][it, 1, 0] = eq_pre
-            G = [[None] * n for _ in range(n)]
-            for i in range(n):
-                for j in range(i + 1):
-                    G[i][j] = jy[i] * jy[j] + (lam if i == j else zero)
-            c = [jy[i] * ry for i in range(n)]
+            G = [
+                [G0[i][j] + (lam if i == j else zero) for j in range(i + 1)]
+                for i in range(n)
+            ]
             ib_lo = [th[j + 1] for j in range(ncon)]
             ib_hi = [_PI - th[j + 1] for j in range(ncon)]
 
@@ -352,13 +433,13 @@ def _make_kernel(
                             valid = (ca != 0.0) & (arg >= -1e-12) & (det != 0.0)
                         valid = valid & (a_new > 0.0) & (a_new < alpha)
                         dead = jnp.maximum(
-                            dead, (1.0 - valid.astype(tx.dtype)) * (1.0 - accepted)
+                            dead, (1.0 - valid.astype(one.dtype)) * (1.0 - accepted)
                         )
                         alpha = jnp.where(valid, a_new, alpha * 0.5)
                 cand = [_mod_pi(th[i] + alpha * dx[i]) for i in range(n)]
-                f_c, eq_c = errors(cand, tx, ty)
+                f_c, eq_c = family["errors"](cand, tgt)
                 merit_c = f_c + penalty * eq_c
-                ok = (merit_c <= merit_pre + 1e-4 * alpha * dd).astype(tx.dtype)
+                ok = (merit_c <= merit_pre + 1e-4 * alpha * dd).astype(one.dtype)
                 take = ok * (1.0 - accepted) * (1.0 - dead)
                 best = [take * cand[i] + (1.0 - take) * best[i] for i in range(n)]
                 accepted = jnp.minimum(accepted + take, 1.0)
@@ -412,13 +493,58 @@ def fused_ik_solve_batch(
 ):
     """Solve B planar n-link IK instances with the fused kernel.
     Returns (B, n), or ((B, n), (B, max_iterations, 2)) with debug_history."""
+    family = planar_family(x0.shape[1], link_len)
+    return _fused_solve(
+        family, targets, x0, max_iterations, qp_iterations, ls_iterations,
+        line_search, barrier, debug_history,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "link_len",
+        "max_iterations",
+        "qp_iterations",
+        "ls_iterations",
+        "line_search",
+        "barrier",
+        "debug_history",
+    ),
+)
+def fused_spatial_ik_solve_batch(
+    targets: jax.Array,  # (B, 3)
+    x0: jax.Array,  # (B, n)
+    link_len: float = 0.4,
+    max_iterations: int = 10,
+    qp_iterations: int = 6,
+    ls_iterations: int = 2,
+    line_search: str = "armijo",
+    barrier: str = "mpc",
+    debug_history: bool = False,
+):
+    """Solve B spatial (alternating z/y axis) n-link IK instances with the
+    fused kernel -- the non-planar family. Returns (B, n) (+history)."""
+    family = spatial_family(x0.shape[1], link_len)
+    return _fused_solve(
+        family, targets, x0, max_iterations, qp_iterations, ls_iterations,
+        line_search, barrier, debug_history,
+    )
+
+
+def _fused_solve(
+    family, targets, x0, max_iterations, qp_iterations, ls_iterations,
+    line_search, barrier, debug_history,
+):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     B = targets.shape[0]
     n = x0.shape[1]
+    t_rows = family["target_rows"]
+    assert targets.shape[1] == t_rows
     kernel = _make_kernel(
-        n, link_len, max_iterations, qp_iterations, ls_iterations,
+        family, max_iterations, qp_iterations, ls_iterations,
         line_search, barrier, debug_history,
     )
 
@@ -454,7 +580,8 @@ def fused_ik_solve_batch(
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(
-                (2, 1, 8, 128), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
+                (t_rows, 1, 8, 128), lambda i: (0, i, 0, 0),
+                memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
                 (n, 1, 8, 128), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM

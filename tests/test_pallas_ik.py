@@ -230,3 +230,77 @@ def test_fused_kernel_state_parity_vs_general_solver():
         dx = np.abs(np.asarray(x_fused) - np.asarray(res.x))
         dx = np.minimum(dx, 2 * np.pi - dx).max(axis=1)
         assert np.quantile(dx, 0.9) < 1e-3, f"{barrier}: x drift {np.sort(dx)[-8:]}"
+
+
+def _spatial_instances(B, n=3, seed=0):
+    from mini_opt_tpu.models.ik import make_spatial_chain
+
+    chain = make_spatial_chain(n, dtype=jnp.float64)
+    rng = np.random.default_rng(seed)
+    th_true = np.stack(
+        [rng.uniform(-1.2, 1.2, B)]
+        + [rng.uniform(0.25, 2.6, B) for _ in range(n - 1)],
+        1,
+    )
+    fkv = jax.vmap(lambda t: chain.update(t).translation)
+    targets = np.asarray(fkv(jnp.asarray(th_true)))
+    x0 = th_true + rng.uniform(-0.25, 0.25, (B, n))
+    x0[:, 1:] = np.clip(x0[:, 1:], 0.05, np.pi - 0.05)
+    return chain, fkv, targets, x0
+
+
+def test_fused_spatial_family_reaches_targets():
+    """Non-planar fused family: alternating z/y-axis 3-D chain (VERDICT
+    round-1 item: the fused path only did planar Z-rotations)."""
+    from mini_opt_tpu.ops.pallas_ik import fused_spatial_ik_solve_batch
+
+    B = 256
+    chain, fkv, targets, x0 = _spatial_instances(B)
+    out = fused_spatial_ik_solve_batch(
+        jnp.asarray(targets, jnp.float32),
+        jnp.asarray(x0, jnp.float32),
+        max_iterations=12,
+        qp_iterations=6,
+        ls_iterations=2,
+    )
+    final = np.asarray(fkv(jnp.asarray(np.asarray(out), jnp.float64)))
+    err = np.abs(final - targets).max(1)
+    assert (err < 1e-3).mean() >= 0.99, (
+        f"parity {(err < 1e-3).mean():.4f}, worst {np.sort(err)[-5:]}"
+    )
+    x = np.asarray(out)
+    assert ((x[:, 1:] >= -1e-4) & (x[:, 1:] <= np.pi + 1e-4)).all()
+
+
+def test_general_solver_spatial_chain_mpc():
+    """The SAME spatial problems through the general solver with SO(3)
+    actuator masks and the Mehrotra inner QP: every instance converges
+    (pins make_spatial_chain's mask machinery end-to-end and the
+    qp_barrier_strategy knob)."""
+    import dataclasses
+
+    from mini_opt_tpu.models.ik import (
+        default_ik_params,
+        make_spatial_ik_problem,
+        mod_pi_retraction,
+    )
+    from mini_opt_tpu.nonlinear import nls_solve
+    from mini_opt_tpu.structs import BarrierStrategy
+
+    B = 64
+    chain, fkv, targets, x0 = _spatial_instances(B, seed=3)
+    params = dataclasses.replace(
+        default_ik_params(jnp.float64, 12, 6),
+        qp_barrier_strategy=BarrierStrategy.PREDICTOR_CORRECTOR,
+    )
+
+    def one(t, x):
+        return nls_solve(
+            make_spatial_ik_problem(chain, t), params, x,
+            retraction=mod_pi_retraction,
+        ).x
+
+    xg = jax.vmap(one)(jnp.asarray(targets), jnp.asarray(x0))
+    fg = np.asarray(fkv(xg))
+    eg = np.abs(fg - targets).max(1)
+    assert (eg < 1e-3).all(), f"worst {np.sort(eg)[-5:]}"
