@@ -52,6 +52,8 @@ def build_solver(
     outer_unroll=1,
     parallel_ls=False,
     fused_qp=False,
+    qp_barrier="complementarity",
+    fuse_probe_linearize=False,
 ):
     from mini_opt_tpu.models.ik import (
         default_ik_params,
@@ -60,6 +62,7 @@ def build_solver(
         mod_pi_retraction,
     )
     from mini_opt_tpu.nonlinear import nls_solve
+    from mini_opt_tpu.structs import BarrierStrategy
     import dataclasses
 
     chain = make_planar_chain(n_active=n_active, dtype=dtype)
@@ -80,6 +83,12 @@ def build_solver(
         outer_unroll=outer_unroll,
         parallel_line_search=parallel_ls,
         qp_solver="pallas_fused" if fused_qp else "default",
+        fuse_probe_linearize=fuse_probe_linearize,
+        qp_barrier_strategy=(
+            BarrierStrategy.PREDICTOR_CORRECTOR
+            if qp_barrier == "mpc"
+            else BarrierStrategy.COMPLEMENTARITY
+        ),
     )
 
     def solve_local(targets, x0):
@@ -189,6 +198,12 @@ def main():
     ap.add_argument("--fused-qp", action="store_true",
                     help="run the whole inner interior-point loop as one "
                          "lane-batched Pallas kernel (ops/pallas_qp.py)")
+    ap.add_argument("--fuse-probe-linearize", action="store_true",
+                    help="probes compute their own linearizations; the "
+                         "winner's is carried to the next iteration")
+    ap.add_argument("--qp-barrier", default="complementarity",
+                    choices=["complementarity", "mpc"],
+                    help="inner-QP barrier schedule for the general path")
     ap.add_argument("--general", action="store_true",
                     help="use the general nls_solve path instead of the fused "
                          "whole-solver Pallas kernel")
@@ -249,7 +264,8 @@ def main():
         solve, parity_fraction = build_solver(
             args.n_active, dtype, args.iters, args.qp_iters, args.kkt_solver,
             args.ls_iters, args.inner_unroll, args.outer_unroll,
-            args.parallel_ls, args.fused_qp,
+            args.parallel_ls, args.fused_qp, args.qp_barrier,
+            args.fuse_probe_linearize,
         )
         log("path=general-nls-solve")
     targets, x0 = make_instances(B, args.n_active, dtype)

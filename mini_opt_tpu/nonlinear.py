@@ -153,6 +153,12 @@ class NLSParams:
     qp_solver: str = "default"
     # CG iterations per outer step for qp_solver="cg" (fixed-trip scan).
     cg_iterations: int = 50
+    # With parallel_line_search: every probe computes its full linearization
+    # (errors fall out of it) and the winner's raw QP is carried to the next
+    # iteration, eliminating the standalone per-iteration linearize pass.
+    # Identical results in exact arithmetic; extra (discarded) Jacobian work
+    # per losing probe, which is free on TPU where the path is launch-bound.
+    fuse_probe_linearize: bool = False
 
     def __post_init__(self):
         # Eager validation mirroring CheckParams (nonlinear.cc:49-73).
@@ -179,6 +185,10 @@ class NLSParams:
         ), "parallel_line_search requires ARMIJO_BACKTRACK (polynomial probes depend on previous probe values)"
         assert self.qp_solver in ("default", "pallas_fused", "cg")
         assert self.cg_iterations >= 1
+        assert not (self.fuse_probe_linearize and not self.parallel_line_search), (
+            "fuse_probe_linearize requires parallel_line_search"
+        )
+        assert not (self.fuse_probe_linearize and self.qp_solver == "cg")
         assert not (self.qp_solver == "pallas_fused" and self.record_history), (
             "qp_solver='pallas_fused' runs the whole inner loop in one kernel "
             "and materializes no per-QP-iteration telemetry; set "
@@ -191,19 +201,12 @@ class NLSParams:
 # ---------------------------------------------------------------------------
 
 
-def linearize_and_fill_qp(
-    problem: Problem, x: jax.Array, lam, axis_name: Optional[str] = None
+def _linearize_raw(
+    problem: Problem, x: jax.Array, axis_name: Optional[str] = None
 ) -> Tuple[QP, Errors]:
-    """LinearizeAndFillQP analog (nonlinear.cc:170-214): Gauss-Newton
-    assembly of (G, c), LM damping of the diagonal, equality Jacobian rows,
-    and inequality constraints shifted to the linearization point.
-
-    With ``axis_name`` (inside shard_map), the cost terms are treated as a
-    device-local partition of a larger residual set: G, c and the cost value
-    are psum-reduced over the mesh axis before damping -- the Schur-style
-    distributed assembly of SURVEY.md section 2.3. Equality/inequality
-    constraints are assumed replicated across the axis.
-    """
+    """Gauss-Newton assembly WITHOUT the LM damping term (the raw
+    linearization is lambda-independent, so it can be carried across
+    iterations by the fused probe-linearize path)."""
     n = problem.dimension
     dtype = x.dtype
     G = jnp.zeros((n, n), dtype)
@@ -219,7 +222,6 @@ def linearize_and_fill_qp(
         G = jax.lax.psum(G, axis_name)
         c = jax.lax.psum(c, axis_name)
         f_total = jax.lax.psum(f_total, axis_name)
-    G = G + lam * jnp.eye(n, dtype=dtype)
 
     k_total = problem.total_eq_dim
     A_eq = jnp.zeros((k_total, n), dtype)
@@ -253,6 +255,30 @@ def linearize_and_fill_qp(
 
     qp = QP(G=G, c=c, A_eq=A_eq, b_eq=b_eq, ineq_var=var, ineq_a=a, ineq_b=b)
     return qp, Errors(f=f_total, equality=eq_l1)
+
+
+def _damp(qp: QP, lam) -> QP:
+    """Add the LM damping term to the raw linearization's Hessian."""
+    return dataclasses.replace(
+        qp, G=qp.G + lam * jnp.eye(qp.N, dtype=qp.G.dtype)
+    )
+
+
+def linearize_and_fill_qp(
+    problem: Problem, x: jax.Array, lam, axis_name: Optional[str] = None
+) -> Tuple[QP, Errors]:
+    """LinearizeAndFillQP analog (nonlinear.cc:170-214): Gauss-Newton
+    assembly of (G, c), LM damping of the diagonal, equality Jacobian rows,
+    and inequality constraints shifted to the linearization point.
+
+    With ``axis_name`` (inside shard_map), the cost terms are treated as a
+    device-local partition of a larger residual set: G, c and the cost value
+    are psum-reduced over the mesh axis before damping -- the Schur-style
+    distributed assembly of SURVEY.md section 2.3. Equality/inequality
+    constraints are assumed replicated across the axis.
+    """
+    qp, errors = _linearize_raw(problem, x, axis_name)
+    return _damp(qp, lam), errors
 
 
 def evaluate_nonlinear_errors(
@@ -431,7 +457,8 @@ def _select_step_size_parallel(
     penalty,
     retraction: Optional[Retraction],
     axis_name: Optional[str] = None,
-) -> Tuple[jax.Array, jax.Array, Errors, LineSearchHistory]:
+    return_linearization: bool = False,
+):
     """Armijo backtracking with every probe evaluated at once.
 
     The backtracking schedule alpha_i = tau^i is data-independent, so the
@@ -459,9 +486,18 @@ def _select_step_size_parallel(
         return retraction(x, dx, alpha)
 
     candidates = jax.vmap(retract)(alphas)  # (n_probes, N)
-    errs = jax.vmap(
-        lambda cand: evaluate_nonlinear_errors(problem, cand, axis_name)
-    )(candidates)
+    if return_linearization:
+        # Each probe computes its FULL linearization (errors fall out of it);
+        # the winner's raw QP is carried to the next iteration, so the
+        # standalone per-iteration linearize disappears (the dominant
+        # measured hot spot of the batched throughput path).
+        qps, errs = jax.vmap(
+            lambda cand: _linearize_raw(problem, cand, axis_name)
+        )(candidates)
+    else:
+        errs = jax.vmap(
+            lambda cand: evaluate_nonlinear_errors(problem, cand, axis_name)
+        )(candidates)
     phi = errs.total(penalty)  # (n_probes,)
 
     # Per-probe status lattice in reference evaluation order
@@ -507,6 +543,17 @@ def _select_step_size_parallel(
         equality=jnp.where(evaluated, errs.equality, 0.0),
         num_steps=k + 1,
     )
+    if return_linearization:
+        qp_sel = QP(
+            G=jnp.einsum("p,pij->ij", onehot, qps.G),
+            c=onehot @ qps.c,
+            A_eq=jnp.einsum("p,pij->ij", onehot, qps.A_eq),
+            b_eq=onehot @ qps.b_eq,
+            ineq_var=qps.ineq_var[0],
+            ineq_a=onehot @ qps.ineq_a,
+            ineq_b=onehot @ qps.ineq_b,
+        )
+        return status, candidate, final_errors, steps, (qp_sel, final_errors)
     return status, candidate, final_errors, steps
 
 
@@ -541,6 +588,7 @@ def select_step_size(
             penalty,
             retraction,
             axis_name,
+            return_linearization=params.fuse_probe_linearize,
         )
     dtype = x.dtype
     max_probes = params.max_line_search_iterations + 1
@@ -673,6 +721,8 @@ class _NLSCarry(NamedTuple):
     it: jax.Array  # int32 iterations completed
     status: jax.Array  # int32 NLSTerminationState; NONE = continue
     history: NLSIterationHistory
+    # (raw QP, errors) of the current x when fuse_probe_linearize; else None.
+    lin: object = None
 
 
 def _uses_null_space(problem: Problem) -> bool:
@@ -773,6 +823,9 @@ def nls_solve(
             derivatives = DirectionalDerivatives(
                 d_f=jnp.dot(grad, dx), d_equality=jnp.zeros((), dtype)
             )
+        elif params.fuse_probe_linearize:
+            qp_raw, errors_pre = carry.lin
+            qp = _damp(qp_raw, lam)
         else:
             qp, errors_pre = linearize_and_fill_qp(problem, x, lam, axis_name)
 
@@ -854,10 +907,15 @@ def nls_solve(
             )
 
         # --- line search -------------------------------------------------
-        step_result, candidate, cand_errors, steps = select_step_size(
+        ls_out = select_step_size(
             problem, params, x, dx, errors_pre, derivatives, penalty, retraction,
             axis_name,
         )
+        if params.fuse_probe_linearize:
+            step_result, candidate, cand_errors, steps, new_lin = ls_out
+        else:
+            step_result, candidate, cand_errors, steps = ls_out
+            new_lin = None
 
         # --- lambda update + exit conditions (nonlinear.cc:296-343) ------
         success = step_result == StepSizeSelectionResult.SUCCESS
@@ -923,6 +981,15 @@ def nls_solve(
         x_next = jnp.where(qp_indefinite, x, x_next)
         lam_next = jnp.where(qp_indefinite, lam, lam_next)
         state_next = jnp.where(qp_indefinite, opt_state, state_next)
+        if params.fuse_probe_linearize:
+            # Adopt the winning probe's linearization only when its candidate
+            # was adopted; otherwise keep the current x's linearization.
+            adopt = success & ~qp_indefinite
+            lin_next = jax.tree.map(
+                lambda nv, ov: jnp.where(adopt, nv, ov), new_lin, carry.lin
+            )
+        else:
+            lin_next = carry.lin
 
         # --- record history (nonlinear.cc:132-143) -----------------------
         h = carry.history
@@ -935,6 +1002,7 @@ def nls_solve(
                 it=i + 1,
                 status=status,
                 history=h,
+                lin=lin_next,
             )
         h = NLSIterationHistory(
             optimizer_state=h.optimizer_state.at[i].set(opt_state),
@@ -999,6 +1067,7 @@ def nls_solve(
             it=i + 1,
             status=status,
             history=h,
+            lin=lin_next,
         )
 
     def cond(carry: _NLSCarry):
@@ -1013,6 +1082,11 @@ def nls_solve(
         opt_state=jnp.int32(OptimizerState.NOMINAL),
         it=jnp.zeros((), jnp.int32),
         status=jnp.int32(NLSTerminationState.NONE),
+        lin=(
+            _linearize_raw(problem, x0, axis_name)
+            if params.fuse_probe_linearize
+            else None
+        ),
         history=NLSIterationHistory.empty(
             params.max_iterations if params.record_history else 0,
             max_probes if params.record_history else 0,

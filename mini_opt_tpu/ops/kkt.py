@@ -28,7 +28,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-SOLVERS = ("lu", "ldlt", "pallas_ldlt")
+SOLVERS = ("lu", "ldlt", "ldlt_ir", "pallas_ldlt")
 
 
 # ---------------------------------------------------------------------------
@@ -125,6 +125,25 @@ def ldlt_solve(fact, rhs: jax.Array) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
+# LDL^T + one step of iterative refinement (the f32-on-TPU bridge toward the
+# reference's f64 tolerances, SURVEY.md section 7 'hard parts': the refined
+# residual recovers most of the accuracy a single f32 solve loses).
+# ---------------------------------------------------------------------------
+
+
+def ldlt_ir_factorize(H: jax.Array):
+    fact, ok = ldlt_factorize(H)
+    return (fact, H), ok
+
+
+def ldlt_ir_solve(fact_h, rhs: jax.Array) -> jax.Array:
+    fact, H = fact_h
+    x = ldlt_solve(fact, rhs)
+    r = rhs - H @ x
+    return x + ldlt_solve(fact, r)
+
+
+# ---------------------------------------------------------------------------
 # Dispatch.
 # ---------------------------------------------------------------------------
 
@@ -134,6 +153,8 @@ def kkt_factorize(H: jax.Array, solver: str):
         return _lu_factorize(H)
     if solver == "ldlt":
         return ldlt_factorize(H)
+    if solver == "ldlt_ir":
+        return ldlt_ir_factorize(H)
     if solver == "pallas_ldlt":
         from . import pallas_ldlt
 
@@ -146,6 +167,8 @@ def kkt_solve(fact, rhs: jax.Array, solver: str) -> jax.Array:
         return _lu_solve(fact, rhs)
     if solver == "ldlt":
         return ldlt_solve(fact, rhs)
+    if solver == "ldlt_ir":
+        return ldlt_ir_solve(fact, rhs)
     if solver == "pallas_ldlt":
         from . import pallas_ldlt
 

@@ -1,0 +1,241 @@
+"""On-chip verification at REFERENCE tolerances (VERDICT round-1 item 3).
+
+The CPU suite verifies reference-grade tolerances in f64; this script runs
+the same gates ON THE REAL TPU and records what passes at which precision:
+
+1. f64-on-TPU: the condensed-KKT oracle, the 1000-problem randomized QP sweep
+   at kkt_tol 1e-12 (the suite's tol ladder 'pico', reference default 1e-9 at
+   /root/reference/include/mini_opt/qp.hpp:141-146), and the
+   Rosenbrock/Himmelblau convergence families at reference tolerances.
+2. f32 (+ one iterative-refinement step on the KKT solve, kkt.py::ldlt_ir):
+   the same sweep, recording the ACHIEVED kkt/accuracy distribution.
+
+Prints one JSON line per experiment; results are recorded in STATUS.md.
+Run only when the chip is otherwise idle (the tunnel serializes clients).
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tests")
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def log(msg):
+    print(f"# {msg}", file=sys.stderr, flush=True)
+
+
+def emit(**kw):
+    print(json.dumps(kw), flush=True)
+
+
+def sweep_instances(B=1000, n=8, m=4, seed=42):
+    from test_qp import _active_set_oracle, random_pd_matrix
+
+    rng = np.random.default_rng(seed)
+    Gs, cs, avs, aas, abs_, x_exp = [], [], [], [], [], []
+    for _ in range(B):
+        G = random_pd_matrix(rng, n, scale=2.0)
+        root = rng.uniform(-20.0, 20.0, n)
+        c = -G @ root
+        v = np.sort(rng.permutation(n)[:m])
+        scale = rng.uniform(0.1, 0.9, m)
+        bound = root[v] * scale
+        a = np.where(root[v] < 0, 1.0, -1.0)
+        b = np.where(root[v] < 0, -bound, bound)
+        Gs.append(G), cs.append(c), avs.append(v), aas.append(a), abs_.append(b)
+        x_exp.append(_active_set_oracle(G, c, v, a, b))
+    return (
+        np.stack(Gs), np.stack(cs), np.stack(avs), np.stack(aas),
+        np.stack(abs_), np.stack(x_exp),
+    )
+
+
+def run_qp_sweep(dtype, kkt_solver, kkt_tol, label):
+    from mini_opt_tpu import (
+        QP, InitialGuessMethod, QPInteriorPointParams, QPTerminationState,
+        qp_ip_solve,
+    )
+
+    G, c, av, aa, ab, x_exp = sweep_instances()
+    B, n = c.shape
+    qp = QP(
+        G=jnp.asarray(G, dtype), c=jnp.asarray(c, dtype),
+        A_eq=jnp.zeros((B, 0, n), dtype), b_eq=jnp.zeros((B, 0), dtype),
+        ineq_var=jnp.asarray(av, jnp.int32),
+        ineq_a=jnp.asarray(aa, dtype), ineq_b=jnp.asarray(ab, dtype),
+    )
+    params = QPInteriorPointParams(
+        max_iterations=30,
+        termination_kkt_tol=kkt_tol,
+        initial_guess_method=InitialGuessMethod.SOLVE_EQUALITY_CONSTRAINED,
+        kkt_solver=kkt_solver,
+        record_history=False,
+        early_exit=False,
+    )
+    t0 = time.time()
+    res = jax.jit(jax.vmap(lambda q: qp_ip_solve(q, params)))(qp)
+    # Aggregate ON DEVICE; fetch scalars only.
+    err = jnp.max(jnp.abs(res.x - jnp.asarray(x_exp, dtype)), axis=1)
+    ok = res.termination_state == QPTerminationState.SATISFIED_KKT_TOL
+    stats = jnp.stack(
+        [
+            jnp.mean(ok.astype(dtype)),
+            jnp.mean((err < 5e-5).astype(dtype)),
+            jnp.max(err),
+            jnp.quantile(err, 0.5),
+            jnp.quantile(err, 0.99),
+        ]
+    )
+    sv = np.asarray(stats)
+    dt = time.time() - t0
+    emit(
+        experiment=f"qp_sweep_{label}",
+        backend=jax.default_backend(),
+        dtype=str(jnp.dtype(dtype)),
+        kkt_solver=kkt_solver,
+        kkt_tol=kkt_tol,
+        problems=int(B),
+        converged_frac=round(float(sv[0]), 4),
+        accuracy_5e5_frac=round(float(sv[1]), 4),
+        err_max=float(sv[2]),
+        err_median=float(sv[3]),
+        err_p99=float(sv[4]),
+        wall_s=round(dt, 1),
+    )
+
+
+def run_rosenbrock(dtype, kkt_solver, label):
+    from mini_opt_tpu import make_residual
+    from mini_opt_tpu.nonlinear import NLSParams, Problem, nls_solve
+    from mini_opt_tpu.structs import termination_state_indicates_satisfied_tol
+
+    def rosen(xy):
+        return jnp.stack([10.0 * (xy[1] - xy[0] * xy[0]), 1.0 - xy[0]])
+
+    problem = Problem(dimension=2, costs=(make_residual([0, 1], rosen, 2),))
+    # Reference test config (nonlinear_test.cc:390-424): 9 starts, <= 10
+    # iterations, absolute tol satisfied, solution (1, 1).
+    params = NLSParams(
+        max_iterations=10,
+        max_qp_iterations=1,
+        absolute_exit_tol=1e-12,
+        record_history=False,
+        early_exit=False,
+        kkt_solver=kkt_solver,
+    )
+    starts = jnp.asarray(
+        [
+            [-1.5, -1.5], [-1.5, 0.0], [-1.5, 1.5], [0.0, -1.5], [0.0, 0.0],
+            [0.0, 1.5], [1.5, -1.5], [1.5, 0.0], [1.5, 1.5],
+        ],
+        dtype,
+    )
+    t0 = time.time()
+    res = jax.jit(jax.vmap(lambda x0: nls_solve(problem, params, x0)))(starts)
+    xerr = jnp.max(jnp.abs(res.x - 1.0), axis=1)
+    sat = termination_state_indicates_satisfied_tol(res.termination_state)
+    stats = np.asarray(
+        jnp.stack([jnp.mean(sat.astype(dtype)), jnp.max(xerr)])
+    )
+    emit(
+        experiment=f"rosenbrock_{label}",
+        backend=jax.default_backend(),
+        dtype=str(jnp.dtype(dtype)),
+        satisfied_frac=round(float(stats[0]), 4),
+        x_err_max=float(stats[1]),
+        wall_s=round(time.time() - t0, 1),
+    )
+
+
+def run_himmelblau(dtype, kkt_solver, label):
+    from mini_opt_tpu import make_residual
+    from mini_opt_tpu.nonlinear import NLSParams, Problem, nls_solve
+    from mini_opt_tpu.qp import Var
+
+    def himmel(xy):
+        return jnp.stack(
+            [xy[0] * xy[0] + xy[1] - 11.0, xy[0] + xy[1] * xy[1] - 7.0]
+        )
+
+    # Box-constrained grid of starts (nonlinear_test.cc:597-665): every start
+    # must converge to one of the four roots to 5e-5.
+    roots = jnp.asarray(
+        [
+            [3.0, 2.0],
+            [-2.805118086953, 3.131312518250],
+            [-3.779310253378, -3.283185991286],
+            [3.584428340330, -1.848126526964],
+        ],
+        dtype,
+    )
+    problem = Problem(
+        dimension=2,
+        costs=(make_residual([0, 1], himmel, 2),),
+        inequality_constraints=(
+            Var(0) >= -5.0, Var(0) <= 5.0, Var(1) >= -5.0, Var(1) <= 5.0,
+        ),
+    )
+    params = NLSParams(
+        max_iterations=20,
+        max_qp_iterations=10,
+        absolute_exit_tol=1e-12,
+        record_history=False,
+        early_exit=False,
+        kkt_solver=kkt_solver,
+    )
+    g = np.linspace(-4.5, 4.5, 30)
+    xs, ys = np.meshgrid(g, g)
+    starts = jnp.asarray(np.stack([xs.ravel(), ys.ravel()], 1), dtype)
+    t0 = time.time()
+    res = jax.jit(jax.vmap(lambda x0: nls_solve(problem, params, x0)))(starts)
+    d_root = jnp.min(
+        jnp.max(jnp.abs(res.x[:, None, :] - roots[None, :, :]), axis=2), axis=1
+    )
+    stats = np.asarray(
+        jnp.stack(
+            [
+                jnp.mean((d_root < 5e-5).astype(dtype)),
+                jnp.quantile(d_root, 0.99),
+                jnp.max(d_root),
+            ]
+        )
+    )
+    emit(
+        experiment=f"himmelblau_{label}",
+        backend=jax.default_backend(),
+        dtype=str(jnp.dtype(dtype)),
+        starts=int(starts.shape[0]),
+        root_5e5_frac=round(float(stats[0]), 4),
+        d_root_p99=float(stats[1]),
+        d_root_max=float(stats[2]),
+        wall_s=round(time.time() - t0, 1),
+    )
+
+
+def main():
+    log(f"backend={jax.default_backend()}")
+    # --- f64 on TPU at reference tolerances --------------------------------
+    run_qp_sweep(jnp.float64, "ldlt", 1e-12, "f64")
+    run_rosenbrock(jnp.float64, "ldlt", "f64")
+    run_himmelblau(jnp.float64, "ldlt", "f64")
+    # --- f32 + iterative refinement ---------------------------------------
+    run_qp_sweep(jnp.float32, "ldlt_ir", 1e-6, "f32_ir")
+    run_qp_sweep(jnp.float32, "ldlt", 1e-6, "f32")
+    run_himmelblau(jnp.float32, "ldlt_ir", "f32_ir")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

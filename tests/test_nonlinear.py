@@ -560,3 +560,48 @@ def test_outer_unroll_matches_rolled():
     res_unrolled = solve(dataclasses.replace(base, outer_unroll=6, inner_unroll=4))
     for a, b in zip(jax.tree.leaves(res_rolled), jax.tree.leaves(res_unrolled)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-13)
+
+
+def test_fuse_probe_linearize_matches_standalone():
+    """fuse_probe_linearize carries the winning probe's linearization instead
+    of re-linearizing each iteration: results must match the standalone path
+    to fp noise, alone and combined with the fused QP engine."""
+    import dataclasses
+
+    from mini_opt_tpu.models.ik import (
+        default_ik_params,
+        make_planar_chain,
+        solve_ik_batch,
+    )
+
+    chain = make_planar_chain(2, dtype=jnp.float64)
+    base = dataclasses.replace(
+        default_ik_params(jnp.float64),
+        record_history=False,
+        early_exit=False,
+        parallel_line_search=True,
+        kkt_solver="ldlt",
+    )
+    rng = np.random.default_rng(0)
+    B = 64
+    r = rng.uniform(0.45, 0.75, B)
+    th = rng.uniform(0.25, 1.25, B)
+    targets = jnp.asarray(np.stack([r * np.cos(th), r * np.sin(th)], 1))
+    x0 = jnp.asarray(rng.uniform(0.2, 1.2, (B, 2)))
+    ra = solve_ik_batch(targets, x0, chain, base)
+    rb = solve_ik_batch(
+        targets, x0, chain, dataclasses.replace(base, fuse_probe_linearize=True)
+    )
+    np.testing.assert_allclose(np.asarray(rb.x), np.asarray(ra.x), atol=1e-12)
+
+    fk = jax.vmap(lambda x: chain.update(x).translation[:2])
+    rc = solve_ik_batch(
+        targets,
+        x0,
+        chain,
+        dataclasses.replace(
+            base, fuse_probe_linearize=True, qp_solver="pallas_fused"
+        ),
+    )
+    err = np.abs(np.asarray(fk(rc.x)) - np.asarray(targets)).max(1)
+    assert (err < 1e-3).all()

@@ -117,7 +117,7 @@ def _random_problem(seed, n, k, m):
     return QP.create(G, c, A_eq, b_eq, constraints, dtype=jnp.float64)
 
 
-@pytest.mark.parametrize("solver", ["lu", "ldlt"])
+@pytest.mark.parametrize("solver", ["lu", "ldlt", "ldlt_ir"])
 @pytest.mark.parametrize(
     "n,k,m", [(4, 0, 0), (5, 2, 0), (5, 0, 3), (6, 2, 4), (8, 3, 8)]
 )
