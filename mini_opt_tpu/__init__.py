@@ -11,7 +11,27 @@ problem instances per chip and shard across TPU pod slices.
 
 from .assertions import MiniOptError, validate_problem
 from .implicit import make_implicit_solver
-from .nonlinear import NLSParams, Problem, nls_solve
+from .models.ik import (
+    make_ik_problem,
+    make_planar_chain,
+    make_spatial_chain,
+    make_spatial_ik_problem,
+    solve_ik_batch,
+    solve_ik_multi_start,
+)
+from .models.pose_graph import (
+    make_pose_graph_problem,
+    solve_pose_graph,
+    solve_pose_graph_large,
+)
+from .nonlinear import (
+    NLSParams,
+    Problem,
+    compute_second_order_correction,
+    nls_solve,
+)
+from .ops.pallas_ik import fused_ik_solve_batch, fused_spatial_ik_solve_batch
+from .ops.pallas_qp import make_fused_qp_solver
 from .qp import (
     QP,
     LinearInequalityConstraint,
@@ -46,6 +66,7 @@ from .structs import (
     QPLagrangeMultipliers,
     QPNullSpaceResult,
     QPNullSpaceTerminationState,
+    QPSolverVariant,
     QPTerminationState,
     StepSizeSelectionResult,
     nls_result_to_string,

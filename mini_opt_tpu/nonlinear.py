@@ -363,6 +363,23 @@ def _cg_step_direction(problem: Problem, x, lam, params: "NLSParams", diag_fn):
     return dx, Errors(f=f_total, equality=jnp.zeros((), x.dtype)), g
 
 
+def compute_second_order_correction(
+    problem: Problem, qp: QP, x_updated: jax.Array
+) -> jax.Array:
+    """Second-order correction step (the reference's test-only prototype,
+    nonlinear_test.cc:252-348): re-evaluate the nonlinear equality
+    constraints at the stepped point and return the minimum-norm correction
+    ``dx_soc = -A_eq^+ g(x + dx)`` against the CURRENT linearization -- the
+    standard anti-Maratos device for SQP line searches.
+
+    Utility-level like the reference (not wired into the driver); jittable.
+    """
+    g = jnp.concatenate(
+        [eq.error_vector(x_updated) for eq in problem.equality_constraints]
+    )
+    return -jnp.linalg.pinv(qp.A_eq) @ g
+
+
 def compute_qp_cost_derivative(qp: QP, dx: jax.Array) -> DirectionalDerivatives:
     """Directional derivative of cost + L1 equality merit along dx
     (nonlinear.cc:457-482)."""

@@ -605,3 +605,51 @@ def test_fuse_probe_linearize_matches_standalone():
     )
     err = np.abs(np.asarray(fk(rc.x)) - np.asarray(targets)).max(1)
     assert (err < 1e-3).all()
+
+
+def test_second_order_correction():
+    """Port of the reference's SOC prototype checks (nonlinear_test.cc:
+    252-348): the correction is minimum-norm, satisfies the linearized
+    constraints with the re-evaluated values, and reduces the nonlinear
+    constraint error after a large hypothetical step."""
+    from mini_opt_tpu.nonlinear import (
+        compute_second_order_correction,
+        linearize_and_fill_qp,
+    )
+
+    def eq_fn(x):
+        return jnp.stack([x[0] * x[0], x[1] * x[0] - x[2]])
+
+    x_lin = jnp.asarray([-0.5, 1.2, -0.5])
+    problem = Problem(
+        dimension=3,
+        equality_constraints=(make_residual([0, 1, 2], eq_fn, 2),),
+    )
+    qp, _ = linearize_and_fill_qp(problem, x_lin, 0.0)
+
+    # Min-norm solution of the linearized constraints.
+    dx0 = -jnp.linalg.pinv(qp.A_eq) @ qp.b_eq
+    np.testing.assert_allclose(
+        np.asarray(qp.A_eq @ dx0 + qp.b_eq), 0.0, atol=1e-12
+    )
+    # Null-space direction keeps the linearized constraints satisfied.
+    _, _, vt = np.linalg.svd(np.asarray(qp.A_eq))
+    null = jnp.asarray(vt[-1])
+    np.testing.assert_allclose(
+        np.asarray(qp.A_eq @ (dx0 + 4.231 * null) + qp.b_eq), 0.0, atol=1e-10
+    )
+    # Min-norm property: |dx0 + a*null| has zero derivative at a=0.
+    eps = 1e-6
+    n_plus = float(jnp.linalg.norm(dx0 + eps * null))
+    n_minus = float(jnp.linalg.norm(dx0 - eps * null))
+    assert abs(n_plus - n_minus) / (2 * eps) < 1e-6
+
+    # Hypothetical (bad) step: correction must reduce the re-evaluated error.
+    dx_in = dx0 + 5.334 * null
+    dx_soc = compute_second_order_correction(problem, qp, x_lin + dx_in)
+    np.testing.assert_allclose(
+        np.asarray(qp.A_eq @ dx_soc + eq_fn(x_lin + dx_in)), 0.0, atol=1e-10
+    )
+    err_before = float(jnp.linalg.norm(eq_fn(x_lin + dx_in)))
+    err_after = float(jnp.linalg.norm(eq_fn(x_lin + dx_in + dx_soc)))
+    assert err_after < err_before
