@@ -5,6 +5,11 @@ single jitted, vmapped call; optionally sharded across a device mesh.
 Run: python examples/batched_ik.py [batch]
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import sys
 
 import jax

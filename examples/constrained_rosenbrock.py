@@ -4,6 +4,11 @@ one vmapped call, with full per-iteration telemetry.
 Run: python examples/constrained_rosenbrock.py  (CPU or TPU)
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -1,0 +1,95 @@
+"""Example: 1200-pose graph via the matrix-free CG Gauss-Newton path.
+
+A noisy circular odometry run with periodic loop closures (3600 variables,
+~1300 edges). The dense path would build a 3600x3600 Hessian; the large-N
+path (`solve_pose_graph_large`) never materializes it -- Hessian-vector
+products run through jvp/vjp of the stacked edge residuals, preconditioned
+by the exact block-sparse diagonal.
+
+Run: python examples/large_pose_graph.py
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import time
+
+import jax.numpy as jnp
+import numpy as np
+
+from mini_opt_tpu.models.pose_graph import (
+    default_pose_graph_params,
+    solve_pose_graph_large,
+)
+
+
+def make_circle_graph(n, seed=1, noise=0.01, loop_every=10):
+    rng = np.random.default_rng(seed)
+    th = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    R = 10.0
+    gt = np.stack([R * np.cos(th), R * np.sin(th), th + np.pi / 2], 1)
+    c0, s0 = np.cos(gt[0, 2]), np.sin(gt[0, 2])
+    Rw = np.array([[c0, s0], [-s0, c0]])
+    gt = np.concatenate(
+        [
+            (gt[:, :2] - gt[0, :2]) @ Rw.T,
+            ((gt[:, 2:] - gt[0, 2] + np.pi) % (2 * np.pi) - np.pi),
+        ],
+        1,
+    )
+    edges, meas = [], []
+
+    def rel(i, j):
+        dxw, dyw = gt[j, 0] - gt[i, 0], gt[j, 1] - gt[i, 1]
+        c, s = np.cos(gt[i, 2]), np.sin(gt[i, 2])
+        return [
+            c * dxw + s * dyw,
+            -s * dxw + c * dyw,
+            (gt[j, 2] - gt[i, 2] + np.pi) % (2 * np.pi) - np.pi,
+        ]
+
+    for i in range(n - 1):
+        edges.append([i, i + 1])
+        meas.append(rel(i, i + 1))
+    for i in range(0, n - loop_every, loop_every):
+        edges.append([i, i + loop_every])
+        meas.append(rel(i, i + loop_every))
+    meas = np.asarray(meas) + rng.normal(0, noise, (len(edges), 3))
+    x0 = np.zeros((n, 3))
+    x0[0] = gt[0]
+    for i in range(n - 1):
+        c, s = np.cos(x0[i, 2]), np.sin(x0[i, 2])
+        m = meas[i]
+        x0[i + 1] = [
+            x0[i, 0] + c * m[0] - s * m[1],
+            x0[i, 1] + s * m[0] + c * m[1],
+            x0[i, 2] + m[2],
+        ]
+    return gt, np.asarray(edges), meas, x0
+
+
+def main():
+    n = 1200
+    gt, edges, meas, x0 = make_circle_graph(n)
+    w = jnp.ones((len(edges),))
+    print(f"{n} poses, {len(edges)} edges, {3 * n} variables")
+    print(f"odometry drift before optimization: "
+          f"{np.abs(x0 - gt)[:, :2].max():.2f} m")
+
+    params = default_pose_graph_params(jnp.float64, max_iterations=100)
+    t0 = time.time()
+    res = solve_pose_graph_large(
+        n, edges, jnp.asarray(meas), w, jnp.asarray(x0.ravel()),
+        params=params, cg_iterations=600,
+    )
+    res.x.block_until_ready()
+    xf = np.asarray(res.x).reshape(n, 3)
+    print(f"solved in {time.time() - t0:.1f}s (compile + solve): "
+          f"cost {float(res.errors.f):.4f}, "
+          f"drift after: {np.abs(xf - gt)[:, :2].max():.2f} m")
+
+
+if __name__ == "__main__":
+    main()

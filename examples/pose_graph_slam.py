@@ -7,6 +7,11 @@ solve recovers the trajectory. One BlockResidual holds every edge.
 Run: python examples/pose_graph_slam.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 import jax.numpy as jnp
 import numpy as np
