@@ -201,6 +201,9 @@ def main():
     ap.add_argument("--fuse-probe-linearize", action="store_true",
                     help="probes compute their own linearizations; the "
                          "winner's is carried to the next iteration")
+    ap.add_argument("--fused-barrier", default="mpc",
+                    choices=["complementarity", "mpc"],
+                    help="barrier schedule of the fused whole-solver kernel")
     ap.add_argument("--qp-barrier", default="complementarity",
                     choices=["complementarity", "mpc"],
                     help="inner-QP barrier schedule for the general path")
@@ -242,6 +245,7 @@ def main():
                 max_iterations=args.iters,
                 qp_iterations=args.qp_iters,
                 ls_iterations=args.ls_iters,
+                barrier=args.fused_barrier,
             )
 
         @jax.jit
