@@ -7,9 +7,22 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mini_opt_tpu.ops.pallas_qp import make_fused_qp_solver
 from test_qp import random_pd_matrix
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _fresh_jit_caches():
+    """The XLA *CPU* compiler has crashed (SIGSEGV/SIGABRT inside
+    backend_compile) compiling this module's interpret-mode fused-QP programs
+    when they are the ~80th compilation of a long-lived suite process --
+    while every standalone or partial run passes. Dropping the accumulated
+    jit executables before this module keeps the in-process compiler state
+    small. (Tracked in ROADMAP.md environment issues.)"""
+    jax.clear_caches()
+    yield
 
 
 def _random_batch(B, n, k, m_vars, seed=0):
