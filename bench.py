@@ -201,7 +201,7 @@ def main():
     ap.add_argument("--fuse-probe-linearize", action="store_true",
                     help="probes compute their own linearizations; the "
                          "winner's is carried to the next iteration")
-    ap.add_argument("--fused-barrier", default="mpc",
+    ap.add_argument("--fused-barrier", default="complementarity",
                     choices=["complementarity", "mpc"],
                     help="barrier schedule of the fused whole-solver kernel")
     ap.add_argument("--qp-barrier", default="complementarity",

@@ -1,0 +1,158 @@
+"""Secondary on-chip measurements: the spatial fused IK family and the
+large-N CG pose graph. Prints one JSON line each (chained-scan timing, same
+methodology as bench.py)."""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def log(msg):
+    print(f"# {msg}", file=sys.stderr, flush=True)
+
+
+def chained_time(solve, x0_like, args, K, repeats=3):
+    """Chained-dependency timing (bench.py methodology)."""
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def chained(x0, k):
+        def body(x, _):
+            return solve(x), None
+
+        out, _ = jax.lax.scan(body, x0, None, length=k)
+        return out
+
+    np.asarray(chained(x0_like, 1))
+    np.asarray(chained(x0_like, K))
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        np.asarray(chained(x0_like, 1))
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        np.asarray(chained(x0_like, K))
+        tk = time.perf_counter() - t0
+        times.append((tk - t1) / (K - 1))
+    return float(np.median(times))
+
+
+def spatial_bench(B=8192, n=3):
+    from mini_opt_tpu.models.ik import make_spatial_chain
+    from mini_opt_tpu.ops.pallas_ik import fused_spatial_ik_solve_batch
+
+    chain = make_spatial_chain(n, dtype=jnp.float64)
+    rng = np.random.default_rng(0)
+    th_true = np.stack(
+        [rng.uniform(-1.2, 1.2, B)]
+        + [rng.uniform(0.25, 2.6, B) for _ in range(n - 1)],
+        1,
+    )
+    fkv = jax.vmap(lambda t: chain.update(t).translation)
+    targets = np.asarray(fkv(jnp.asarray(th_true)))
+    x0 = th_true + rng.uniform(-0.25, 0.25, (B, n))
+    x0[:, 1:] = np.clip(x0[:, 1:], 0.05, np.pi - 0.05)
+    t32 = jnp.asarray(targets, jnp.float32)
+
+    def solve(x):
+        return fused_spatial_ik_solve_batch(
+            t32, x, max_iterations=12, qp_iterations=6, ls_iterations=2
+        )
+
+    x32 = jnp.asarray(x0, jnp.float32)
+    t0 = time.time()
+    out = solve(x32)
+    out.block_until_ready()
+    log(f"spatial compile+run {time.time()-t0:.1f}s")
+    per_batch = chained_time(solve, x32, (), K=129)
+    # Parity on device.
+    final = fkv(jnp.asarray(out, jnp.float64))
+    err = jnp.max(jnp.abs(final - jnp.asarray(targets)), axis=1)
+    parity = float(np.asarray(jnp.mean((err < 1e-3).astype(jnp.float32))))
+    print(
+        json.dumps(
+            {
+                "metric": "spatial_ik_solves_per_s_per_chip",
+                "value": round(B / per_batch, 1),
+                "unit": "solves/s",
+                "batch": B,
+                "n_joints": n,
+                "parity": round(parity, 4),
+            }
+        ),
+        flush=True,
+    )
+
+
+def pose_graph_bench(n_poses=1200):
+    sys.path.insert(0, "/root/repo/tests")
+    from test_pose_graph import _circle_graph
+
+    from mini_opt_tpu.models.pose_graph import (
+        default_pose_graph_params,
+        solve_pose_graph_large,
+    )
+
+    gt, edges, meas, x0 = _circle_graph(n_poses, seed=1, noise=0.01, loop_every=10)
+    w = jnp.ones((len(edges),), jnp.float32)
+    p = default_pose_graph_params(jnp.float32, max_iterations=100)
+    t0 = time.time()
+    res = solve_pose_graph_large(
+        n_poses,
+        edges,
+        jnp.asarray(meas, jnp.float32),
+        w,
+        jnp.asarray(x0.ravel(), jnp.float32),
+        params=p,
+        cg_iterations=600,
+    )
+    res.x.block_until_ready()
+    compile_s = time.time() - t0
+    t0 = time.time()
+    res2 = solve_pose_graph_large(
+        n_poses,
+        edges,
+        jnp.asarray(meas, jnp.float32),
+        w,
+        jnp.asarray(x0.ravel() + 1e-6, jnp.float32),
+        params=p,
+        cg_iterations=600,
+    )
+    res2.x.block_until_ready()
+    warm_s = time.time() - t0
+    xf = np.asarray(res.x).reshape(n_poses, 3)
+    drift0 = float(np.abs(x0 - gt)[:, :2].max())
+    driftf = float(np.abs(xf - gt)[:, :2].max())
+    print(
+        json.dumps(
+            {
+                "metric": "pose_graph_1200_solve_s_on_chip",
+                "value": round(warm_s, 2),
+                "unit": "s",
+                "compile_s": round(compile_s, 1),
+                "f_final": round(float(res.errors.f), 4),
+                "drift_before": round(drift0, 2),
+                "drift_after": round(driftf, 3),
+                "dtype": "float32",
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    log(f"backend={jax.default_backend()}")
+    spatial_bench()
+    pose_graph_bench()
