@@ -188,3 +188,102 @@ def solve_pose_graph_large(
         retraction=pose_graph_retraction,
         cg_diag_preconditioner=diag_fn,
     )
+
+
+def solve_pose_graph_large_sharded(
+    mesh,
+    n_poses: int,
+    edges_ij,
+    measurements: jax.Array,
+    weights: jax.Array,
+    x0: jax.Array,
+    params: Optional[NLSParams] = None,
+    cg_iterations: int = 100,
+    axis: str = "mp",
+    anchor_weight: float = 100.0,
+) -> NLSResult:
+    """Edge-partitioned distributed large-N path.
+
+    The edge set is split across ``mesh`` axis ``axis`` (one shard_map
+    program; edges padded with zero-weight self-loops to a multiple of the
+    axis size). Each device holds a local ``BlockResidual`` over its edge
+    shard; gradients, Hessian-vector products, costs, and the Jacobi
+    diagonal are psum-reduced inside the matrix-free CG Gauss-Newton step
+    while x and the CG iterates stay replicated. The anchor prior is applied
+    on device 0 only, so the global problem is exactly the single-device
+    one -- iterates match ``solve_pose_graph_large`` to solver tolerance.
+    """
+    import dataclasses
+    from functools import partial
+
+    import numpy as np
+    from jax.sharding import PartitionSpec as P
+
+    n_dev = mesh.shape[axis]
+    edges = np.asarray(edges_ij, dtype=np.int64)
+    data = np.asarray(_edge_data(jnp.asarray(measurements), jnp.asarray(weights)))
+    E = edges.shape[0]
+    E_pad = -(-E // n_dev) * n_dev
+    if E_pad != E:
+        edges = np.concatenate(
+            [edges, np.zeros((E_pad - E, 2), np.int64)], axis=0
+        )
+        data = np.concatenate(
+            [data, np.zeros((E_pad - E, data.shape[1]), data.dtype)], axis=0
+        )  # zero WEIGHT rows: padded residuals and Jacobians vanish
+    idx = np.stack(
+        [3 * edges[:, 0], 3 * edges[:, 0] + 1, 3 * edges[:, 0] + 2,
+         3 * edges[:, 1], 3 * edges[:, 1] + 1, 3 * edges[:, 1] + 2],
+        axis=1,
+    ).astype(np.int32)
+
+    if params is None:
+        params = default_pose_graph_params(x0.dtype)
+    params = dataclasses.replace(
+        params, qp_solver="cg", cg_iterations=cg_iterations
+    )
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        check_vma=False,
+        in_specs=(P(), P(axis), P(axis)),
+        out_specs=P(),
+    )
+    def run(x, idx_local, data_local):
+        on0 = (jax.lax.axis_index(axis) == 0).astype(x.dtype)
+        aw = anchor_weight * on0
+
+        def anchor(xl):
+            return aw * jnp.stack([xl[0], xl[1], _wrap(xl[2])])
+
+        problem = Problem(
+            dimension=3 * n_poses,
+            costs=(
+                BlockResidual(
+                    fn=_edge_residual, indices=idx_local, dim=3, data=data_local
+                ),
+                make_residual([0, 1, 2], anchor, 3),
+            ),
+        )
+
+        def diag_fn(xx):
+            def one(row_idx, row_data):
+                xl = xx[row_idx]
+                J = jax.jacfwd(lambda v: _edge_residual(v, row_data))(xl)
+                return jnp.sum(J * J, axis=0)
+
+            contrib = jax.vmap(one)(idx_local, data_local)
+            d = jnp.zeros_like(xx).at[idx_local.ravel()].add(contrib.ravel())
+            return d.at[:3].add(on0 * anchor_weight * anchor_weight)
+
+        return nls_solve(
+            problem,
+            params,
+            x,
+            retraction=pose_graph_retraction,
+            axis_name=axis,
+            cg_diag_preconditioner=diag_fn,
+        )
+
+    return run(x0, jnp.asarray(idx), jnp.asarray(data, x0.dtype))

@@ -346,19 +346,38 @@ def _pcg(matvec, b, diag, iterations: int):
     return xk
 
 
-def _cg_step_direction(problem: Problem, x, lam, params: "NLSParams", diag_fn):
+def _cg_step_direction(
+    problem: Problem, x, lam, params: "NLSParams", diag_fn, axis_name=None
+):
     """Matrix-free Gauss-Newton step: solve (JᵀJ + lam I) dx = -Jᵀr by PCG
-    without materializing the Hessian. Returns (dx, errors_pre, grad)."""
+    without materializing the Hessian. Returns (dx, errors_pre, grad).
+
+    With ``axis_name`` (inside shard_map), the problem's cost blocks are a
+    device-local partition of the global residual set: the gradient, the
+    cost, every Hessian-vector product, and the preconditioner diagonal are
+    psum-reduced, while x and the CG iterates stay replicated (the inner dot
+    products then need no collectives -- identical on every device)."""
     r0, vjp = jax.vjp(lambda xx: _stacked_residual(problem, xx), x)
     f_total = 0.5 * jnp.sum(r0 * r0)
     (g,) = vjp(r0)  # Jᵀ r
+    if axis_name is not None:
+        f_total = jax.lax.psum(f_total, axis_name)
+        g = jax.lax.psum(g, axis_name)
 
     def matvec(v):
         _, jv = jax.jvp(lambda xx: _stacked_residual(problem, xx), (x,), (v,))
         (jtjv,) = vjp(jv)
+        if axis_name is not None:
+            jtjv = jax.lax.psum(jtjv, axis_name)
         return jtjv + lam * v
 
-    diag = (diag_fn(x) + lam) if diag_fn is not None else jnp.ones_like(g)
+    if diag_fn is not None:
+        diag = diag_fn(x)  # device-LOCAL contribution when axis_name is set
+        if axis_name is not None:
+            diag = jax.lax.psum(diag, axis_name)
+        diag = diag + lam
+    else:
+        diag = jnp.ones_like(g)
     dx = _pcg(matvec, -g, diag, params.cg_iterations)
     return dx, Errors(f=f_total, equality=jnp.zeros((), x.dtype)), g
 
@@ -792,7 +811,6 @@ def nls_solve(
         assert not problem.equality_constraints and not problem.inequality_constraints, (
             "qp_solver='cg' is the unconstrained large-N Gauss-Newton path"
         )
-        assert axis_name is None, "qp_solver='cg' does not support axis_name yet"
 
     qp_params = QPInteriorPointParams(
         max_iterations=params.max_qp_iterations,
@@ -825,7 +843,7 @@ def nls_solve(
         # --- step direction (nonlinear.cc:216-259) -----------------------
         if use_cg:
             dx, errors_pre, grad = _cg_step_direction(
-                problem, x, lam, params, cg_diag_preconditioner
+                problem, x, lam, params, cg_diag_preconditioner, axis_name
             )
             qp_indefinite = ~jnp.all(jnp.isfinite(dx))
             dx = jnp.where(qp_indefinite, jnp.zeros_like(dx), dx)
