@@ -23,6 +23,7 @@ from .models.pose_graph import (
     make_pose_graph_problem,
     solve_pose_graph,
     solve_pose_graph_large,
+    solve_pose_graph_large_sharded,
 )
 from .nonlinear import (
     NLSParams,
@@ -30,7 +31,12 @@ from .nonlinear import (
     compute_second_order_correction,
     nls_solve,
 )
-from .ops.pallas_ik import fused_ik_solve_batch, fused_spatial_ik_solve_batch
+from .ops.pallas_ik import (
+    FusedFamily,
+    fused_ik_solve_batch,
+    fused_solve_batch,
+    fused_spatial_ik_solve_batch,
+)
 from .ops.pallas_qp import make_fused_qp_solver
 from .qp import (
     QP,

@@ -1,37 +1,47 @@
-"""Fused whole-solver Pallas kernel for the planar-chain IK family.
+"""Fused whole-solver Pallas kernels, generated from a problem-family DSL.
 
 The general solver (nonlinear.py) is a composition of XLA ops under nested
-scans; it is dispatch/granularity-bound, not FLOP-bound (measured ~1M
-solves/s/chip). This kernel is the speed-of-light serving path for the
-benchmark problem family (models/ik.py, the reference's actuator-limit IK):
-the ENTIRE constrained SQP solve -- forward kinematics, Gauss-Newton
-assembly, the condensed-KKT interior-point inner loop with a fully unrolled
-scalar LDL^T, fraction-to-boundary, L1-merit Armijo line search with
-angle-wrap retraction, and the LM lambda state machine -- unrolled into
-straight-line elementwise code over sublane-packed (8, 128) register tiles
-(measured ~130M solves/s/chip at n=2). One kernel invocation solves 1024
-instances per grid step with zero inter-op overhead; the same packed layout
-runs compiled on TPU and interpreted in CPU tests.
+scans; it is dispatch/granularity-bound, not FLOP-bound (measured ~8M
+solves/s/chip after round-2 fusion work). These kernels are the
+speed-of-light serving path: the ENTIRE constrained SQP solve -- residual
+linearization, Gauss-Newton assembly, the condensed-KKT interior-point inner
+loop with a fully unrolled scalar LDL^T, fraction-to-boundary, L1-merit
+Armijo/polynomial line search with retraction, and the LM lambda state
+machine -- unrolled into straight-line elementwise code over sublane-packed
+(8, 128) register tiles (measured ~130M IK solves/s/chip at n=2). One kernel
+invocation solves 1024 instances per grid step with zero inter-op overhead;
+the same packed layout runs compiled on TPU and interpreted in CPU tests.
 
-Generalized over the number of active joints ``n``: the chain has n
-cumulative planar rotations with equal link lengths; joints 1..n-1 carry
-[0, pi] box constraints (matching make_ik_problem). All matrices are nested
-Python lists of (8, 128) register tiles, so every linear-algebra step
-unrolls to scalar lane arithmetic.
+The public surface is the **family DSL** (`FusedFamily` + `fused_solve_batch`):
+a user writes ``linearize`` / ``errors`` over *lists of lane registers* (each
+register is one (8, 128) tile holding 1024 instances of one scalar), declares
+per-variable box bounds and an optional retraction, and gets the fused
+whole-solver kernel for that family. All matrices are nested Python lists of
+registers, so every linear-algebra step unrolls to scalar lane arithmetic; the
+number of equality rows, the bound structure, and the chain length are static
+Python, erased at trace time.
 
-Semantics mirror nls_solve's fixed-trip configuration on this family (same
-mu schedule, tolerances, penalty update, Armijo constants); parity is
-asserted against the general solver in tests and against the 1e-3 effector
-gate in bench.py.
+Built-in families: the planar Z-rotation chain (the reference IK problem,
+/root/reference/test/nonlinear_test.cc:828-960 -- cost on effector y, equality
+on effector x, [0, pi] limits on joints 1..n-1) and the alternating-axis 3-D
+spatial chain (models/ik.py::make_spatial_chain is the general-solver twin).
 
-This is a family-specific kernel by design -- the production pattern for a
-hot workload (like fused attention), sitting on top of the general solver.
+Semantics mirror nls_solve's fixed-trip configuration (same mu schedule,
+tolerances, penalty update, Armijo constants; qp.cc:153-201 barrier math);
+state-level parity against the general solver is asserted in
+tests/test_pallas_ik.py, and custom DSL families are pinned against nls_solve
+in tests/test_fused_family.py.
+
+This is the production pattern for a hot workload (like fused attention),
+sitting on top of the general solver.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 import os
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -87,10 +97,56 @@ def _ldlt_solve_unrolled(H, r):
     return _ldlt_apply(L, d, r)
 
 
+@dataclasses.dataclass(frozen=True, eq=False)
+class FusedFamily:
+    """A problem family compilable to a fused whole-solver kernel.
+
+    The callables operate on *lists of lane registers*: ``x`` is a list of
+    ``n`` registers (variable i across 1024 instances), ``data`` a list of
+    ``data_rows`` registers of per-instance payload (targets, weights, ...).
+    Use ``jnp`` elementwise ops only -- every register op is one VPU
+    instruction over the (8, 128) tile; no dynamic shapes, no gathers.
+
+    Attributes:
+      n: number of optimization variables.
+      data_rows: per-instance data registers handed to the callables.
+      m_eq: number of (nonlinear, L1-penalized) equality constraint rows.
+      linearize: ``(x, data) -> (f, r_eq, J_eq, G, c)`` -- the Gauss-Newton
+        linearization at x: scalar cost register f = 0.5*||r_cost||^2;
+        equality residual registers ``r_eq`` (length m_eq) with row Jacobians
+        ``J_eq`` (m_eq lists of n registers); the cost Hessian's lower
+        triangle ``G`` (``G[i][j]`` for j <= i) and gradient ``c`` (J^T r).
+      errors: ``(x, data) -> (f, eq_l1)`` -- cost and summed |equality|
+        at x (the line-search probe evaluation; no Jacobians).
+      lower / upper: per-variable bound constants (None = unbounded on that
+        side). Bounds become interior-point slack rows, matching
+        ``Var(i) >= lo`` / ``<= hi`` in the general solver.
+      retract: optional manifold update applied to every line-search
+        candidate, ``list[n] -> list[n]`` (e.g. angle wrapping); identity
+        when None.
+
+    Hashable by identity (construct once, reuse across calls -- each distinct
+    instance is a separate jit/kernel specialization).
+    """
+
+    n: int
+    data_rows: int
+    m_eq: int
+    linearize: Callable
+    errors: Callable
+    lower: Tuple[Optional[float], ...]
+    upper: Tuple[Optional[float], ...]
+    retract: Optional[Callable] = None
+
+    def __post_init__(self):
+        assert len(self.lower) == self.n and len(self.upper) == self.n
+
+
+@functools.lru_cache(maxsize=None)
 def planar_family(n, link_len):
     """The planar Z-rotation chain family (the reference IK problem,
-    nonlinear_test.cc:828-960): cost on effector y, equality on effector x.
-    ``linearize``/``errors`` operate on lists of lane registers."""
+    nonlinear_test.cc:828-960): cost on effector y, equality on effector x,
+    [0, pi] limits on joints 1..n-1."""
     L = link_len
 
     def fk(th):
@@ -123,16 +179,26 @@ def planar_family(n, link_len):
         f_pre = 0.5 * ry * ry
         G = [[jy[i] * jy[j] for j in range(i + 1)] for i in range(n)]
         c = [jy[i] * ry for i in range(n)]
-        return f_pre, rx, jx, G, c
+        return f_pre, [rx], [jx], G, c
 
     def errors(th, tgt):
         tx, ty = tgt
         px, py, _, _ = fk(th)
         return 0.5 * (py - ty) ** 2, jnp.abs(px - tx)
 
-    return {"n": n, "target_rows": 2, "linearize": linearize, "errors": errors}
+    return FusedFamily(
+        n=n,
+        data_rows=2,
+        m_eq=1,
+        linearize=linearize,
+        errors=errors,
+        lower=(None,) + (0.0,) * (n - 1),
+        upper=(None,) + (_PI,) * (n - 1),
+        retract=lambda th: [_mod_pi(t) for t in th],
+    )
 
 
+@functools.lru_cache(maxsize=None)
 def spatial_family(n, link_len):
     """3-D chain with ALTERNATING rotation axes (z, y, z, y, ...), links
     along local x: cost on effector (y, z), equality on effector x -- the
@@ -191,18 +257,27 @@ def spatial_family(n, link_len):
             for i in range(n)
         ]
         c = [jy[i] * ry + jz[i] * rz for i in range(n)]
-        return f_pre, rx, jx, G, c
+        return f_pre, [rx], [jx], G, c
 
     def errors(th, tgt):
         tx, ty, tz = tgt
         p, _ = fk(th)
         return 0.5 * ((p[1] - ty) ** 2 + (p[2] - tz) ** 2), jnp.abs(p[0] - tx)
 
-    return {"n": n, "target_rows": 3, "linearize": linearize, "errors": errors}
+    return FusedFamily(
+        n=n,
+        data_rows=3,
+        m_eq=1,
+        linearize=linearize,
+        errors=errors,
+        lower=(None,) + (0.0,) * (n - 1),
+        upper=(None,) + (_PI,) * (n - 1),
+        retract=lambda th: [_mod_pi(t) for t in th],
+    )
 
 
 def _make_kernel(
-    family,
+    family: FusedFamily,
     max_iterations,
     qp_iterations,
     ls_iterations,
@@ -212,61 +287,102 @@ def _make_kernel(
 ):
     assert line_search in ("armijo", "polynomial")
     assert barrier in ("complementarity", "mpc")
-    n = family["n"]
-    ncon = n - 1  # joints 1..n-1 carry [0, pi] limits (2 rows each)
+    n = family.n
+    m = family.m_eq
+    # Bounded sides as static (slack-index, var-index, bound) lists.
+    lo_list = [(i, lo) for i, lo in enumerate(family.lower) if lo is not None]
+    hi_list = [(i, hi) for i, hi in enumerate(family.upper) if hi is not None]
+    n_lo, n_hi = len(lo_list), len(hi_list)
+    ncon = n_lo + n_hi  # inequality rows
 
-    def qp_solve(G, c, jx, b_eq, ib_lo, ib_hi, one, zero):
-        """Interior point on the condensed (n+1)x(n+1) system. Box rows act
-        on joints 1..n-1: dx_j + ib_lo[j-1] >= 0 and -dx_j + ib_hi[j-1] >= 0.
-        Returns (dx list, |y|)."""
-        D = n + 1
+    def _interleave(lo_terms, hi_terms):
+        """Alternate lo/hi contributions per slack index (matches the fp
+        summation order of the original two-sided kernel)."""
+        out = []
+        for j in range(max(len(lo_terms), len(hi_terms))):
+            if j < len(lo_terms):
+                out.append(lo_terms[j])
+            if j < len(hi_terms):
+                out.append(hi_terms[j])
+        return out
+
+    def qp_solve(G, c, Jeq, beq, ib_lo, ib_hi, one, zero):
+        """Interior point on the condensed (n+m)x(n+m) system
+        (qp.cc:228-316 structure). Bound rows act per side: for a slack j on
+        variable i, dx_i + ib_lo[j] >= 0 (lower) and -dx_i + ib_hi[j] >= 0
+        (upper), where ib_* is the distance from x_i to the bound. Returns
+        (dx list, dy list of |y_k|-ready duals)."""
+        D = n + m
 
         def assemble(sig_lo, sig_hi):
             H = [[zero] * D for _ in range(D)]
             for i in range(n):
                 for j in range(i + 1):
                     H[i][j] = G[i][j]
-            for j in range(1, n):
-                H[j][j] = H[j][j] + sig_lo[j - 1] + sig_hi[j - 1]
-            for j in range(n):
-                H[n][j] = jx[j]
+            for j, (i, _) in enumerate(lo_list):
+                H[i][i] = H[i][i] + sig_lo[j]
+            for j, (i, _) in enumerate(hi_list):
+                H[i][i] = H[i][i] + sig_hi[j]
+            for k in range(m):
+                for j in range(n):
+                    H[n + k][j] = Jeq[k][j]
             return H
 
-        # Equality-constrained initial guess, then clamp + slack init.
-        H0 = assemble([zero] * ncon, [zero] * ncon)
-        rhs0 = [-c[i] for i in range(n)] + [-b_eq]
+        # Equality-constrained initial guess, then clamp + slack init
+        # (InitialGuessMethod::SOLVE_EQUALITY_CONSTRAINED, qp.cc:439-482).
+        H0 = assemble([zero] * n_lo, [zero] * n_hi)
+        rhs0 = [-c[i] for i in range(n)] + [-beq[k] for k in range(m)]
         sol = _ldlt_solve_unrolled(H0, rhs0)
         x = sol[:n]
-        y = -sol[n]
-        for j in range(1, n):
-            x[j] = jnp.clip(x[j], -ib_lo[j - 1], ib_hi[j - 1])
-        s_lo = [jnp.maximum(1e-9, x[j + 1] + ib_lo[j]) for j in range(ncon)]
-        s_hi = [jnp.maximum(1e-9, -x[j + 1] + ib_hi[j]) for j in range(ncon)]
+        y = [-sol[n + k] for k in range(m)]
+        if ncon == 0:
+            return x, y
+        for j, (i, _) in enumerate(lo_list):
+            x[i] = jnp.maximum(x[i], -ib_lo[j])
+        for j, (i, _) in enumerate(hi_list):
+            x[i] = jnp.minimum(x[i], ib_hi[j])
+        s_lo = [
+            jnp.maximum(1e-9, x[i] + ib_lo[j]) for j, (i, _) in enumerate(lo_list)
+        ]
+        s_hi = [
+            jnp.maximum(1e-9, -x[i] + ib_hi[j]) for j, (i, _) in enumerate(hi_list)
+        ]
         z_lo = [1.0 / v for v in s_lo]
         z_hi = [1.0 / v for v in s_hi]
 
         mu = one
         tau = 0.995
         for _ in range(qp_iterations):
-            # KKT residuals.
+            # KKT residuals (eqs 19.2a-d, qp.cc:391-420).
             r_d = []
             for i in range(n):
-                acc = c[i] - jx[i] * y
+                acc = c[i]
+                for k in range(m):
+                    acc = acc - Jeq[k][i] * y[k]
                 for j in range(n):
                     acc = acc + (G[i][j] if i >= j else G[j][i]) * x[j]
                 r_d.append(acc)
-            for j in range(ncon):
-                r_d[j + 1] = r_d[j + 1] - z_lo[j] + z_hi[j]
-            r_pe = b_eq
-            for j in range(n):
-                r_pe = r_pe + jx[j] * x[j]
-            r_pi_lo = [x[j + 1] + ib_lo[j] - s_lo[j] for j in range(ncon)]
-            r_pi_hi = [-x[j + 1] + ib_hi[j] - s_hi[j] for j in range(ncon)]
-            r_c_lo = [s_lo[j] * z_lo[j] for j in range(ncon)]
-            r_c_hi = [s_hi[j] * z_hi[j] for j in range(ncon)]
+            for j, (i, _) in enumerate(lo_list):
+                r_d[i] = r_d[i] - z_lo[j]
+            for j, (i, _) in enumerate(hi_list):
+                r_d[i] = r_d[i] + z_hi[j]
+            r_pe = []
+            for k in range(m):
+                acc = beq[k]
+                for j in range(n):
+                    acc = acc + Jeq[k][j] * x[j]
+                r_pe.append(acc)
+            r_pi_lo = [
+                x[i] + ib_lo[j] - s_lo[j] for j, (i, _) in enumerate(lo_list)
+            ]
+            r_pi_hi = [
+                -x[i] + ib_hi[j] - s_hi[j] for j, (i, _) in enumerate(hi_list)
+            ]
+            r_c_lo = [s_lo[j] * z_lo[j] for j in range(n_lo)]
+            r_c_hi = [s_hi[j] * z_hi[j] for j in range(n_hi)]
 
-            sig_lo = [z_lo[j] / s_lo[j] for j in range(ncon)]
-            sig_hi = [z_hi[j] / s_hi[j] for j in range(ncon)]
+            sig_lo = [z_lo[j] / s_lo[j] for j in range(n_lo)]
+            sig_hi = [z_hi[j] / s_hi[j] for j in range(n_hi)]
             H = assemble(sig_lo, sig_hi)
             Lf, df = _ldlt_factor_unrolled(H)
 
@@ -274,29 +390,37 @@ def _make_kernel(
                 """Variable elimination + condensed solve + back-substitution
                 for a given barrier value and Mehrotra corrector terms."""
                 r_aug = list(r_d)
-                for j in range(ncon):
-                    r_aug[j + 1] = (
-                        r_aug[j + 1]
+                for j, (i, _) in enumerate(lo_list):
+                    r_aug[i] = (
+                        r_aug[i]
                         + sig_lo[j] * r_pi_lo[j]
                         + (r_c_lo[j] + corr_lo[j] - mu_v) / s_lo[j]
+                    )
+                for j, (i, _) in enumerate(hi_list):
+                    r_aug[i] = (
+                        r_aug[i]
                         - sig_hi[j] * r_pi_hi[j]
                         - (r_c_hi[j] + corr_hi[j] - mu_v) / s_hi[j]
                     )
-                rhs = [-v for v in r_aug] + [-r_pe]
+                rhs = [-v for v in r_aug] + [-v for v in r_pe]
                 sol = _ldlt_apply(Lf, df, rhs)
                 dx_v = sol[:n]
-                dy_v = -sol[n]
-                ds_lo_v = [dx_v[j + 1] + r_pi_lo[j] for j in range(ncon)]
-                ds_hi_v = [-dx_v[j + 1] + r_pi_hi[j] for j in range(ncon)]
+                dy_v = [-sol[n + k] for k in range(m)]
+                ds_lo_v = [
+                    dx_v[i] + r_pi_lo[j] for j, (i, _) in enumerate(lo_list)
+                ]
+                ds_hi_v = [
+                    -dx_v[i] + r_pi_hi[j] for j, (i, _) in enumerate(hi_list)
+                ]
                 dz_lo_v = [
                     -sig_lo[j] * ds_lo_v[j]
                     - (r_c_lo[j] + corr_lo[j] - mu_v) / s_lo[j]
-                    for j in range(ncon)
+                    for j in range(n_lo)
                 ]
                 dz_hi_v = [
                     -sig_hi[j] * ds_hi_v[j]
                     - (r_c_hi[j] + corr_hi[j] - mu_v) / s_hi[j]
-                    for j in range(ncon)
+                    for j in range(n_hi)
                 ]
                 return dx_v, dy_v, ds_lo_v, ds_hi_v, dz_lo_v, dz_hi_v
 
@@ -308,73 +432,80 @@ def _make_kernel(
                     alpha = jnp.minimum(alpha, jnp.where(blocking, cand, one))
                 return alpha
 
-            zeros_c = [zero] * ncon
-            if barrier == "mpc" and ncon > 0:
+            zeros_lo = [zero] * n_lo
+            zeros_hi = [zero] * n_hi
+            if barrier == "mpc":
                 # Mehrotra predictor-corrector, algorithm 16.4 / eq 19.22
                 # (same math as qp.cc:170-188): affine probe with mu = 0,
                 # sigma = (mu_aff / mu)^3, corrector diag(ds_aff) dz_aff.
                 dxa, dya, dsl_a, dsh_a, dzl_a, dzh_a = solve_step(
-                    zero, zeros_c, zeros_c
+                    zero, zeros_lo, zeros_hi
                 )
                 ap_a = ftb(s_lo + s_hi, dsl_a + dsh_a, 1.0)
                 ad_a = ftb(z_lo + z_hi, dzl_a + dzh_a, 1.0)
-                M = 2 * ncon
                 mu_aff = zero
-                for j in range(ncon):
-                    mu_aff = mu_aff + (s_lo[j] + ap_a * dsl_a[j]) * (
-                        z_lo[j] + ad_a * dzl_a[j]
-                    )
-                    mu_aff = mu_aff + (s_hi[j] + ap_a * dsh_a[j]) * (
-                        z_hi[j] + ad_a * dzh_a[j]
-                    )
-                mu_aff = jnp.maximum(mu_aff / M, 0.0)
+                for t in _interleave(
+                    [
+                        (s_lo[j] + ap_a * dsl_a[j]) * (z_lo[j] + ad_a * dzl_a[j])
+                        for j in range(n_lo)
+                    ],
+                    [
+                        (s_hi[j] + ap_a * dsh_a[j]) * (z_hi[j] + ad_a * dzh_a[j])
+                        for j in range(n_hi)
+                    ],
+                ):
+                    mu_aff = mu_aff + t
+                mu_aff = jnp.maximum(mu_aff / ncon, 0.0)
                 sigma = (mu_aff / mu) ** 3
                 mu_used = sigma * mu
-                corr_lo = [dsl_a[j] * dzl_a[j] for j in range(ncon)]
-                corr_hi = [dsh_a[j] * dzh_a[j] for j in range(ncon)]
+                corr_lo = [dsl_a[j] * dzl_a[j] for j in range(n_lo)]
+                corr_hi = [dsh_a[j] * dzh_a[j] for j in range(n_hi)]
                 dx, dy, ds_lo, ds_hi, dz_lo, dz_hi = solve_step(
                     mu_used, corr_lo, corr_hi
                 )
             else:
                 dx, dy, ds_lo, ds_hi, dz_lo, dz_hi = solve_step(
-                    mu, zeros_c, zeros_c
+                    mu, zeros_lo, zeros_hi
                 )
 
             ap = ftb(s_lo + s_hi, ds_lo + ds_hi, tau)
             ad = ftb(z_lo + z_hi, dz_lo + dz_hi, tau)
             x = [x[i] + ap * dx[i] for i in range(n)]
-            s_lo = [s_lo[j] + ap * ds_lo[j] for j in range(ncon)]
-            s_hi = [s_hi[j] + ap * ds_hi[j] for j in range(ncon)]
-            y = y + ad * dy
-            z_lo = [z_lo[j] + ad * dz_lo[j] for j in range(ncon)]
-            z_hi = [z_hi[j] + ad * dz_hi[j] for j in range(ncon)]
-            if ncon > 0:
-                comp = sum(
-                    s_lo[j] * z_lo[j] + s_hi[j] * z_hi[j] for j in range(ncon)
-                ) / (2 * ncon)
-                mu = 0.1 * comp
-        return x, jnp.abs(y)
+            s_lo = [s_lo[j] + ap * ds_lo[j] for j in range(n_lo)]
+            s_hi = [s_hi[j] + ap * ds_hi[j] for j in range(n_hi)]
+            y = [y[k] + ad * dy[k] for k in range(m)]
+            z_lo = [z_lo[j] + ad * dz_lo[j] for j in range(n_lo)]
+            z_hi = [z_hi[j] + ad * dz_hi[j] for j in range(n_hi)]
+            comp = zero
+            for t in _interleave(
+                [s_lo[j] * z_lo[j] for j in range(n_lo)],
+                [s_hi[j] * z_hi[j] for j in range(n_hi)],
+            ):
+                comp = comp + t
+            mu = 0.1 * (comp / ncon)
+        return x, y
 
     def kernel(tgt_ref, x0_ref, out_ref, *hist_refs):
         # Blocks are (vars, 1, 8, 128): each per-variable tile fills all
         # 8 sublanes x 128 lanes of a VPU register (a (1, BB) row layout
         # would waste 7/8 of each vector op). ONE layout for both the
         # compiled TPU path and the CPU interpret path, so tests exercise
-        # exactly the production code (a round-1 interpreter miscomputation
-        # with this layout no longer reproduces; pinned by
-        # tests/test_pallas_ik.py).
-        tgt = [tgt_ref[i, 0] for i in range(family["target_rows"])]
+        # exactly the production code.
+        tgt = [tgt_ref[i, 0] for i in range(family.data_rows)]
         th = [x0_ref[i, 0] for i in range(n)]
-        one = jnp.ones_like(tgt[0])
-        zero = jnp.zeros_like(tgt[0])
+        one = jnp.ones_like(th[0])
+        zero = jnp.zeros_like(th[0])
 
         lam = 0.001 * one
         penalty = 0.01 * one
         restore = zero
 
         for it in range(max_iterations):
-            f_pre, rx, jx, G0, c = family["linearize"](th, tgt)
-            eq_pre = jnp.abs(rx)
+            f_pre, r_eq, Jeq, G0, c = family.linearize(th, tgt)
+            assert len(r_eq) == m and len(Jeq) == m
+            eq_pre = zero
+            for k in range(m):
+                eq_pre = eq_pre + jnp.abs(r_eq[k])
             if debug_history:
                 # errors_initial per outer iteration (the NLSIteration
                 # analog), for state-level parity against nls_solve.
@@ -384,14 +515,24 @@ def _make_kernel(
                 [G0[i][j] + (lam if i == j else zero) for j in range(i + 1)]
                 for i in range(n)
             ]
-            ib_lo = [th[j + 1] for j in range(ncon)]
-            ib_hi = [_PI - th[j + 1] for j in range(ncon)]
+            ib_lo = [th[i] - lo for (i, lo) in lo_list]
+            ib_hi = [hi - th[i] for (i, hi) in hi_list]
 
-            dx, y_abs = qp_solve(G, c, jx, rx, ib_lo, ib_hi, one, zero)
+            dx, y = qp_solve(G, c, Jeq, r_eq, ib_lo, ib_hi, one, zero)
 
-            penalty = jnp.where(y_abs > penalty, y_abs * 1.01, penalty)
             d_f = sum(c[i] * dx[i] for i in range(n))
-            d_eq = jnp.sign(rx) * sum(jx[i] * dx[i] for i in range(n))
+            if m > 0:
+                y_abs = jnp.abs(y[0])
+                for k in range(1, m):
+                    y_abs = jnp.maximum(y_abs, jnp.abs(y[k]))
+                penalty = jnp.where(y_abs > penalty, y_abs * 1.01, penalty)
+                d_eq = zero
+                for k in range(m):
+                    d_eq = d_eq + jnp.sign(r_eq[k]) * sum(
+                        Jeq[k][i] * dx[i] for i in range(n)
+                    )
+            else:
+                d_eq = zero
             dd = d_f + penalty * d_eq
             merit_pre = f_pre + penalty * eq_pre
 
@@ -436,8 +577,10 @@ def _make_kernel(
                             dead, (1.0 - valid.astype(one.dtype)) * (1.0 - accepted)
                         )
                         alpha = jnp.where(valid, a_new, alpha * 0.5)
-                cand = [_mod_pi(th[i] + alpha * dx[i]) for i in range(n)]
-                f_c, eq_c = family["errors"](cand, tgt)
+                cand = [th[i] + alpha * dx[i] for i in range(n)]
+                if family.retract is not None:
+                    cand = family.retract(cand)
+                f_c, eq_c = family.errors(cand, tgt)
                 merit_c = f_c + penalty * eq_c
                 ok = (merit_c <= merit_pre + 1e-4 * alpha * dd).astype(one.dtype)
                 take = ok * (1.0 - accepted) * (1.0 - dead)
@@ -458,6 +601,44 @@ def _make_kernel(
             out_ref[i, 0] = th[i]
 
     return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "family",
+        "max_iterations",
+        "qp_iterations",
+        "ls_iterations",
+        "line_search",
+        "barrier",
+        "debug_history",
+    ),
+)
+def fused_solve_batch(
+    family: FusedFamily,
+    data: jax.Array,  # (B, family.data_rows)
+    x0: jax.Array,  # (B, family.n)
+    max_iterations: int = 10,
+    qp_iterations: int = 6,
+    ls_iterations: int = 2,
+    line_search: str = "armijo",  # or "polynomial"
+    barrier: str = "mpc",  # or "complementarity"
+    # True additionally returns the per-outer-iteration (f, |eq|) history,
+    # shape (B, max_iterations, 2) -- the errors_initial trajectory, for
+    # state-level parity checks against nls_solve's recorded history.
+    debug_history: bool = False,
+):
+    """Solve B instances of a DSL-defined family with one fused kernel.
+
+    ``family`` must be a stable (module-level / cached) ``FusedFamily``
+    instance -- it is a static jit argument hashed by identity. Returns
+    (B, n), or ((B, n), (B, max_iterations, 2)) with ``debug_history``.
+    """
+    return _fused_solve(
+        family, data, x0, max_iterations, qp_iterations, ls_iterations,
+        line_search, barrier, debug_history,
+    )
 
 
 @functools.partial(
@@ -486,9 +667,6 @@ def fused_ik_solve_batch(
     # wrong basin under f32 -- fp-context-sensitive, see
     # tests/test_pallas_ik.py).
     barrier: str = "mpc",  # or "complementarity"
-    # True additionally returns the per-outer-iteration (f, |eq|) history,
-    # shape (B, max_iterations, 2) -- the errors_initial trajectory, for
-    # state-level parity checks against nls_solve's recorded history.
     debug_history: bool = False,
 ):
     """Solve B planar n-link IK instances with the fused kernel.
@@ -541,7 +719,8 @@ def _fused_solve(
 
     B = targets.shape[0]
     n = x0.shape[1]
-    t_rows = family["target_rows"]
+    assert n == family.n
+    t_rows = family.data_rows
     assert targets.shape[1] == t_rows
     kernel = _make_kernel(
         family, max_iterations, qp_iterations, ls_iterations,
@@ -575,6 +754,8 @@ def _fused_solve(
             )
         )
 
+    # Padding lanes start mid-range of the built-in IK families (reachable
+    # target, interior x0) so they converge benignly alongside real lanes.
     res = pl.pallas_call(
         kernel,
         grid=(grid,),
