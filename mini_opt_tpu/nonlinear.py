@@ -148,8 +148,10 @@ class NLSParams:
     # "cg" = matrix-free preconditioned conjugate-gradient Gauss-Newton step:
     # the (N, N) Hessian is never materialized ((J^T J + lambda I) v products
     # run through jvp/vjp of the stacked residual), which is the large-N path
-    # (1000+ pose graphs) the dense assembly cannot reach. Costs only -- no
-    # equality/inequality constraints.
+    # (1000+ pose graphs) the dense assembly cannot reach. Costs + diagonal
+    # box inequality constraints (handled by two-metric gradient projection:
+    # masked CG on the free set, projected line search); no equality
+    # constraints.
     qp_solver: str = "default"
     # CG iterations per outer step for qp_solver="cg" (fixed-trip scan).
     cg_iterations: int = 50
@@ -346,8 +348,25 @@ def _pcg(matvec, b, diag, iterations: int):
     return xk
 
 
+def _box_bounds(problem: Problem, dtype):
+    """Per-variable (lo, hi) bound vectors from the diagonal inequality list
+    (±inf where unbounded). ``a x_v + b >= 0`` gives ``x_v >= -b/a`` for
+    a > 0 and ``x_v <= -b/a`` for a < 0 (qp.hpp:28-70 semantics)."""
+    n = problem.dimension
+    lo = jnp.full((n,), -jnp.inf, dtype)
+    hi = jnp.full((n,), jnp.inf, dtype)
+    for c_ in problem.inequality_constraints:
+        a = jnp.asarray(c_.a, dtype)
+        bound = -jnp.asarray(c_.b, dtype) / a
+        v = c_.variable
+        lo = lo.at[v].set(jnp.where(a > 0, jnp.maximum(lo[v], bound), lo[v]))
+        hi = hi.at[v].set(jnp.where(a < 0, jnp.minimum(hi[v], bound), hi[v]))
+    return lo, hi
+
+
 def _cg_step_direction(
-    problem: Problem, x, lam, params: "NLSParams", diag_fn, axis_name=None
+    problem: Problem, x, lam, params: "NLSParams", diag_fn, axis_name=None,
+    bounds=None,
 ):
     """Matrix-free Gauss-Newton step: solve (JᵀJ + lam I) dx = -Jᵀr by PCG
     without materializing the Hessian. Returns (dx, errors_pre, grad).
@@ -378,7 +397,24 @@ def _cg_step_direction(
         diag = diag + lam
     else:
         diag = jnp.ones_like(g)
-    dx = _pcg(matvec, -g, diag, params.cg_iterations)
+
+    b = -g
+    mv = matvec
+    if bounds is not None:
+        # Two-metric gradient projection: variables pinned at a bound with a
+        # gradient pushing outward are frozen (dx_i = 0, the masked system is
+        # identity there); the Newton/CG model acts on the free set only, and
+        # the line search projects candidates back into the box.
+        lo, hi = bounds
+        free = ~(((x <= lo) & (g > 0)) | ((x >= hi) & (g < 0)))
+        fmask = free.astype(x.dtype)
+
+        def mv(v):  # noqa: F811 -- masked wrapper of matvec
+            return fmask * matvec(fmask * v) + (1.0 - fmask) * v
+
+        b = fmask * b
+        diag = jnp.where(free, diag, jnp.ones_like(diag))
+    dx = _pcg(mv, b, diag, params.cg_iterations)
     return dx, Errors(f=f_total, equality=jnp.zeros((), x.dtype)), g
 
 
@@ -807,10 +843,20 @@ def nls_solve(
     has_eq = len(problem.equality_constraints) > 0
     max_probes = params.max_line_search_iterations + 1
     use_cg = params.qp_solver == "cg"
+    cg_bounds = None
     if use_cg:
-        assert not problem.equality_constraints and not problem.inequality_constraints, (
-            "qp_solver='cg' is the unconstrained large-N Gauss-Newton path"
+        assert not problem.equality_constraints, (
+            "qp_solver='cg' supports costs and diagonal box inequality "
+            "constraints only (no equality constraints)"
         )
+        if problem.inequality_constraints:
+            cg_bounds = _box_bounds(problem, dtype)
+            x0 = jnp.clip(x0, cg_bounds[0], cg_bounds[1])
+            base_retraction = retraction
+
+            def retraction(x, dx, alpha, _base=base_retraction):
+                xc = _base(x, dx, alpha) if _base is not None else x + alpha * dx
+                return jnp.clip(xc, cg_bounds[0], cg_bounds[1])
 
     qp_params = QPInteriorPointParams(
         max_iterations=params.max_qp_iterations,
@@ -843,7 +889,8 @@ def nls_solve(
         # --- step direction (nonlinear.cc:216-259) -----------------------
         if use_cg:
             dx, errors_pre, grad = _cg_step_direction(
-                problem, x, lam, params, cg_diag_preconditioner, axis_name
+                problem, x, lam, params, cg_diag_preconditioner, axis_name,
+                cg_bounds,
             )
             qp_indefinite = ~jnp.all(jnp.isfinite(dx))
             dx = jnp.where(qp_indefinite, jnp.zeros_like(dx), dx)
