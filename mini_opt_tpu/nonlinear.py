@@ -315,6 +315,12 @@ def _stacked_residual(problem: Problem, x: jax.Array) -> jax.Array:
     return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
 
 
+def _stacked_equality(problem: Problem, x: jax.Array) -> jax.Array:
+    """All equality-constraint residuals as one flat vector."""
+    parts = [c_.error_vector(x) for c_ in problem.equality_constraints]
+    return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+
+
 def _pcg(matvec, b, diag, iterations: int):
     """Fixed-trip preconditioned conjugate gradient (Jacobi M = diag).
 
@@ -369,13 +375,25 @@ def _cg_step_direction(
     bounds=None,
 ):
     """Matrix-free Gauss-Newton step: solve (JᵀJ + lam I) dx = -Jᵀr by PCG
-    without materializing the Hessian. Returns (dx, errors_pre, grad).
+    without materializing the Hessian.
+    Returns (dx, errors_pre, derivatives, lagrange_l_inf).
 
     With ``axis_name`` (inside shard_map), the problem's cost blocks are a
     device-local partition of the global residual set: the gradient, the
     cost, every Hessian-vector product, and the preconditioner diagonal are
     psum-reduced, while x and the CG iterates stay replicated (the inner dot
-    products then need no collectives -- identical on every device)."""
+    products then need no collectives -- identical on every device).
+    Equality constraints stay replicated (not psum'd), matching the dense
+    path's A_eq assembly.
+
+    Equality constraints are handled by the projected-CG composite step
+    (Nocedal & Wright §16.3): a minimum-norm Newton restoration step
+    ``dx_p = -Aᵀ(AAᵀ)⁻¹ c`` plus a tangential step solved by CG inside
+    null(A) (the operator is the projected Hessian on range(P) and the
+    identity on the normal space, so plain PCG applies). ``A`` is the m×n
+    constraint Jacobian with m small; only the m×m ``AAᵀ`` is factored
+    (TPU-safe LDLT). Lagrange multipliers ``y = -(AAᵀ)⁻¹A(g + H dx)``
+    feed the eq-18.32 penalty update exactly like the IP path."""
     r0, vjp = jax.vjp(lambda xx: _stacked_residual(problem, xx), x)
     f_total = 0.5 * jnp.sum(r0 * r0)
     (g,) = vjp(r0)  # Jᵀ r
@@ -398,6 +416,7 @@ def _cg_step_direction(
     else:
         diag = jnp.ones_like(g)
 
+    has_eq = len(problem.equality_constraints) > 0
     b = -g
     mv = matvec
     if bounds is not None:
@@ -414,8 +433,44 @@ def _cg_step_direction(
 
         b = fmask * b
         diag = jnp.where(free, diag, jnp.ones_like(diag))
-    dx = _pcg(mv, b, diag, params.cg_iterations)
-    return dx, Errors(f=f_total, equality=jnp.zeros((), x.dtype)), g
+    if not has_eq:
+        dx = _pcg(mv, b, diag, params.cg_iterations)
+        derivatives = DirectionalDerivatives(
+            d_f=jnp.dot(g, dx), d_equality=jnp.zeros((), x.dtype)
+        )
+        return dx, Errors(f=f_total, equality=jnp.zeros((), x.dtype)), \
+            derivatives, None
+
+    from .ops.kkt import ldlt_factorize, ldlt_solve
+
+    c0 = _stacked_equality(problem, x)
+    A = jax.jacrev(lambda xx: _stacked_equality(problem, xx))(x)  # (m, n)
+    fact, fact_ok = ldlt_factorize(A @ A.T)
+    bad = jnp.where(fact_ok, 0.0, jnp.nan).astype(x.dtype)
+
+    def solve_nrm(rhs):  # (AAᵀ)⁻¹ rhs; NaN on rank deficiency -> status path
+        return ldlt_solve(fact, rhs) + bad
+
+    def proj(v):  # P v = v - Aᵀ(AAᵀ)⁻¹A v  (orthogonal projector onto null(A))
+        return v - A.T @ solve_nrm(A @ v)
+
+    dx_p = -(A.T @ solve_nrm(c0))  # minimum-norm constraint-restoration step
+    b_t = proj(-(g + matvec(dx_p)))
+
+    def mv_t(v):  # projected Hessian on range(P), identity on the complement
+        pv = proj(v)
+        return proj(matvec(pv)) + (v - pv)
+
+    dx_t = _pcg(mv_t, b_t, diag, params.cg_iterations)
+    dx = dx_p + dx_t
+    y = -solve_nrm(A @ (g + matvec(dx)))  # first-order multiplier estimate
+    derivatives = DirectionalDerivatives(
+        d_f=jnp.dot(g, dx),
+        # nonlinear.cc:457-482 semantics: d|c + alpha A dx|/d alpha at 0.
+        d_equality=jnp.sum(jnp.sign(c0) * (A @ dx)),
+    )
+    errors = Errors(f=f_total, equality=jnp.sum(jnp.abs(c0)))
+    return dx, errors, derivatives, jnp.max(jnp.abs(y))
 
 
 def compute_second_order_correction(
@@ -845,9 +900,12 @@ def nls_solve(
     use_cg = params.qp_solver == "cg"
     cg_bounds = None
     if use_cg:
-        assert not problem.equality_constraints, (
-            "qp_solver='cg' supports costs and diagonal box inequality "
-            "constraints only (no equality constraints)"
+        assert not (
+            problem.equality_constraints and problem.inequality_constraints
+        ), (
+            "qp_solver='cg' supports equality constraints (projected CG) or "
+            "diagonal box inequality constraints (gradient projection), but "
+            "not both in one problem"
         )
         if problem.inequality_constraints:
             cg_bounds = _box_bounds(problem, dtype)
@@ -888,7 +946,7 @@ def nls_solve(
         )
         # --- step direction (nonlinear.cc:216-259) -----------------------
         if use_cg:
-            dx, errors_pre, grad = _cg_step_direction(
+            dx, errors_pre, derivatives, lagrange_l_inf = _cg_step_direction(
                 problem, x, lam, params, cg_diag_preconditioner, axis_name,
                 cg_bounds,
             )
@@ -902,9 +960,6 @@ def nls_solve(
             qp_iters = jnp.int32(params.cg_iterations)
             qp_kkt_final = jnp.zeros((), dtype)
             qp_hist_row = None
-            derivatives = DirectionalDerivatives(
-                d_f=jnp.dot(grad, dx), d_equality=jnp.zeros((), dtype)
-            )
         elif params.fuse_probe_linearize:
             qp_raw, errors_pre = carry.lin
             qp = _damp(qp_raw, lam)
@@ -979,8 +1034,13 @@ def nls_solve(
 
         # --- penalty update (nonlinear.cc:112-118) -----------------------
         if has_eq:
+            # CG path: no QP object; select_penalty takes the eq-18.32
+            # multiplier branch (lagrange_l_inf is always available there).
             new_penalty = select_penalty(
-                qp, dx, lagrange_l_inf, params.equality_penalty_rho
+                None if use_cg else qp,
+                dx,
+                lagrange_l_inf,
+                params.equality_penalty_rho,
             )
             penalty = jnp.where(
                 new_penalty > penalty,
