@@ -74,21 +74,31 @@ def make_pose_graph_problem(
     measurements: jax.Array,  # (E, 3): (dx, dy, dtheta) in frame i
     weights: jax.Array,  # (E,) or (E, 3)
     anchor_weight: float = 100.0,
+    hard_anchor: bool = False,
 ) -> Problem:
     """Build the pose-graph Problem. Pose p occupies variables
-    [3p, 3p+1, 3p+2]. Pose 0 is softly anchored at the origin."""
+    [3p, 3p+1, 3p+2]. Pose 0 fixes the gauge: softly (a weighted prior cost,
+    default) or exactly (``hard_anchor=True``: a 3-row equality constraint,
+    solved by the projected-CG path when ``qp_solver='cg'``)."""
     data = _edge_data(measurements, weights)
     indices = _edge_indices(edges_ij)
 
     def anchor(xl):
         return anchor_weight * jnp.stack([xl[0], xl[1], _wrap(xl[2])])
 
+    def gauge(xl):
+        return jnp.stack([xl[0], xl[1], _wrap(xl[2])])
+
+    block = BlockResidual(fn=_edge_residual, indices=indices, dim=3, data=data)
+    if hard_anchor:
+        return Problem(
+            dimension=3 * n_poses,
+            costs=(block,),
+            equality_constraints=(make_residual([0, 1, 2], gauge, 3),),
+        )
     return Problem(
         dimension=3 * n_poses,
-        costs=(
-            BlockResidual(fn=_edge_residual, indices=indices, dim=3, data=data),
-            make_residual([0, 1, 2], anchor, 3),
-        ),
+        costs=(block, make_residual([0, 1, 2], anchor, 3)),
     )
 
 
@@ -166,21 +176,32 @@ def solve_pose_graph_large(
     x0: jax.Array,
     params: Optional[NLSParams] = None,
     cg_iterations: int = 100,
+    hard_anchor: bool = False,
 ) -> NLSResult:
     """Large-N path: matrix-free Jacobi-preconditioned CG Gauss-Newton. The
     (3N, 3N) Hessian is never materialized, so graphs of thousands of poses
     fit where the dense path's O(N^2) assembly cannot. The dense reference
     (all-dense Eigen, README.md:35-38 'no sparse solvers') has no counterpart
-    at this scale."""
+    at this scale.
+
+    ``hard_anchor=True`` fixes the gauge exactly (pose 0 == origin) via the
+    projected-CG equality path instead of the soft prior."""
     import dataclasses
 
-    problem = make_pose_graph_problem(n_poses, edges_ij, measurements, weights)
+    problem = make_pose_graph_problem(
+        n_poses, edges_ij, measurements, weights, hard_anchor=hard_anchor
+    )
     if params is None:
         params = default_pose_graph_params(x0.dtype)
     params = dataclasses.replace(
         params, qp_solver="cg", cg_iterations=cg_iterations
     )
-    diag_fn = make_jacobi_preconditioner(edges_ij, measurements, weights)
+    diag_fn = make_jacobi_preconditioner(
+        edges_ij,
+        measurements,
+        weights,
+        anchor_weight=0.0 if hard_anchor else 100.0,
+    )
     return nls_solve(
         problem,
         params,

@@ -255,3 +255,43 @@ def test_large_pose_graph_cg():
     drift0 = np.abs(x0 - gt)[:, :2].max()
     driftf = np.abs(xf - gt)[:, :2].max()
     assert driftf < 0.2 * drift0, (drift0, driftf)
+
+
+def test_hard_anchor_gauge_equality():
+    """hard_anchor=True replaces the soft prior with a 3-row equality
+    constraint solved by the projected-CG path: pose 0 lands EXACTLY at the
+    origin (the soft prior leaves a ~1/weight^2 residual pull) and the edge
+    cost matches the soft-anchor solution."""
+    from mini_opt_tpu.models.pose_graph import solve_pose_graph_large
+
+    n = 80
+    gt, edges, meas, x0 = _circle_graph(n, seed=3, noise=0.02, loop_every=20)
+    w = jnp.ones((len(edges),))
+    r_soft = solve_pose_graph_large(
+        n, edges, jnp.asarray(meas), w, jnp.asarray(x0.ravel()),
+        cg_iterations=200,
+    )
+    r_hard = solve_pose_graph_large(
+        n, edges, jnp.asarray(meas), w, jnp.asarray(x0.ravel()),
+        cg_iterations=200, hard_anchor=True,
+    )
+    x_hard = np.asarray(r_hard.x).reshape(n, 3)
+    # Gauge fixed exactly (projected-CG restoration step).
+    np.testing.assert_allclose(x_hard[0], 0.0, atol=1e-10)
+    # Soft-anchor pose 0 is NOT exactly at the origin (weight is finite).
+    x_soft = np.asarray(r_soft.x).reshape(n, 3)
+    assert np.abs(x_soft[0]).max() > 1e-9
+    # Same edge cost: the hard-anchor f counts only edges; subtract the
+    # soft path's anchor contribution for comparison.
+    anchor_f = 0.5 * float(100.0**2 * np.sum(x_soft[0] ** 2))
+    f_soft_edges = float(r_soft.errors.f) - anchor_f
+    np.testing.assert_allclose(
+        float(r_hard.errors.f), f_soft_edges, rtol=1e-3
+    )
+    # And the recovered trajectory is as good as the soft-anchor one (this
+    # graph is noise-limited, so compare to the soft path, not an absolute).
+    drift_hard = np.abs(x_hard - gt)[:, :2].max()
+    drift_soft = np.abs(x_soft - gt)[:, :2].max()
+    drift0 = np.abs(x0 - gt)[:, :2].max()
+    assert drift_hard < drift0, (drift0, drift_hard)
+    assert drift_hard < drift_soft * 1.01, (drift_soft, drift_hard)
