@@ -224,16 +224,126 @@ def run_himmelblau(dtype, kkt_solver, label):
     )
 
 
+def run_cg_constrained(dtype, label):
+    """The matrix-free CG constraint paths on-chip: (a) projected-CG equality
+    (n=300 linear LS + 5 constraints vs the analytic KKT solution), (b)
+    two-metric gradient projection box bounds (vs feasibility + projected-
+    gradient optimality). Everything aggregates on device; scalars fetched."""
+    import dataclasses
+
+    from mini_opt_tpu import Var, make_residual
+    from mini_opt_tpu.nonlinear import NLSParams, Problem, nls_solve
+
+    rng = np.random.default_rng(12)
+    n, m, k = 300, 450, 5
+    A = rng.normal(0, 1.0, (m, n)) / np.sqrt(m)
+    b = rng.normal(0, 1.0, m)
+    C = rng.normal(0, 1.0, (k, n))
+    d = rng.normal(0, 0.5, k)
+    KKT = np.block([[A.T @ A, C.T], [C, np.zeros((k, k))]])
+    x_star = np.linalg.solve(KKT, np.concatenate([A.T @ b, d]))[:n]
+
+    Aj, bj, Cj, dj = (jnp.asarray(v, dtype) for v in (A, b, C, d))
+    prob_eq = Problem(
+        dimension=n,
+        costs=(make_residual(list(range(n)), lambda p: Aj @ p - bj, m),),
+        equality_constraints=(
+            make_residual(list(range(n)), lambda p: Cj @ p - dj, k),
+        ),
+    )
+    params = NLSParams(
+        max_iterations=20,
+        max_qp_iterations=1,
+        absolute_exit_tol=1e-14,
+        relative_exit_tol=1e-13,
+        qp_solver="cg",
+        cg_iterations=300,
+        lambda_initial=1e-9,
+        record_history=False,
+        early_exit=False,
+    )
+    t0 = time.time()
+    res = jax.jit(lambda x: nls_solve(prob_eq, params, x))(jnp.zeros((n,), dtype))
+    stats = np.asarray(
+        jnp.stack(
+            [
+                jnp.max(jnp.abs(res.x - jnp.asarray(x_star, dtype))),
+                jnp.max(jnp.abs(Cj @ res.x - dj)),
+            ]
+        )
+    )
+    emit(
+        experiment=f"cg_equality_{label}",
+        backend=jax.default_backend(),
+        dtype=str(jnp.dtype(dtype)),
+        n=n,
+        x_err_max=float(stats[0]),
+        constraint_violation_max=float(stats[1]),
+        wall_s=round(time.time() - t0, 1),
+    )
+
+    box = 0.1
+    prob_box = Problem(
+        dimension=n,
+        costs=(make_residual(list(range(n)), lambda p: Aj @ p - bj, m),),
+        inequality_constraints=tuple(
+            c_ for i in range(n) for c_ in (Var(i) >= -box, Var(i) <= box)
+        ),
+    )
+    params_box = dataclasses.replace(params, max_iterations=40)
+    t0 = time.time()
+    rb = jax.jit(lambda x: nls_solve(prob_box, params_box, x))(
+        jnp.zeros((n,), dtype)
+    )
+    g = Aj.T @ (Aj @ rb.x - bj)
+    up = rb.x >= box - 1e-9
+    dn = rb.x <= -box + 1e-9
+    pg = jnp.where(up & (g < 0), 0.0, jnp.where(dn & (g > 0), 0.0, g))
+    stats = np.asarray(
+        jnp.stack(
+            [
+                jnp.max(jnp.abs(rb.x)) - box,
+                jnp.max(jnp.abs(pg)),
+                jnp.sum((up | dn).astype(dtype)),
+            ]
+        )
+    )
+    emit(
+        experiment=f"cg_box_{label}",
+        backend=jax.default_backend(),
+        dtype=str(jnp.dtype(dtype)),
+        n=n,
+        feasibility_excess=float(stats[0]),
+        projected_grad_max=float(stats[1]),
+        active_bounds=int(stats[2]),
+        wall_s=round(time.time() - t0, 1),
+    )
+
+
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--only",
+        default="all",
+        choices=["all", "qp", "nls", "cg"],
+        help="subset: qp sweeps / nls families / cg constraint paths",
+    )
+    args = ap.parse_args()
     log(f"backend={jax.default_backend()}")
-    # --- f64 on TPU at reference tolerances --------------------------------
-    run_qp_sweep(jnp.float64, "ldlt", 1e-12, "f64")
-    run_rosenbrock(jnp.float64, "ldlt", "f64")
-    run_himmelblau(jnp.float64, "ldlt", "f64")
-    # --- f32 + iterative refinement ---------------------------------------
-    run_qp_sweep(jnp.float32, "ldlt_ir", 1e-6, "f32_ir")
-    run_qp_sweep(jnp.float32, "ldlt", 1e-6, "f32")
-    run_himmelblau(jnp.float32, "ldlt_ir", "f32_ir")
+    if args.only in ("all", "qp"):
+        # --- f64 on TPU at reference tolerances ----------------------------
+        run_qp_sweep(jnp.float64, "ldlt", 1e-12, "f64")
+        # --- f32 + iterative refinement ------------------------------------
+        run_qp_sweep(jnp.float32, "ldlt_ir", 1e-6, "f32_ir")
+        run_qp_sweep(jnp.float32, "ldlt", 1e-6, "f32")
+    if args.only in ("all", "nls"):
+        run_rosenbrock(jnp.float64, "ldlt", "f64")
+        run_himmelblau(jnp.float64, "ldlt", "f64")
+        run_himmelblau(jnp.float32, "ldlt_ir", "f32_ir")
+    if args.only in ("all", "cg"):
+        run_cg_constrained(jnp.float64, "f64")
     return 0
 
 
