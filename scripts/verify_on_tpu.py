@@ -125,20 +125,22 @@ def run_rosenbrock(dtype, kkt_solver, label):
         return jnp.stack([10.0 * (xy[1] - xy[0] * xy[0]), 1.0 - xy[0]])
 
     problem = Problem(dimension=2, costs=(make_residual([0, 1], rosen, 2),))
-    # Reference test config (nonlinear_test.cc:390-424): 9 starts, <= 10
-    # iterations, absolute tol satisfied, solution (1, 1).
+    # Reference test config (nonlinear_test.cc:390-424 == the suite's
+    # test_rosenbrock_unconstrained, which passes 9/9): 5 iterations, default
+    # exit tolerances, solution (1, 1).
     params = NLSParams(
-        max_iterations=10,
+        max_iterations=5,
         max_qp_iterations=1,
-        absolute_exit_tol=1e-12,
         record_history=False,
         early_exit=False,
         kkt_solver=kkt_solver,
     )
+    # The reference's 9 guesses (nonlinear_test.cc:403-423), which its test
+    # asserts converge within 5 outer iterations.
     starts = jnp.asarray(
         [
-            [-1.5, -1.5], [-1.5, 0.0], [-1.5, 1.5], [0.0, -1.5], [0.0, 0.0],
-            [0.0, 1.5], [1.5, -1.5], [1.5, 0.0], [1.5, 1.5],
+            [-5.0, -3.0], [10.0, 8.0], [-20.0, 3.0], [0.0, -5.0], [4.0, 0.0],
+            [100.0, 50.0], [-35.0, 40.0], [1000.0, -50.0], [0.8, -0.3],
         ],
         dtype,
     )
@@ -187,10 +189,14 @@ def run_himmelblau(dtype, kkt_solver, label):
             Var(0) >= -5.0, Var(0) <= 5.0, Var(1) >= -5.0, Var(1) <= 5.0,
         ),
     )
+    # The suite's HIMMELBLAU_PARAMS (tests/test_nonlinear.py), which pass the
+    # full grid at 5e-5 -- relative + first-order exits, not absolute.
     params = NLSParams(
         max_iterations=20,
         max_qp_iterations=10,
-        absolute_exit_tol=1e-12,
+        relative_exit_tol=1e-12,
+        absolute_first_derivative_tol=1e-8,
+        termination_kkt_tolerance=1e-6,
         record_history=False,
         early_exit=False,
         kkt_solver=kkt_solver,
