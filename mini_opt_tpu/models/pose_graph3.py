@@ -1,0 +1,211 @@
+"""Third model family: 3-D (SE(3)) pose-graph optimization.
+
+Extends the SE(2) family (pose_graph.py) to full 6-DoF poses: pose i is
+(t_i in R^3, w_i in R^3) with w a rotation vector (axis * angle, the SO(3)
+log). One ``BlockResidual`` holds every relative-pose edge; the retraction
+renormalizes rotation vectors through the quaternion exp/log round trip so
+|w| stays <= pi. Large graphs run matrix-free through ``qp_solver="cg"``
+exactly like the SE(2) family; ``hard_anchor=True`` pins the gauge through
+the projected-CG equality path.
+
+No analog in the reference (kinematics-only test tree); built on the same
+SO(3) utilities the actuator-chain family uses (utils/so3.py, the
+geometry_utils equivalents: /root/reference/test/transform_chains.cc:57-110
+usage of QuaternionExp / Skew3).
+
+Edge (i, j) with measurement (dt in frame i, dw as a rotation vector):
+
+    r_t = w_t * ( R(w_i)^T (t_j - t_i) - dt )
+    r_R = w_r * log( (R(w_i) R(dw))^T R(w_j) )
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..nonlinear import NLSParams, Problem, nls_solve
+from ..residual import BlockResidual, make_residual
+from ..structs import LineSearchStrategy, NLSResult
+from ..utils.so3 import (
+    quat_conjugate,
+    quat_exp,
+    quat_log,
+    quat_multiply,
+    quat_rotate,
+)
+
+
+def _edge_residual3(xl, row):
+    """6-row relative-pose residual of one SE(3) edge.
+
+    xl = (t_i(3), w_i(3), t_j(3), w_j(3)); row = (dt(3), dw(3), w_t, w_r).
+    """
+    ti, wi = xl[0:3], xl[3:6]
+    tj, wj = xl[6:9], xl[9:12]
+    dt, dw = row[0:3], row[3:6]
+    wt, wr = row[6], row[7]
+    qi = quat_exp(wi)
+    qj = quat_exp(wj)
+    r_t = quat_rotate(quat_conjugate(qi), tj - ti) - dt
+    q_pred = quat_multiply(qi, quat_exp(dw))  # predicted world rotation of j
+    r_r = quat_log(quat_multiply(quat_conjugate(q_pred), qj))
+    return jnp.concatenate([wt * r_t, wr * r_r])
+
+
+def _edge_data3(measurements, weights):
+    """(E, 8) data rows from (E, 6) measurements and (E,) | (E, 2) weights."""
+    measurements = jnp.asarray(measurements)
+    weights = jnp.asarray(weights, measurements.dtype)
+    if weights.ndim == 1:
+        weights = weights[:, None] * jnp.ones((1, 2), weights.dtype)
+    return jnp.concatenate([measurements, weights], axis=1)
+
+
+def _edge_indices3(edges_ij):
+    import numpy as np
+
+    edges = np.asarray(edges_ij, dtype=np.int64)
+    return tuple(
+        tuple(int(v) for v in list(range(6 * i, 6 * i + 6)) + list(range(6 * j, 6 * j + 6)))
+        for i, j in edges
+    )
+
+
+def make_pose_graph3_problem(
+    n_poses: int,
+    edges_ij,  # (E, 2) int array-like
+    measurements: jax.Array,  # (E, 6): (dt(3) in frame i, dw(3) rotation vec)
+    weights: jax.Array,  # (E,) or (E, 2): (translation, rotation) weights
+    anchor_weight: float = 100.0,
+    hard_anchor: bool = False,
+) -> Problem:
+    """Pose p occupies variables [6p, 6p+6). Pose 0 fixes the gauge, softly
+    (prior cost) or exactly (6-row equality constraint, ``hard_anchor``)."""
+    data = _edge_data3(measurements, weights)
+    indices = _edge_indices3(edges_ij)
+
+    def gauge(xl):
+        return jnp.concatenate([xl[0:3], quat_log(quat_exp(xl[3:6]))])
+
+    def anchor(xl):
+        return anchor_weight * gauge(xl)
+
+    block = BlockResidual(fn=_edge_residual3, indices=indices, dim=6, data=data)
+    if hard_anchor:
+        return Problem(
+            dimension=6 * n_poses,
+            costs=(block,),
+            equality_constraints=(make_residual(list(range(6)), gauge, 6),),
+        )
+    return Problem(
+        dimension=6 * n_poses,
+        costs=(block, make_residual(list(range(6)), anchor, 6)),
+    )
+
+
+def make_jacobi_preconditioner3(
+    edges_ij,
+    measurements: jax.Array,
+    weights: jax.Array,
+    anchor_weight: float = 100.0,
+):
+    """Exact diag(JᵀJ): per-edge 6x12 Jacobians squared, scatter-added at
+    constant indices (same block-sparse-diagonal pattern as the SE(2)
+    family's preconditioner)."""
+    import numpy as np
+
+    data = _edge_data3(measurements, weights)
+    idx = jnp.asarray(np.asarray(_edge_indices3(edges_ij), dtype=np.int32))
+
+    def diag_fn(x):
+        def one(row_idx, row_data):
+            xl = x[row_idx]
+            J = jax.jacfwd(lambda v: _edge_residual3(v, row_data))(xl)
+            return jnp.sum(J * J, axis=0)
+
+        contrib = jax.vmap(one)(idx, data)  # (E, 12)
+        d = jnp.zeros_like(x).at[idx.ravel()].add(contrib.ravel())
+        d = d.at[:6].add(anchor_weight * anchor_weight)
+        return jnp.maximum(d, jnp.asarray(1e-12, x.dtype))
+
+    return diag_fn
+
+
+def pose_graph3_retraction(x, dx, alpha):
+    """Additive update; rotation vectors renormalized through the quaternion
+    exp/log round trip so every |w| stays in [0, pi] (the SO(3) analog of the
+    SE(2) family's heading wrap)."""
+    x_new = x + alpha * dx
+    n = x.shape[0] // 6
+    ws = x_new.reshape(n, 6)[:, 3:6]
+    ws = jax.vmap(lambda w: quat_log(quat_exp(w)))(ws)
+    return x_new.reshape(n, 6).at[:, 3:6].set(ws).reshape(-1)
+
+
+def default_pose_graph3_params(dtype=jnp.float64, max_iterations: int = 30) -> NLSParams:
+    return NLSParams(
+        max_iterations=max_iterations,
+        max_qp_iterations=1,  # unconstrained: one GN step per outer iteration
+        absolute_exit_tol=1e-12,
+        relative_exit_tol=1e-10,
+        max_line_search_iterations=8,
+        line_search_strategy=LineSearchStrategy.ARMIJO_BACKTRACK,
+        armijo_search_tau=0.5,
+        lambda_initial=1e-4,
+        min_lambda=1e-10,
+    )
+
+
+def solve_pose_graph3(
+    n_poses: int,
+    edges_ij,
+    measurements: jax.Array,
+    weights: jax.Array,
+    x0: jax.Array,
+    params: Optional[NLSParams] = None,
+) -> NLSResult:
+    """Dense path (one-hot MXU assembly); graphs up to a few hundred poses."""
+    problem = make_pose_graph3_problem(n_poses, edges_ij, measurements, weights)
+    if params is None:
+        params = default_pose_graph3_params(x0.dtype)
+    return nls_solve(problem, params, x0, retraction=pose_graph3_retraction)
+
+
+def solve_pose_graph3_large(
+    n_poses: int,
+    edges_ij,
+    measurements: jax.Array,
+    weights: jax.Array,
+    x0: jax.Array,
+    params: Optional[NLSParams] = None,
+    cg_iterations: int = 100,
+    hard_anchor: bool = False,
+) -> NLSResult:
+    """Large-N path: matrix-free Jacobi-PCG Gauss-Newton over the edge set
+    (the 6N x 6N Hessian is never materialized)."""
+    import dataclasses
+
+    problem = make_pose_graph3_problem(
+        n_poses, edges_ij, measurements, weights, hard_anchor=hard_anchor
+    )
+    if params is None:
+        params = default_pose_graph3_params(x0.dtype)
+    params = dataclasses.replace(
+        params, qp_solver="cg", cg_iterations=cg_iterations
+    )
+    diag_fn = make_jacobi_preconditioner3(
+        edges_ij,
+        measurements,
+        weights,
+        anchor_weight=0.0 if hard_anchor else 100.0,
+    )
+    return nls_solve(
+        problem,
+        params,
+        x0,
+        retraction=pose_graph3_retraction,
+        cg_diag_preconditioner=diag_fn,
+    )

@@ -96,9 +96,14 @@ def quat_log(q: jax.Array) -> jax.Array:
     q = jnp.where(q[..., 0:1] < 0, -q, q)  # take the short arc
     w = jnp.clip(q[..., 0:1], -1.0, 1.0)
     v = q[..., 1:4]
-    vn = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    # tiny floor (same rationale as quat_exp): norm at exactly 0 has an
+    # undefined derivative whose 0/0 = NaN poisons REVERSE-mode gradients
+    # even when the cotangent is zero and the small branch is selected --
+    # vjp(|v|) evaluates v/|v| regardless.
+    vn_sq = jnp.sum(v * v, axis=-1, keepdims=True)
+    vn = jnp.sqrt(jnp.maximum(vn_sq, jnp.finfo(q.dtype).tiny))
     angle = 2.0 * jnp.arctan2(vn, w)
-    small = vn < 1e-12
+    small = vn_sq < 1e-24
     scale = jnp.where(small, 2.0 / jnp.where(small, 1.0, w), angle / jnp.where(small, 1.0, vn))
     return scale * v
 
