@@ -209,3 +209,96 @@ def solve_pose_graph3_large(
         retraction=pose_graph3_retraction,
         cg_diag_preconditioner=diag_fn,
     )
+
+
+def solve_pose_graph3_large_sharded(
+    mesh,
+    n_poses: int,
+    edges_ij,
+    measurements: jax.Array,
+    weights: jax.Array,
+    x0: jax.Array,
+    params: Optional[NLSParams] = None,
+    cg_iterations: int = 100,
+    axis: str = "mp",
+    anchor_weight: float = 100.0,
+) -> NLSResult:
+    """Edge-partitioned distributed SE(3) path (same design as the SE(2)
+    variant, pose_graph.py:solve_pose_graph_large_sharded): the edge set is
+    split across ``mesh`` axis ``axis`` (zero-weight padding rows when not
+    divisible), each device holds a local BlockResidual shard, and gradient /
+    Hessian-vector products / cost / Jacobi diagonal psum-reduce while x and
+    the CG iterates stay replicated. Anchor prior on device 0 only."""
+    import dataclasses
+    from functools import partial
+
+    import numpy as np
+    from jax.sharding import PartitionSpec as P
+
+    n_dev = mesh.shape[axis]
+    edges = np.asarray(edges_ij, dtype=np.int64)
+    data = np.asarray(_edge_data3(measurements, weights))
+    E = edges.shape[0]
+    E_pad = -(-E // n_dev) * n_dev
+    if E_pad != E:
+        edges = np.concatenate([edges, np.zeros((E_pad - E, 2), np.int64)], 0)
+        data = np.concatenate(
+            [data, np.zeros((E_pad - E, data.shape[1]), data.dtype)], 0
+        )  # zero WEIGHT rows: padded residuals and Jacobians vanish
+    idx = np.stack(
+        [6 * edges[:, 0] + k for k in range(6)]
+        + [6 * edges[:, 1] + k for k in range(6)],
+        axis=1,
+    ).astype(np.int32)
+
+    if params is None:
+        params = default_pose_graph3_params(x0.dtype)
+    params = dataclasses.replace(
+        params, qp_solver="cg", cg_iterations=cg_iterations
+    )
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        check_vma=False,
+        in_specs=(P(), P(axis), P(axis)),
+        out_specs=P(),
+    )
+    def run(x, idx_local, data_local):
+        on0 = (jax.lax.axis_index(axis) == 0).astype(x.dtype)
+        aw = anchor_weight * on0
+
+        def anchor(xl):
+            return aw * jnp.concatenate([xl[0:3], quat_log(quat_exp(xl[3:6]))])
+
+        problem = Problem(
+            dimension=6 * n_poses,
+            costs=(
+                BlockResidual(
+                    fn=_edge_residual3, indices=idx_local, dim=6,
+                    data=data_local,
+                ),
+                make_residual(list(range(6)), anchor, 6),
+            ),
+        )
+
+        def diag_fn(xx):
+            def one(row_idx, row_data):
+                xl = xx[row_idx]
+                J = jax.jacfwd(lambda v: _edge_residual3(v, row_data))(xl)
+                return jnp.sum(J * J, axis=0)
+
+            contrib = jax.vmap(one)(idx_local, data_local)
+            d = jnp.zeros_like(xx).at[idx_local.ravel()].add(contrib.ravel())
+            return d.at[:6].add(on0 * anchor_weight * anchor_weight)
+
+        return nls_solve(
+            problem,
+            params,
+            x,
+            retraction=pose_graph3_retraction,
+            axis_name=axis,
+            cg_diag_preconditioner=diag_fn,
+        )
+
+    return run(x0, jnp.asarray(idx), jnp.asarray(data, x0.dtype))

@@ -152,7 +152,61 @@ def pose_graph_bench(n_poses=1200):
     )
 
 
+def pose_graph3_bench(n_poses=400):
+    """SE(3) family on-chip: 6-DoF helix graph, matrix-free, exact gauge."""
+    sys.path.insert(0, "/root/repo/tests")
+    from test_pose_graph3 import _helix_graph
+
+    from mini_opt_tpu.models.pose_graph3 import solve_pose_graph3_large
+
+    gt, edges, meas, x0 = _helix_graph(n_poses, seed=4, noise=0.01, loop_every=10)
+    w = jnp.ones((len(edges),), jnp.float32)
+    args = (
+        jnp.asarray(meas, jnp.float32),
+        w,
+        jnp.asarray(x0.ravel(), jnp.float32),
+    )
+    t0 = time.time()
+    res = solve_pose_graph3_large(
+        n_poses, edges, *args, cg_iterations=300, hard_anchor=True
+    )
+    res.x.block_until_ready()
+    compile_s = time.time() - t0
+    t0 = time.time()
+    res2 = solve_pose_graph3_large(
+        n_poses,
+        edges,
+        args[0],
+        w,
+        args[2] + 1e-6,
+        cg_iterations=300,
+        hard_anchor=True,
+    )
+    res2.x.block_until_ready()
+    warm_s = time.time() - t0
+    xf = np.asarray(res.x).reshape(n_poses, 6)
+    drift0 = float(np.abs(x0 - gt)[:, :3].max())
+    driftf = float(np.abs(xf - gt)[:, :3].max())
+    print(
+        json.dumps(
+            {
+                "metric": "pose_graph3_se3_400_solve_s_on_chip",
+                "value": round(warm_s, 2),
+                "unit": "s",
+                "compile_s": round(compile_s, 1),
+                "f_final": round(float(res.errors.f), 4),
+                "drift_before": round(drift0, 2),
+                "drift_after": round(driftf, 3),
+                "gauge_residual": float(np.abs(xf[0]).max()),
+                "dtype": "float32",
+            }
+        ),
+        flush=True,
+    )
+
+
 if __name__ == "__main__":
     log(f"backend={jax.default_backend()}")
     spatial_bench()
     pose_graph_bench()
+    pose_graph3_bench()

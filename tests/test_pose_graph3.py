@@ -127,3 +127,33 @@ def test_se3_hard_anchor():
     driftf = np.abs(sol[:, :3] - gt[:, :3]).max()
     drift0 = np.abs(x0[:, :3] - gt[:, :3]).max()
     assert driftf < drift0
+
+
+def test_se3_sharded_cg_matches_single_device():
+    """Edge-partitioned SE(3) CG over an 8-device mesh reproduces the
+    single-device matrix-free path (padding path exercised)."""
+    from mini_opt_tpu.models.pose_graph3 import (
+        solve_pose_graph3_large_sharded,
+    )
+    from mini_opt_tpu.parallel.batch import make_mesh
+
+    assert len(jax.devices()) >= 8
+    mesh = make_mesh({"mp": 8})
+    n = 40
+    gt, edges, meas, x0 = _helix_graph(n, seed=5, noise=0.01, loop_every=12)
+    assert len(edges) % 8 != 0  # exercises zero-weight padding
+    w = jnp.ones((len(edges),))
+    r1 = solve_pose_graph3_large(
+        n, edges, jnp.asarray(meas), w, jnp.asarray(x0.ravel()),
+        cg_iterations=150,
+    )
+    r8 = solve_pose_graph3_large_sharded(
+        mesh, n, edges, jnp.asarray(meas), w, jnp.asarray(x0.ravel()),
+        cg_iterations=150,
+    )
+    assert int(r8.termination_state) == int(r1.termination_state)
+    assert int(r8.num_iterations) == int(r1.num_iterations)
+    np.testing.assert_allclose(
+        float(r8.errors.f), float(r1.errors.f), rtol=1e-5
+    )
+    np.testing.assert_allclose(np.asarray(r8.x), np.asarray(r1.x), atol=1e-3)
