@@ -102,15 +102,29 @@ def make_pose_graph_problem(
     )
 
 
+def edge_jtj_diag(residual_fn, x, idx, data):
+    """Exact diag(JᵀJ) contribution of one edge-set BlockResidual: per-edge
+    Jacobians squared and scatter-added at constant indices (block-sparse
+    assembly of just the diagonal -- the Jacobi preconditioner of the
+    matrix-free CG path). Shared by the SE(2)/SE(3) plain and sharded
+    variants so the four preconditioners cannot drift apart."""
+
+    def one(row_idx, row_data):
+        xl = x[row_idx]
+        J = jax.jacfwd(lambda v: residual_fn(v, row_data))(xl)  # (dim, 2*dof)
+        return jnp.sum(J * J, axis=0)
+
+    contrib = jax.vmap(one)(idx, data)  # (E, 2*dof)
+    return jnp.zeros_like(x).at[idx.ravel()].add(contrib.ravel())
+
+
 def make_jacobi_preconditioner(
     edges_ij,
     measurements: jax.Array,
     weights: jax.Array,
     anchor_weight: float = 100.0,
 ):
-    """Exact diag(JᵀJ) for the pose graph: per-edge 3x6 Jacobians squared and
-    scatter-added at constant indices (block-sparse assembly of just the
-    diagonal -- the Jacobi preconditioner of the matrix-free CG path)."""
+    """Jacobi preconditioner for the SE(2) pose-graph CG path."""
     import numpy as np
 
     data = _edge_data(measurements, weights)
@@ -119,13 +133,7 @@ def make_jacobi_preconditioner(
     )  # (E, 6)
 
     def diag_fn(x):
-        def one(row_idx, row_data):
-            xl = x[row_idx]
-            J = jax.jacfwd(lambda v: _edge_residual(v, row_data))(xl)  # (3, 6)
-            return jnp.sum(J * J, axis=0)
-
-        contrib = jax.vmap(one)(idx, data)  # (E, 6)
-        d = jnp.zeros_like(x).at[idx.ravel()].add(contrib.ravel())
+        d = edge_jtj_diag(_edge_residual, x, idx, data)
         d = d.at[:3].add(anchor_weight * anchor_weight)
         return jnp.maximum(d, jnp.asarray(1e-12, x.dtype))
 
@@ -289,13 +297,9 @@ def solve_pose_graph_large_sharded(
         )
 
         def diag_fn(xx):
-            def one(row_idx, row_data):
-                xl = xx[row_idx]
-                J = jax.jacfwd(lambda v: _edge_residual(v, row_data))(xl)
-                return jnp.sum(J * J, axis=0)
-
-            contrib = jax.vmap(one)(idx_local, data_local)
-            d = jnp.zeros_like(xx).at[idx_local.ravel()].add(contrib.ravel())
+            # Device-local contribution; psum'd (and +lam floored) by
+            # _cg_step_direction, so no explicit floor is needed here.
+            d = edge_jtj_diag(_edge_residual, xx, idx_local, data_local)
             return d.at[:3].add(on0 * anchor_weight * anchor_weight)
 
         return nls_solve(

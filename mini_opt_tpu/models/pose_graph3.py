@@ -112,22 +112,17 @@ def make_jacobi_preconditioner3(
     weights: jax.Array,
     anchor_weight: float = 100.0,
 ):
-    """Exact diag(JᵀJ): per-edge 6x12 Jacobians squared, scatter-added at
-    constant indices (same block-sparse-diagonal pattern as the SE(2)
-    family's preconditioner)."""
+    """Jacobi preconditioner for the SE(3) pose-graph CG path (shared
+    edge_jtj_diag core with the SE(2) family)."""
     import numpy as np
+
+    from .pose_graph import edge_jtj_diag
 
     data = _edge_data3(measurements, weights)
     idx = jnp.asarray(np.asarray(_edge_indices3(edges_ij), dtype=np.int32))
 
     def diag_fn(x):
-        def one(row_idx, row_data):
-            xl = x[row_idx]
-            J = jax.jacfwd(lambda v: _edge_residual3(v, row_data))(xl)
-            return jnp.sum(J * J, axis=0)
-
-        contrib = jax.vmap(one)(idx, data)  # (E, 12)
-        d = jnp.zeros_like(x).at[idx.ravel()].add(contrib.ravel())
+        d = edge_jtj_diag(_edge_residual3, x, idx, data)
         d = d.at[:6].add(anchor_weight * anchor_weight)
         return jnp.maximum(d, jnp.asarray(1e-12, x.dtype))
 
@@ -283,13 +278,11 @@ def solve_pose_graph3_large_sharded(
         )
 
         def diag_fn(xx):
-            def one(row_idx, row_data):
-                xl = xx[row_idx]
-                J = jax.jacfwd(lambda v: _edge_residual3(v, row_data))(xl)
-                return jnp.sum(J * J, axis=0)
+            from .pose_graph import edge_jtj_diag
 
-            contrib = jax.vmap(one)(idx_local, data_local)
-            d = jnp.zeros_like(xx).at[idx_local.ravel()].add(contrib.ravel())
+            # Device-local contribution; psum'd (and +lam floored) by
+            # _cg_step_direction.
+            d = edge_jtj_diag(_edge_residual3, xx, idx_local, data_local)
             return d.at[:6].add(on0 * anchor_weight * anchor_weight)
 
         return nls_solve(

@@ -357,8 +357,30 @@ def _pcg(matvec, b, diag, iterations: int):
 def _box_bounds(problem: Problem, dtype):
     """Per-variable (lo, hi) bound vectors from the diagonal inequality list
     (±inf where unbounded). ``a x_v + b >= 0`` gives ``x_v >= -b/a`` for
-    a > 0 and ``x_v <= -b/a`` for a < 0 (qp.hpp:28-70 semantics)."""
+    a > 0 and ``x_v <= -b/a`` for a < 0 (qp.hpp:28-70 semantics).
+
+    Bounds are usually static Python scalars, in which case the vectors are
+    assembled host-side in numpy -- the CG path targets 1000s of variables
+    and tracing two scatter ops per constraint inflates the jaxpr (and the
+    minutes-long remote TPU compiles) for nothing. Traced per-instance
+    bounds fall back to the scatter path."""
+    import numpy as np
+
     n = problem.dimension
+    try:
+        lo = np.full((n,), -np.inf)
+        hi = np.full((n,), np.inf)
+        for c_ in problem.inequality_constraints:
+            a = float(c_.a)
+            bound = -float(c_.b) / a
+            v = int(c_.variable)
+            if a > 0:
+                lo[v] = max(lo[v], bound)
+            else:
+                hi[v] = min(hi[v], bound)
+        return jnp.asarray(lo, dtype), jnp.asarray(hi, dtype)
+    except (TypeError, jax.errors.TracerArrayConversionError):
+        pass  # traced bounds: assemble on device
     lo = jnp.full((n,), -jnp.inf, dtype)
     hi = jnp.full((n,), jnp.inf, dtype)
     for c_ in problem.inequality_constraints:
@@ -900,6 +922,10 @@ def nls_solve(
     use_cg = params.qp_solver == "cg"
     cg_bounds = None
     if use_cg:
+        assert not params.log_qp_eigenvalues, (
+            "qp_solver='cg' is matrix-free: there is no assembled QP Hessian "
+            "to log eigenvalues of"
+        )
         assert not (
             problem.equality_constraints and problem.inequality_constraints
         ), (

@@ -118,7 +118,7 @@ def pose_graph_bench(n_poses=1200):
         params=p,
         cg_iterations=600,
     )
-    res.x.block_until_ready()
+    np.asarray(res.x)  # host readback closes the timing (CLAUDE.md quirk)
     compile_s = time.time() - t0
     t0 = time.time()
     res2 = solve_pose_graph_large(
@@ -130,7 +130,7 @@ def pose_graph_bench(n_poses=1200):
         params=p,
         cg_iterations=600,
     )
-    res2.x.block_until_ready()
+    np.asarray(res2.x)
     warm_s = time.time() - t0
     xf = np.asarray(res.x).reshape(n_poses, 3)
     drift0 = float(np.abs(x0 - gt)[:, :2].max())
@@ -170,7 +170,7 @@ def pose_graph3_bench(n_poses=400):
     res = solve_pose_graph3_large(
         n_poses, edges, *args, cg_iterations=300, hard_anchor=True
     )
-    res.x.block_until_ready()
+    np.asarray(res.x)  # host readback closes the timing (CLAUDE.md quirk)
     compile_s = time.time() - t0
     t0 = time.time()
     res2 = solve_pose_graph3_large(
@@ -182,7 +182,7 @@ def pose_graph3_bench(n_poses=400):
         cg_iterations=300,
         hard_anchor=True,
     )
-    res2.x.block_until_ready()
+    np.asarray(res2.x)
     warm_s = time.time() - t0
     xf = np.asarray(res.x).reshape(n_poses, 6)
     drift0 = float(np.abs(x0 - gt)[:, :3].max())
