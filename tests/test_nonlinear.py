@@ -653,3 +653,66 @@ def test_second_order_correction():
     err_before = float(jnp.linalg.norm(eq_fn(x_lin + dx_in)))
     err_after = float(jnp.linalg.norm(eq_fn(x_lin + dx_in + dx_soc)))
     assert err_after < err_before
+
+
+def test_random_bounded_ls_sweep_vs_active_set_oracle():
+    """Distribution-wide gate on the FULL nls_solve stack (linearize ->
+    penalty -> IP QP -> line search -> exits): 128 random box-constrained
+    least-squares instances, vmapped, each checked against the exact
+    active-set-enumeration oracle. The QP sweep (test_qp.py) pins qp_ip_solve
+    alone; this pins the whole driver on the same distribution idiom
+    (qp_test.cc:483-574 randomized-family strategy, one level up)."""
+    from test_qp import _active_set_oracle
+
+    B, n, m_res = 128, 8, 12
+    rng = np.random.default_rng(21)
+    As = rng.normal(0, 1.0, (B, m_res, n))
+    roots = rng.uniform(-2.0, 2.0, (B, n))
+    bs = np.einsum("bij,bj->bi", As, roots)  # residual zero at the root
+
+    bound_vars = [0, 1, 2]
+    lo, hi = -1.0, 1.0
+    constraints = tuple(
+        c for v in bound_vars for c in (Var(v) >= lo, Var(v) <= hi)
+    )
+    # At a bound-active optimum the IP direction carries a small POSITIVE
+    # cost derivative (the barrier holds the QP solution ~complementarity/z
+    # interior of the bound; measured ~1.4e-6 on this distribution), so the
+    # first-order exit tolerance must sit above that scale or those
+    # instances escalate to MAX_LAMBDA with a fully accurate x.
+    params = NLSParams(
+        max_iterations=12,
+        max_qp_iterations=12,
+        absolute_first_derivative_tol=1e-5,
+        termination_kkt_tolerance=1e-10,
+    )
+
+    def one(A, b):
+        problem = Problem(
+            dimension=n,
+            costs=(make_residual(list(range(n)), lambda p: A @ p - b, m_res),),
+            inequality_constraints=constraints,
+        )
+        return nls_solve(problem, params, jnp.zeros((n,), jnp.float64))
+
+    res = jax.jit(jax.vmap(one))(jnp.asarray(As), jnp.asarray(bs))
+    ok = np.asarray(termination_state_indicates_satisfied_tol(res.termination_state))
+    assert ok.all(), f"{(~ok).sum()} unconverged"
+
+    var = np.asarray(bound_vars * 2)
+    a_arr = np.asarray([1.0] * 3 + [-1.0] * 3)
+    b_arr = np.asarray([-lo] * 3 + [hi] * 3)
+    x = np.asarray(res.x)
+    n_active_total = 0
+    for k in range(B):
+        G = As[k].T @ As[k]
+        c = -As[k].T @ bs[k]
+        x_star = _active_set_oracle(G, c, var, a_arr, b_arr)
+        assert np.abs(x[k] - x_star).max() < 5e-5, (
+            k, np.abs(x[k] - x_star).max()
+        )
+        n_active_total += int(
+            np.sum((np.abs(x_star[bound_vars]) > 1.0 - 1e-9))
+        )
+    # The distribution genuinely exercises the constrained path.
+    assert n_active_total > B // 2, n_active_total
