@@ -441,6 +441,7 @@ def _cg_step_direction(
     has_eq = len(problem.equality_constraints) > 0
     b = -g
     mv = matvec
+    fmask = None
     if bounds is not None:
         # Two-metric gradient projection: variables pinned at a bound with a
         # gradient pushing outward are frozen (dx_i = 0, the masked system is
@@ -467,16 +468,28 @@ def _cg_step_direction(
 
     c0 = _stacked_equality(problem, x)
     A = jax.jacrev(lambda xx: _stacked_equality(problem, xx))(x)  # (m, n)
+    if fmask is not None:
+        # Box + equality: the equality projector is restricted to the FREE
+        # subspace (A_F = A with frozen columns zeroed); the feasible step
+        # space is S = null(A_F) ∩ {frozen = 0}, whose orthogonal projector
+        # is P_eqF ∘ mask (A_F already maps frozen coords to nothing). A
+        # frozen set that makes A_F row-rank-deficient NaNs the LDLT and
+        # exits QP_INDEFINITE.
+        A = A * fmask[None, :]
     fact, fact_ok = ldlt_factorize(A @ A.T)
     bad = jnp.where(fact_ok, 0.0, jnp.nan).astype(x.dtype)
 
     def solve_nrm(rhs):  # (AAᵀ)⁻¹ rhs; NaN on rank deficiency -> status path
         return ldlt_solve(fact, rhs) + bad
 
-    def proj(v):  # P v = v - Aᵀ(AAᵀ)⁻¹A v  (orthogonal projector onto null(A))
-        return v - A.T @ solve_nrm(A @ v)
+    def mask(v):
+        return v if fmask is None else fmask * v
 
-    dx_p = -(A.T @ solve_nrm(c0))  # minimum-norm constraint-restoration step
+    def proj(v):  # orthogonal projector onto S (null(A_F) within free set)
+        u = mask(v)
+        return u - mask(A.T @ solve_nrm(A @ u))
+
+    dx_p = -(A.T @ solve_nrm(c0))  # minimum-norm restoration (free coords)
     b_t = proj(-(g + matvec(dx_p)))
 
     def mv_t(v):  # projected Hessian on range(P), identity on the complement
@@ -925,13 +938,6 @@ def nls_solve(
         assert not params.log_qp_eigenvalues, (
             "qp_solver='cg' is matrix-free: there is no assembled QP Hessian "
             "to log eigenvalues of"
-        )
-        assert not (
-            problem.equality_constraints and problem.inequality_constraints
-        ), (
-            "qp_solver='cg' supports equality constraints (projected CG) or "
-            "diagonal box inequality constraints (gradient projection), but "
-            "not both in one problem"
         )
         if problem.inequality_constraints:
             cg_bounds = _box_bounds(problem, dtype)

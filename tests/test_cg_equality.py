@@ -145,3 +145,56 @@ def test_eq_cg_product_constraints_reference_family():
     nearest = solutions[np.argmin(dists, axis=1)]
     err = np.abs(x - nearest).max(axis=1)
     assert (err < 5e-5).all(), f"max err {err.max()}"
+
+
+def test_eq_cg_with_box_bounds_combined():
+    """Box bounds AND equality constraints in ONE matrix-free problem: the
+    equality projector restricted to the free subspace composes with the
+    two-metric bound projection. Oracle: dense interior-point path on the
+    same problem."""
+    import dataclasses
+
+    from mini_opt_tpu import Var
+
+    rng = np.random.default_rng(17)
+    n, m, k, box = 16, 30, 2, 0.4
+    A = jnp.asarray(rng.normal(0, 1.0, (m, n)))
+    b = jnp.asarray(rng.normal(0, 1.2, m))
+    C = jnp.asarray(rng.normal(0, 1.0, (k, n)))
+    d = jnp.asarray(rng.normal(0, 0.2, k))
+
+    problem = Problem(
+        dimension=n,
+        costs=(make_residual(list(range(n)), lambda p: A @ p - b, m),),
+        equality_constraints=(
+            make_residual(list(range(n)), lambda p: C @ p - d, k),
+        ),
+        inequality_constraints=tuple(
+            c for i in range(n) for c in (Var(i) >= -box, Var(i) <= box)
+        ),
+    )
+    params_ip = NLSParams(
+        max_iterations=50,
+        max_qp_iterations=15,
+        absolute_exit_tol=1e-14,
+        relative_exit_tol=1e-12,
+    )
+    params_cg = dataclasses.replace(
+        params_ip, qp_solver="cg", cg_iterations=120, max_qp_iterations=1
+    )
+    x0 = jnp.zeros((n,), jnp.float64)
+    r_ip = jax.jit(lambda x: nls_solve(problem, params_ip, x))(x0)
+    r_cg = jax.jit(lambda x: nls_solve(problem, params_cg, x))(x0)
+
+    x_ip, x_cg = np.asarray(r_ip.x), np.asarray(r_cg.x)
+    Cn, dn = np.asarray(C), np.asarray(d)
+    # Feasible on both constraint families.
+    assert (np.abs(x_cg) <= box + 1e-10).all()
+    np.testing.assert_allclose(Cn @ x_cg - dn, 0.0, atol=1e-8)
+    # Bounds genuinely active at the solution.
+    assert (np.abs(x_cg) > box - 1e-7).sum() >= 2, x_cg
+    # Same constrained minimum as the dense interior-point path.
+    np.testing.assert_allclose(
+        float(r_cg.errors.f), float(r_ip.errors.f), rtol=1e-6
+    )
+    np.testing.assert_allclose(x_cg, x_ip, atol=5e-4)
