@@ -25,6 +25,12 @@ from .models.pose_graph import (
     solve_pose_graph_large,
     solve_pose_graph_large_sharded,
 )
+from .models.pose_graph3 import (
+    make_pose_graph3_problem,
+    solve_pose_graph3,
+    solve_pose_graph3_large,
+    solve_pose_graph3_large_sharded,
+)
 from .nonlinear import (
     NLSParams,
     Problem,
