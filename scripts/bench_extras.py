@@ -210,3 +210,69 @@ if __name__ == "__main__":
     spatial_bench()
     pose_graph_bench()
     pose_graph3_bench()
+
+
+def long_chain_bench(L=512, B=1024):
+    """Long-axis scaling (SURVEY.md §5): batched forward passes over an
+    L-link chain, lax.scan (O(L) depth) vs lax.associative_scan (O(log L)
+    depth), chained-scan timing on-chip."""
+    from mini_opt_tpu.models.chains import Pose, compute_chain
+    from mini_opt_tpu.utils import so3
+
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.normal(0, 0.3, (B, L, 3)), jnp.float32)
+    t = jnp.asarray(rng.normal(0, 1.0, (B, L, 3)), jnp.float32)
+    quat = jax.vmap(jax.vmap(so3.quat_exp))(w)
+
+    results = {}
+    for label, assoc in (("scan", False), ("associative", True)):
+
+        def fwd(wq, wt, _assoc=assoc):
+            def one(q1, t1):
+                buf = compute_chain(
+                    Pose(rotation=q1, translation=t1),
+                    use_associative_scan=_assoc,
+                    unroll=False,
+                )
+                return buf.i_t_end[0]
+
+            return jax.vmap(one)(wq, wt)
+
+        # Chain on the translation input so iterations depend on each other.
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def chained(wt, k, _fwd=fwd):
+            def body(tt, _):
+                out = _fwd(quat, tt)  # (B, 3)
+                return tt + 1e-6 * out[:, None, :], None
+
+            tt, _ = jax.lax.scan(body, wt, None, length=k)
+            return tt
+
+        np.asarray(chained(t, 1))
+        K = 513  # large K: per-iteration cost is small vs per-call overhead
+        np.asarray(chained(t, K))
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(chained(t, 1))
+            t1 = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            np.asarray(chained(t, K))
+            tk = time.perf_counter() - t0
+            ts.append((tk - t1) / (K - 1))
+        results[label] = float(np.median(ts))
+
+    print(
+        json.dumps(
+            {
+                "metric": f"chain_L{L}_fwd_pass_ms",
+                "scan_ms": round(results["scan"] * 1e3, 3),
+                "associative_ms": round(results["associative"] * 1e3, 3),
+                "speedup": round(results["scan"] / results["associative"], 2),
+                "batch": B,
+                "links": L,
+                "unit": "ms/batch",
+            }
+        ),
+        flush=True,
+    )
