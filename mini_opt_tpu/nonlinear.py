@@ -1290,6 +1290,12 @@ def nls_solve(
         errors=final_errors,
         iterations=out.history,
         solver_variant=jnp.int32(
-            QPSolverVariant.NULL_SPACE if use_ns else QPSolverVariant.INTERIOR_POINT
+            QPSolverVariant.MATRIX_FREE_CG
+            if use_cg
+            else (
+                QPSolverVariant.NULL_SPACE
+                if use_ns
+                else QPSolverVariant.INTERIOR_POINT
+            )
         ),
     )

@@ -89,10 +89,14 @@ class QPNullSpaceTerminationState(enum.IntEnum):
 class QPSolverVariant(enum.IntEnum):
     """Which inner-QP solver an NLS solve used; the static discriminator of
     the reference's variant<QPNullSpaceTerminationState,
-    QPInteriorPointSolverOutputs> (structs.hpp:307, serialization.cc:79-91)."""
+    QPInteriorPointSolverOutputs> (structs.hpp:307, serialization.cc:79-91).
+    MATRIX_FREE_CG is this framework's large-N path (no reference analog);
+    its history rows use the interior-point enum/count fields
+    (qp_num_iterations = the fixed CG trip count)."""
 
     INTERIOR_POINT = 0
     NULL_SPACE = 1
+    MATRIX_FREE_CG = 2
 
 
 class NLSTerminationState(enum.IntEnum):
@@ -510,6 +514,15 @@ def nls_result_to_string(
             if variant == QPSolverVariant.NULL_SPACE:
                 ns = QPNullSpaceTerminationState(int(it.qp_termination_state[i]))
                 out.append(f"    qp (null-space): {ns.name}")
+            elif variant == QPSolverVariant.MATRIX_FREE_CG:
+                # No nested per-QP rows: qp_num_iterations is the fixed CG
+                # trip count, not an index into the (max_qp_iterations,)
+                # nested buffers.
+                cg_term = QPTerminationState(int(it.qp_termination_state[i]))
+                out.append(
+                    f"    cg (matrix-free): term={cg_term.name} "
+                    f"iters={int(it.qp_num_iterations[i])}"
+                )
             else:
                 qp_term = QPTerminationState(int(it.qp_termination_state[i]))
                 out.append(

@@ -228,3 +228,50 @@ def test_null_space_variant_serialization(tmp_path):
     back = load_result_json(path)
     for a, b in zip(jax.tree.leaves(res), jax.tree.leaves(back)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0, rtol=0)
+
+
+def test_cg_path_result_round_trip_and_rendering(tmp_path):
+    """NLSResult from the matrix-free CG path (equality-constrained) must
+    serialize/deserialize exactly and render -- the CG path fills the same
+    typed history rows as the dense paths (qp_num_iterations = cg_iterations,
+    MAX_ITERATIONS termination for the inner 'QP')."""
+    import jax
+
+    from mini_opt_tpu import make_residual
+    from mini_opt_tpu.nonlinear import NLSParams, Problem, nls_solve
+    from mini_opt_tpu.structs import nls_result_to_string
+    from mini_opt_tpu.utils.serialization import (
+        load_result_json,
+        save_result_json,
+    )
+
+    n = 6
+    A = jnp.asarray(np.random.default_rng(0).normal(0, 1.0, (10, n)))
+    b = jnp.asarray(np.random.default_rng(1).normal(0, 1.0, 10))
+    C = jnp.ones((1, n))
+
+    problem = Problem(
+        dimension=n,
+        costs=(make_residual(list(range(n)), lambda p: A @ p - b, 10),),
+        equality_constraints=(
+            make_residual(list(range(n)), lambda p: C @ p - 1.0, 1),
+        ),
+    )
+    params = NLSParams(
+        max_iterations=8, max_qp_iterations=1, qp_solver="cg", cg_iterations=30
+    )
+    res = jax.jit(lambda x: nls_solve(problem, params, x))(jnp.zeros((n,)))
+
+    path = str(tmp_path / "cg_result.json")
+    save_result_json(path, res)
+    back = load_result_json(path)
+    jax.tree.map(
+        lambda a, c: np.testing.assert_array_equal(np.asarray(a), np.asarray(c)),
+        res,
+        back,
+    )
+    s = nls_result_to_string(res, include_qp=True)
+    assert "term" in s.lower() or len(s) > 0
+    # CG rows record the fixed inner-iteration count.
+    ni = int(res.num_iterations)
+    assert (np.asarray(res.iterations.qp_num_iterations)[:ni] == 30).all()
