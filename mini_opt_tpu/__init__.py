@@ -60,6 +60,7 @@ from .residual import (
     accumulate_hessian_block,
     fill_jacobian_rows,
     make_residual,
+    robustify,
 )
 from .structs import (
     AlphaValues,

@@ -75,11 +75,17 @@ def make_pose_graph_problem(
     weights: jax.Array,  # (E,) or (E, 3)
     anchor_weight: float = 100.0,
     hard_anchor: bool = False,
+    robust: Optional[str] = None,  # "huber" | "cauchy" on the edge residuals
+    robust_delta: float = 1.0,
 ) -> Problem:
     """Build the pose-graph Problem. Pose p occupies variables
     [3p, 3p+1, 3p+2]. Pose 0 fixes the gauge: softly (a weighted prior cost,
     default) or exactly (``hard_anchor=True``: a 3-row equality constraint,
-    solved by the projected-CG path when ``qp_solver='cg'``)."""
+    solved by the projected-CG path when ``qp_solver='cg'``). ``robust``
+    wraps every edge in a robust loss kernel (residual.robustify) so outlier
+    loop closures cannot drag the trajectory."""
+    from ..residual import robustify
+
     data = _edge_data(measurements, weights)
     indices = _edge_indices(edges_ij)
 
@@ -90,6 +96,8 @@ def make_pose_graph_problem(
         return jnp.stack([xl[0], xl[1], _wrap(xl[2])])
 
     block = BlockResidual(fn=_edge_residual, indices=indices, dim=3, data=data)
+    if robust is not None:
+        block = robustify(block, kind=robust, delta=robust_delta)
     if hard_anchor:
         return Problem(
             dimension=3 * n_poses,
@@ -169,8 +177,13 @@ def solve_pose_graph(
     weights: jax.Array,
     x0: jax.Array,
     params: Optional[NLSParams] = None,
+    robust: Optional[str] = None,
+    robust_delta: float = 1.0,
 ) -> NLSResult:
-    problem = make_pose_graph_problem(n_poses, edges_ij, measurements, weights)
+    problem = make_pose_graph_problem(
+        n_poses, edges_ij, measurements, weights,
+        robust=robust, robust_delta=robust_delta,
+    )
     if params is None:
         params = default_pose_graph_params(x0.dtype)
     return nls_solve(problem, params, x0, retraction=pose_graph_retraction)
@@ -185,6 +198,8 @@ def solve_pose_graph_large(
     params: Optional[NLSParams] = None,
     cg_iterations: int = 100,
     hard_anchor: bool = False,
+    robust: Optional[str] = None,
+    robust_delta: float = 1.0,
 ) -> NLSResult:
     """Large-N path: matrix-free Jacobi-preconditioned CG Gauss-Newton. The
     (3N, 3N) Hessian is never materialized, so graphs of thousands of poses
@@ -197,7 +212,8 @@ def solve_pose_graph_large(
     import dataclasses
 
     problem = make_pose_graph_problem(
-        n_poses, edges_ij, measurements, weights, hard_anchor=hard_anchor
+        n_poses, edges_ij, measurements, weights, hard_anchor=hard_anchor,
+        robust=robust, robust_delta=robust_delta,
     )
     if params is None:
         params = default_pose_graph_params(x0.dtype)

@@ -184,3 +184,95 @@ def fill_jacobian_rows(
     A = A.at[row : row + res.dim, idx].set(J)
     b = b.at[row : row + res.dim].set(r)
     return A, b
+
+
+# ---------------------------------------------------------------------------
+# Robust loss kernels (no reference analog -- mini_opt is pure least squares,
+# README.md:6-10; production pose graphs need outlier-tolerant edges).
+# ---------------------------------------------------------------------------
+
+
+def _robust_rescale(r: jax.Array, kind: str, delta: float) -> jax.Array:
+    """Rescale a residual so plain least squares on the result equals the
+    robust loss exactly: with s = 0.5||r||^2, returns r~ = r * sqrt(rho(s)/s),
+    giving 0.5||r~||^2 == rho(s). Autodiff of r~ then yields exact robust
+    Jacobians -- no IRLS loop, works on every solver path (dense assembly,
+    matrix-free jvp/vjp, implicit diff).
+
+    Kinds (delta = transition scale in residual-NORM units):
+      huber:  rho = s                      for ||r|| <= delta
+              rho = delta*||r|| - delta^2/2 beyond (linear growth)
+      cauchy: rho = (delta^2/2) * log1p(2 s / delta^2)  (logarithmic growth)
+
+    Floors follow the quat_log lesson: norms at exactly 0 have NaN
+    reverse-mode derivatives through the DISCARDED where-branch, so every
+    sqrt/division is tiny-floored.
+    """
+    dtype = r.dtype
+    # Floor at eps*delta^2, NOT finfo.tiny: the vjp of 1/s_safe evaluates
+    # -1/s_safe^2, which OVERFLOWS to inf at the denormal floor and turns
+    # into 0*inf = NaN through the maximum()'s zero gradient. eps*delta^2 is
+    # still deep inside the exact-identity regime (s <= eps*delta^2 implies
+    # the quadratic branch), so values are unchanged.
+    eps = jnp.finfo(dtype).eps * delta * delta
+    s = 0.5 * jnp.sum(r * r)
+    s_safe = jnp.maximum(s, eps)
+    if kind == "huber":
+        a = jnp.sqrt(2.0 * s_safe)  # ||r||
+        small = a <= delta
+        rho = jnp.where(small, s, delta * a - 0.5 * delta * delta)
+        ratio = jnp.where(small, 1.0, rho / s_safe)  # rho/s
+        drho = jnp.where(small, 1.0, delta / a)  # rho'(s)
+    elif kind == "cauchy":
+        u = 2.0 * s / (delta * delta)
+        u_safe = jnp.maximum(u, 2.0 * jnp.finfo(dtype).eps)
+        tiny_u = u <= 2.0 * jnp.finfo(dtype).eps
+        ratio = jnp.where(tiny_u, 1.0 - u / 2.0, jnp.log1p(u_safe) / u_safe)
+        drho = 1.0 / (1.0 + u)
+    else:
+        raise ValueError(f"unknown robust kind: {kind!r}")
+    # Two frozen scales (Ceres-equivalent semantics):
+    #   VALUE scale s1 = sqrt(rho/s): 0.5||r~||^2 == rho(s) exactly, so the
+    #     line-search merit and every recorded cost is the true robust loss.
+    #   JACOBIAN scale s2 = rho'/s1: autodiff of the second term gives
+    #     J~ = s2 J, so the assembled Gauss-Newton gradient J~^T r~ =
+    #     s1 s2 J^T r = rho' J^T r -- the EXACT robust gradient -- with a
+    #     PSD model G = s2^2 J^T J.
+    # Both scales are stop_gradient'd: differentiating through them (full
+    # Triggs-style second-order correction) makes the GN model indefinite
+    # for gross outliers and stalls the solver (measured); freezing them is
+    # standard practice.
+    s1 = jnp.sqrt(ratio)
+    s2 = drho / jnp.maximum(s1, jnp.finfo(dtype).eps)
+    return jax.lax.stop_gradient((s1 - s2) * r) + jax.lax.stop_gradient(s2) * r
+
+
+def robustify(block, kind: str = "huber", delta: float = 1.0):
+    """Wrap a Residual or BlockResidual in a robust loss kernel.
+
+    The wrapped block is a drop-in replacement whose Gauss-Newton cost is
+    exactly ``rho(0.5 ||r||^2)`` per block -- below the ``delta`` transition
+    it is bit-identical to the unwrapped block; beyond it, the residual's
+    influence grows linearly (huber) or logarithmically (cauchy) instead of
+    quadratically, so outlier edges cannot drag the solution. A custom
+    ``jac`` on the wrapped Residual is dropped (jacfwd of the rescaled
+    function is exact).
+    """
+    _robust_rescale  # (closure capture for clarity)
+    if isinstance(block, Residual):
+        base = block.fn
+
+        def fn(xl):
+            return _robust_rescale(base(xl), kind, delta)
+
+        return Residual(fn=fn, index=block.index, dim=block.dim, jac=None)
+    if isinstance(block, BlockResidual):
+        base_b = block.fn
+
+        def fnb(xl, row):
+            return _robust_rescale(base_b(xl, row), kind, delta)
+
+        return BlockResidual(
+            fn=fnb, indices=block.indices, dim=block.dim, data=block.data
+        )
+    raise TypeError(f"robustify expects Residual or BlockResidual, got {type(block)}")
