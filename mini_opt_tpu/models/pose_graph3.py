@@ -81,9 +81,14 @@ def make_pose_graph3_problem(
     weights: jax.Array,  # (E,) or (E, 2): (translation, rotation) weights
     anchor_weight: float = 100.0,
     hard_anchor: bool = False,
+    robust: Optional[str] = None,  # "huber" | "cauchy" on the edge residuals
+    robust_delta: float = 1.0,
 ) -> Problem:
     """Pose p occupies variables [6p, 6p+6). Pose 0 fixes the gauge, softly
-    (prior cost) or exactly (6-row equality constraint, ``hard_anchor``)."""
+    (prior cost) or exactly (6-row equality constraint, ``hard_anchor``).
+    ``robust`` wraps every edge in a robust loss kernel (residual.robustify)."""
+    from ..residual import robustify
+
     data = _edge_data3(measurements, weights)
     indices = _edge_indices3(edges_ij)
 
@@ -94,6 +99,8 @@ def make_pose_graph3_problem(
         return anchor_weight * gauge(xl)
 
     block = BlockResidual(fn=_edge_residual3, indices=indices, dim=6, data=data)
+    if robust is not None:
+        block = robustify(block, kind=robust, delta=robust_delta)
     if hard_anchor:
         return Problem(
             dimension=6 * n_poses,
@@ -178,13 +185,16 @@ def solve_pose_graph3_large(
     params: Optional[NLSParams] = None,
     cg_iterations: int = 100,
     hard_anchor: bool = False,
+    robust: Optional[str] = None,
+    robust_delta: float = 1.0,
 ) -> NLSResult:
     """Large-N path: matrix-free Jacobi-PCG Gauss-Newton over the edge set
     (the 6N x 6N Hessian is never materialized)."""
     import dataclasses
 
     problem = make_pose_graph3_problem(
-        n_poses, edges_ij, measurements, weights, hard_anchor=hard_anchor
+        n_poses, edges_ij, measurements, weights, hard_anchor=hard_anchor,
+        robust=robust, robust_delta=robust_delta,
     )
     if params is None:
         params = default_pose_graph3_params(x0.dtype)

@@ -167,3 +167,31 @@ def test_robust_cg_matches_dense():
         np.asarray(rc.x).reshape(n, 3)[:, :2] - gt[:, :2]
     ).max()
     assert err < 0.5, err
+
+
+def test_se3_robust_outlier():
+    """Robust kernels through the SE(3) family's matrix-free path."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_pose_graph3 import _helix_graph
+
+    from mini_opt_tpu.models.pose_graph3 import solve_pose_graph3_large
+
+    n = 36
+    gt, edges, meas, x0 = _helix_graph(n, seed=2, noise=0.005, loop_every=6)
+    meas_bad = meas.copy()
+    meas_bad[-1, :3] += 3.0
+    w = jnp.ones((len(edges),))
+    r_ls = solve_pose_graph3_large(
+        n, edges, jnp.asarray(meas_bad), w, jnp.asarray(x0.ravel()),
+        cg_iterations=150,
+    )
+    r_rb = solve_pose_graph3_large(
+        n, edges, jnp.asarray(meas_bad), w, jnp.asarray(x0.ravel()),
+        cg_iterations=150, robust="cauchy", robust_delta=0.2,
+    )
+    e_ls = np.abs(np.asarray(r_ls.x).reshape(n, 6)[:, :3] - gt[:, :3]).max()
+    e_rb = np.abs(np.asarray(r_rb.x).reshape(n, 6)[:, :3] - gt[:, :3]).max()
+    assert e_ls > 2.0, e_ls
+    assert e_rb < 0.4 * e_ls, (e_ls, e_rb)
