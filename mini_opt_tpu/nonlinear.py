@@ -688,16 +688,23 @@ def _select_step_size_parallel(
     # probe when none stops). One-hot selection instead of traced-index
     # gathers (TPU memory-space-assignment crash; see CLAUDE.md).
     k = jnp.where(any_stop, jnp.argmax(stops), n_probes - 1).astype(jnp.int32)
-    onehot = (jnp.arange(n_probes) == k).astype(dtype)
+    sel = jnp.arange(n_probes) == k
+
+    def select(v):
+        # where-masked sum, NOT a multiplicative one-hot: a non-finite LOSING
+        # probe (restricted-domain residual, f32 overflow) would poison the
+        # winner through 0 * NaN = NaN. Still gather-free (traced-index
+        # gathers crash the TPU memory-space-assignment pass; see CLAUDE.md).
+        mask = sel.reshape((n_probes,) + (1,) * (v.ndim - 1))
+        return jnp.sum(jnp.where(mask, v, jnp.zeros_like(v)), axis=0)
+
     status = jnp.where(
         any_stop,
-        jnp.sum(status_i * onehot.astype(jnp.int32)).astype(jnp.int32),
+        select(status_i).astype(jnp.int32),
         jnp.int32(StepSizeSelectionResult.MAX_ITERATIONS),
     )
-    candidate = onehot @ candidates
-    final_errors = Errors(
-        f=jnp.sum(errs.f * onehot), equality=jnp.sum(errs.equality * onehot)
-    )
+    candidate = select(candidates)
+    final_errors = Errors(f=select(errs.f), equality=select(errs.equality))
     evaluated = jnp.arange(n_probes) <= k
     steps = LineSearchHistory(
         alpha=jnp.where(evaluated, alphas, 0.0),
@@ -707,13 +714,13 @@ def _select_step_size_parallel(
     )
     if return_linearization:
         qp_sel = QP(
-            G=jnp.einsum("p,pij->ij", onehot, qps.G),
-            c=onehot @ qps.c,
-            A_eq=jnp.einsum("p,pij->ij", onehot, qps.A_eq),
-            b_eq=onehot @ qps.b_eq,
+            G=select(qps.G),
+            c=select(qps.c),
+            A_eq=select(qps.A_eq),
+            b_eq=select(qps.b_eq),
             ineq_var=qps.ineq_var[0],
-            ineq_a=onehot @ qps.ineq_a,
-            ineq_b=onehot @ qps.ineq_b,
+            ineq_a=select(qps.ineq_a),
+            ineq_b=select(qps.ineq_b),
         )
         return status, candidate, final_errors, steps, (qp_sel, final_errors)
     return status, candidate, final_errors, steps

@@ -46,9 +46,16 @@ from typing import Callable, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-_INTERPRET = jax.default_backend() != "tpu" or bool(
-    int(os.environ.get("MINI_OPT_PALLAS_INTERPRET", "0"))
-)
+@functools.lru_cache(maxsize=1)
+def _interpret() -> bool:
+    """Interpret-mode decision, deferred to first kernel call: resolving the
+    backend at IMPORT time would initialize JAX's platform as a side effect
+    of `import mini_opt_tpu`, defeating the documented post-import
+    `jax.config.update("jax_platforms", "cpu")` workaround for the axon
+    plugin (see CLAUDE.md) and touching the TPU tunnel for host-only use."""
+    return jax.default_backend() != "tpu" or bool(
+        int(os.environ.get("MINI_OPT_PALLAS_INTERPRET", "0"))
+    )
 
 
 _PI = 3.14159265358979
@@ -770,7 +777,7 @@ def _fused_solve(
         ],
         out_specs=out_specs if debug_history else out_specs[0],
         out_shape=out_shapes if debug_history else out_shapes[0],
-        interpret=_INTERPRET,
+        interpret=_interpret(),
     )(pack(targets, 0.5), pack(x0, 0.3))
     if debug_history:
         out, hist = res

@@ -30,9 +30,16 @@ import jax.numpy as jnp
 
 from . import kkt as kkt_ops
 
-_INTERPRET = jax.default_backend() != "tpu" or bool(
-    int(os.environ.get("MINI_OPT_PALLAS_INTERPRET", "0"))
-)
+@functools.lru_cache(maxsize=1)
+def _interpret() -> bool:
+    """Interpret-mode decision, deferred to first kernel call: resolving the
+    backend at IMPORT time would initialize JAX's platform as a side effect
+    of `import mini_opt_tpu`, defeating the documented post-import
+    `jax.config.update("jax_platforms", "cpu")` workaround for the axon
+    plugin (see CLAUDE.md) and touching the TPU tunnel for host-only use."""
+    return jax.default_backend() != "tpu" or bool(
+        int(os.environ.get("MINI_OPT_PALLAS_INTERPRET", "0"))
+    )
 
 _LANE_BLOCK = 256  # batch instances per grid step (multiple of 128)
 
@@ -119,7 +126,7 @@ def _batched_factorize(H):
             jax.ShapeDtypeStruct((D, D, b_pad), H.dtype),
             jax.ShapeDtypeStruct((D, b_pad), H.dtype),
         ],
-        interpret=_INTERPRET,
+        interpret=_interpret(),
     )(Ht)
     L = jnp.moveaxis(L_t, -1, 0)[:B]
     d = jnp.moveaxis(d_t, -1, 0)[:B]
@@ -157,7 +164,7 @@ def _batched_solve(L, d, rhs):
             (D, bb), lambda i: (0, i), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((D, b_pad), L.dtype),
-        interpret=_INTERPRET,
+        interpret=_interpret(),
     )(
         jnp.moveaxis(L_p, 0, -1),
         jnp.moveaxis(d_p, 0, -1),

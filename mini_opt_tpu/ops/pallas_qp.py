@@ -30,7 +30,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .pallas_ik import _INTERPRET, _ldlt_apply, _ldlt_factor_unrolled
+from .pallas_ik import _interpret, _ldlt_apply, _ldlt_factor_unrolled
 
 
 def _make_qp_kernel(N, K, ineq_var, iterations, sigma, barrier, has_eq_guess):
@@ -265,7 +265,7 @@ def _fused_qp_batch(
         in_specs=in_specs,
         out_specs=out_specs if K > 0 else out_specs[0],
         out_shape=out_shapes if K > 0 else out_shapes[0],
-        interpret=_INTERPRET,
+        interpret=_interpret(),
     )(*inputs)
 
     if K > 0:

@@ -24,7 +24,33 @@ def log(msg):
     print(f"# {msg}", file=sys.stderr, flush=True)
 
 
-def chained_time(solve, x0_like, args, K, repeats=3):
+def warm_tunnel(max_wait_s=900):
+    """First device->host fetch behind a watchdog: a cold tunnel transfer
+    can take minutes (CLAUDE.md, observed 276-471s). Running it once up
+    front on a daemon thread with progress logs means every later fetch in
+    the benches is warm, and a stuck tunnel is diagnosed instead of looking
+    like a hang."""
+    import threading
+
+    out = {}
+
+    def work():
+        out["v"] = float(np.asarray(jnp.zeros(())))
+
+    t = threading.Thread(target=work, daemon=True)
+    t0 = time.time()
+    t.start()
+    while t.is_alive() and time.time() - t0 < max_wait_s:
+        t.join(30)
+        if t.is_alive():
+            log(f"cold-tunnel warmup fetch pending ({time.time()-t0:.0f}s)...")
+    if "v" not in out:
+        log(f"WARNING: warmup fetch did not complete in {max_wait_s}s")
+    else:
+        log(f"tunnel warm ({time.time()-t0:.1f}s)")
+
+
+def chained_time(solve, x0_like, K, repeats=3):
     """Chained-dependency timing (bench.py methodology)."""
 
     @functools.partial(jax.jit, static_argnames=("k",))
@@ -76,7 +102,7 @@ def spatial_bench(B=8192, n=3):
     out = solve(x32)
     out.block_until_ready()
     log(f"spatial compile+run {time.time()-t0:.1f}s")
-    per_batch = chained_time(solve, x32, (), K=129)
+    per_batch = chained_time(solve, x32, K=129)
     # Parity on device.
     final = fkv(jnp.asarray(out, jnp.float64))
     err = jnp.max(jnp.abs(final - jnp.asarray(targets)), axis=1)
@@ -205,11 +231,7 @@ def pose_graph3_bench(n_poses=400):
     )
 
 
-if __name__ == "__main__":
-    log(f"backend={jax.default_backend()}")
-    spatial_bench()
-    pose_graph_bench()
-    pose_graph3_bench()
+
 
 
 def long_chain_bench(L=512, B=1024):
@@ -276,3 +298,12 @@ def long_chain_bench(L=512, B=1024):
         ),
         flush=True,
     )
+
+
+if __name__ == "__main__":
+    log(f"backend={jax.default_backend()}")
+    warm_tunnel()
+    spatial_bench()
+    pose_graph_bench()
+    pose_graph3_bench()
+    long_chain_bench(L=512)

@@ -338,6 +338,21 @@ def main():
     )
     args = ap.parse_args()
     log(f"backend={jax.default_backend()}")
+    # First fetch behind a watchdog (CLAUDE.md: cold tunnel transfers can
+    # take minutes; never leave one silent on the critical path).
+    import threading
+
+    out = {}
+    t = threading.Thread(
+        target=lambda: out.setdefault("v", float(np.asarray(jnp.zeros(())))),
+        daemon=True,
+    )
+    t0 = time.time()
+    t.start()
+    while t.is_alive() and time.time() - t0 < 900:
+        t.join(30)
+        if t.is_alive():
+            log(f"cold-tunnel warmup fetch pending ({time.time()-t0:.0f}s)...")
     if args.only in ("all", "qp"):
         # --- f64 on TPU at reference tolerances ----------------------------
         run_qp_sweep(jnp.float64, "ldlt", 1e-12, "f64")

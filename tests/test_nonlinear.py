@@ -716,3 +716,38 @@ def test_random_bounded_ls_sweep_vs_active_set_oracle():
         )
     # The distribution genuinely exercises the constrained path.
     assert n_active_total > B // 2, n_active_total
+
+
+def test_parallel_line_search_survives_nan_losing_probe():
+    """A residual with a restricted domain can make a LOSING probe non-finite
+    while the winning probe is fine (domain hole between x and x + dx). The
+    parallel line search must select with where-masking, not multiplicative
+    one-hots (0 * NaN = NaN poisoned the winner; with fuse_probe_linearize
+    the carried QP went all-NaN and the solve exited QP_INDEFINITE at a
+    worse point -- measured before the fix)."""
+    import dataclasses
+
+    def res(p):  # domain hole: requires |x - 2| >= 1
+        return jnp.stack([jnp.sqrt((p[0] - 2.0) ** 2 - 1.0), 2.0 * (p[0] - 6.0)])
+
+    problem = Problem(dimension=1, costs=(make_residual([0], res, 2),))
+    base = NLSParams(
+        max_iterations=15,
+        max_qp_iterations=1,
+        relative_exit_tol=1e-13,
+        max_line_search_iterations=4,
+        line_search_strategy=LineSearchStrategy.ARMIJO_BACKTRACK,
+    )
+    x0 = jnp.asarray([0.5])  # alpha=1 probe jumps the hole; alpha=0.5 lands in it
+    results = {}
+    for par, fuse in ((False, False), (True, False), (True, True)):
+        params = dataclasses.replace(
+            base, parallel_line_search=par, fuse_probe_linearize=fuse
+        )
+        r = jax.jit(lambda x, p=params: nls_solve(problem, p, x))(x0)
+        results[(par, fuse)] = r
+        assert np.isfinite(float(r.errors.f)), (par, fuse)
+        assert int(r.termination_state) != NLSTerminationState.QP_INDEFINITE
+    x_seq = float(results[(False, False)].x[0])
+    for key, r in results.items():
+        np.testing.assert_allclose(float(r.x[0]), x_seq, atol=1e-9, err_msg=str(key))
