@@ -207,6 +207,10 @@ def main():
     ap.add_argument("--fuse-probe-linearize", action="store_true",
                     help="probes compute their own linearizations; the "
                          "winner's is carried to the next iteration")
+    ap.add_argument("--fused-hand", action="store_true",
+                    help="use the handwritten register-list planar family "
+                         "instead of the default Problem-compiled one "
+                         "(ops/fused_auto.py)")
     ap.add_argument("--fused-barrier", default="mpc",
                     choices=["complementarity", "mpc"],
                     help="barrier schedule of the fused whole-solver kernel "
@@ -252,17 +256,41 @@ def main():
 
     if fused_path:
         # Fused whole-solver Pallas kernel: the production serving path for
-        # this family (same algorithm, zero inter-op dispatch).
-        from mini_opt_tpu.ops.pallas_ik import fused_ik_solve_batch
+        # this family (same algorithm, zero inter-op dispatch). The default
+        # kernel is COMPILED FROM the general-path Problem description
+        # (ops/fused_auto.py); its jvp-generated code measures the same
+        # speed as the handwritten register-list family (--fused-hand)
+        # at identical results (max |dx| 1.5e-5 on-chip).
+        if args.fused_hand:
+            from mini_opt_tpu.ops.pallas_ik import fused_ik_solve_batch
 
-        def solve(targets, x0):
-            return fused_ik_solve_batch(
-                targets, x0,
-                max_iterations=args.iters,
-                qp_iterations=args.qp_iters,
-                ls_iterations=args.ls_iters,
-                barrier=args.fused_barrier,
+            def solve(targets, x0):
+                return fused_ik_solve_batch(
+                    targets, x0,
+                    max_iterations=args.iters,
+                    qp_iterations=args.qp_iters,
+                    ls_iterations=args.ls_iters,
+                    barrier=args.fused_barrier,
+                )
+        else:
+            from mini_opt_tpu import family_from_problem, fused_solve_batch
+            from mini_opt_tpu.models.ik import scalar_planar_ik_builder
+            from mini_opt_tpu.ops.pallas_ik import _mod_pi
+
+            family = family_from_problem(
+                scalar_planar_ik_builder(2),
+                data_rows=2,
+                retract=lambda th: [_mod_pi(t) for t in th],
             )
+
+            def solve(targets, x0):
+                return fused_solve_batch(
+                    family, targets, x0,
+                    max_iterations=args.iters,
+                    qp_iterations=args.qp_iters,
+                    ls_iterations=args.ls_iters,
+                    barrier=args.fused_barrier,
+                )
 
         @jax.jit
         def parity_fraction(targets, x0):

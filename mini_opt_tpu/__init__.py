@@ -37,6 +37,10 @@ from .nonlinear import (
     compute_second_order_correction,
     nls_solve,
 )
+from .ops.fused_auto import (
+    check_family_against_problem,
+    family_from_problem,
+)
 from .ops.pallas_ik import (
     FusedFamily,
     fused_ik_solve_batch,

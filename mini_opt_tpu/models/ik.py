@@ -263,3 +263,54 @@ def solve_ik_multi_start(
     merit = res.errors.f + res.errors.equality  # (B, S)
     best = jnp.argmin(merit, axis=1)
     return jax.tree.map(lambda a: a[jnp.arange(B), best], res)
+
+
+def scalar_planar_ik_builder(n_active: int, link_len: float = 0.4):
+    """The planar IK problem as a SCALAR-STYLE ``problem_builder`` for
+    ``family_from_problem`` (ops/fused_auto.py): identical problem to
+    ``make_ik_problem`` (reference nonlinear_test.cc:828-960 -- soft cost on
+    effector y, equality on effector x, [0, pi] limits on joints 1..n-1) but
+    with the forward kinematics written as static Python indexing +
+    elementwise jnp ops, so the SAME ``Problem`` drives ``nls_solve`` and
+    compiles to a fused whole-solver Pallas kernel.
+
+    Returns ``builder(data) -> Problem`` with ``data = (tx, ty)``.
+    """
+    L = link_len
+    n = n_active
+    idx = list(range(n))
+
+    def builder(data):
+        tx, ty = data[0], data[1]
+
+        def effector(p):
+            acc = None
+            px = None
+            py = None
+            for i in range(n):
+                acc = p[i] if acc is None else acc + p[i]
+                cx = L * jnp.cos(acc)
+                sy = L * jnp.sin(acc)
+                px = cx if px is None else px + cx
+                py = sy if py is None else py + sy
+            return px, py
+
+        def y_res(p):
+            return jnp.stack([effector(p)[1] - ty])
+
+        def x_eq(p):
+            return jnp.stack([effector(p)[0] - tx])
+
+        ineq = tuple(
+            c
+            for i in range(1, n)
+            for c in (Var(i) >= 0.0, Var(i) <= 3.14159265)
+        )
+        return Problem(
+            dimension=n,
+            costs=(make_residual(idx, y_res, 1),),
+            equality_constraints=(make_residual(idx, x_eq, 1),),
+            inequality_constraints=ineq,
+        )
+
+    return builder

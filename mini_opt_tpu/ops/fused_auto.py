@@ -1,0 +1,273 @@
+"""Compile a general-path ``Problem`` into a fused whole-solver kernel.
+
+``family_from_problem`` closes the loop between the two solver tiers: the
+same ``Problem`` description that drives ``nls_solve`` (the general SQP
+path) is compiled into a :class:`FusedFamily`, whose whole constrained-SQP
+solve then runs as ONE Pallas kernel per batch (``fused_solve_batch``) --
+the VERDICT round-1 item 4 "generator from a static Problem description".
+
+How it works. The fused kernels hold every per-instance quantity as an
+(8, 128) lane register (1024 instances per vector op). User residuals are
+written for a single instance: ``fn(x_local: (P,)) -> (dim,)``. We evaluate
+them directly on a stacked register array of shape ``(P, 8, 128)``:
+
+* indexing ``x[0]``/``x[i]`` yields a register,
+* elementwise jnp math broadcasts over the trailing lane dims,
+* ``jnp.stack([...])`` of registers builds the ``(dim, 8, 128)`` output,
+
+so any residual written in this **scalar style** (static Python indexing +
+elementwise ops; nothing that depends on ``x.shape`` like ``jnp.sum(x)`` or
+matmuls over the parameter axis) traces to pure register code that Mosaic
+can compile. Jacobians are taken with ``P`` unrolled ``jax.jvp`` calls
+(one basis tangent per local parameter, built by stacking -- Pallas has no
+scatter, so ``.at[].set`` is off limits), which is exactly ``jacfwd``
+column by column; custom ``Residual.jac`` callables are NOT consulted
+(jvp of ``fn`` is authoritative -- reference residual_test.cc pins custom
+jacobians to the numerical derivative of ``fn`` anyway).
+
+The structural metadata (variable count, residual indices/dims, box
+bounds) is read from one eager probe call of the builder with zero data.
+``check_family_against_problem`` validates the scalar-style contract by
+comparing the compiled linearization against the general path's on random
+instances -- run it in a test whenever you write a new builder.
+
+Reference provenance: the generated kernel is the same fused SQP as
+ops/pallas_ik.py (reference algorithm: nonlinear.cc:75-343 outer loop,
+qp.cc:100-201 interior point); this module only generates the
+family-specific ``linearize``/``errors`` register callables.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..residual import Residual
+from .pallas_ik import FusedFamily
+
+
+def _probe_structure(problem_builder, data_rows):
+    """Eagerly build the problem once with zero data to read off its static
+    structure (costs/equality indices+dims, dimension, box bounds)."""
+    import numpy as np
+
+    probe = problem_builder(np.zeros((data_rows,), dtype=np.float64))
+    n = probe.dimension
+    for group in (probe.costs, probe.equality_constraints):
+        for r in group:
+            if not isinstance(r, Residual):
+                raise TypeError(
+                    "family_from_problem supports plain Residual costs only "
+                    f"(got {type(r).__name__}); BlockResidual families are "
+                    "large-N problems -- use the CG path for those."
+                )
+    lower = [None] * n
+    upper = [None] * n
+    for con in probe.inequality_constraints:
+        a = float(con.a)
+        b = float(con.b)
+        if a == 0.0:
+            raise ValueError("inequality with a == 0 constrains nothing")
+        bound = -b / a
+        v = int(con.variable)
+        if a > 0.0:
+            lower[v] = bound if lower[v] is None else max(lower[v], bound)
+        else:
+            upper[v] = bound if upper[v] is None else min(upper[v], bound)
+    m_eq = sum(c.dim for c in probe.equality_constraints)
+    return probe, n, tuple(lower), tuple(upper), m_eq
+
+
+def _basis_tangents(p, one, zero):
+    """P one-hot (P, 8, 128) tangents, built by stacking (no scatter)."""
+    return [
+        jnp.stack([one if i == a else zero for i in range(p)])
+        for a in range(p)
+    ]
+
+
+def family_from_problem(
+    problem_builder: Callable,
+    data_rows: int,
+    retract: Optional[Callable] = None,
+) -> FusedFamily:
+    """Compile ``problem_builder`` into a :class:`FusedFamily`.
+
+    Args:
+      problem_builder: ``data -> Problem`` for ONE instance, where ``data``
+        is the per-instance payload of shape ``(data_rows,)`` (targets,
+        weights, ...; may be traced). Every residual ``fn`` must be written
+        in scalar style (see module docstring). The problem's *structure*
+        (dimension, residual indices/dims, box bounds) must not depend on
+        the data values.
+      data_rows: payload length per instance.
+      retract: optional manifold update applied to every line-search
+        candidate, as a register-level ``list[n] -> list[n]`` callable
+        (e.g. ``lambda th: [mod_pi(t) for t in th]``).
+
+    Returns a family for :func:`fused_solve_batch`; construct ONCE at module
+    level (each instance is a distinct kernel specialization).
+    """
+    _, n, lower, upper, m_eq = _probe_structure(problem_builder, data_rows)
+
+    def _eval_block(res, x_regs, with_jac):
+        """Evaluate one Residual block on registers.
+
+        Returns (rows, cols) where rows[k] is output-row register k and
+        cols[a][k] is d rows[k] / d local-param a (None without jac)."""
+        p = len(res.index)
+        xl = jnp.stack([x_regs[i] for i in res.index])  # (P, 8, 128)
+        if not with_jac:
+            r = res.fn(xl)
+            return [r[k] for k in range(res.dim)], None
+        one = jnp.ones_like(x_regs[0])
+        zero = jnp.zeros_like(x_regs[0])
+        rows = None
+        cols = []
+        for tangent in _basis_tangents(p, one, zero):
+            r, dr = jax.jvp(res.fn, (xl,), (tangent,))
+            if rows is None:
+                rows = [r[k] for k in range(res.dim)]
+            cols.append([dr[k] for k in range(res.dim)])
+        if rows is None:  # P == 0 cannot happen for a valid Residual
+            rows = [res.fn(xl)[k] for k in range(res.dim)]
+        return rows, cols
+
+    def linearize(x_regs, data_regs):
+        problem = problem_builder(jnp.stack(data_regs))
+        zero = jnp.zeros_like(x_regs[0])
+        f = zero
+        G = [[zero] * (i + 1) for i in range(n)]
+        c = [zero] * n
+        for cost in problem.costs:
+            rows, cols = _eval_block(cost, x_regs, with_jac=True)
+            for r in rows:
+                f = f + 0.5 * r * r
+            idx = cost.index
+            # J^T J into the global lower triangle, J^T r into the gradient
+            # (residual.hpp:204-224 scatter-add, as static register sums).
+            for a, ga in enumerate(idx):
+                for b, gb in enumerate(idx):
+                    if gb > ga:
+                        continue
+                    acc = G[ga][gb]
+                    for k in range(cost.dim):
+                        acc = acc + cols[a][k] * cols[b][k]
+                    G[ga][gb] = acc
+                acc = c[ga]
+                for k in range(cost.dim):
+                    acc = acc + cols[a][k] * rows[k]
+                c[ga] = acc
+        r_eq = []
+        J_eq = []
+        for con in problem.equality_constraints:
+            rows, cols = _eval_block(con, x_regs, with_jac=True)
+            for k in range(con.dim):
+                r_eq.append(rows[k])
+                row = [zero] * n
+                for a, ga in enumerate(con.index):
+                    row[ga] = cols[a][k]
+                J_eq.append(row)
+        return f, r_eq, J_eq, G, c
+
+    def errors(x_regs, data_regs):
+        problem = problem_builder(jnp.stack(data_regs))
+        zero = jnp.zeros_like(x_regs[0])
+        f = zero
+        for cost in problem.costs:
+            rows, _ = _eval_block(cost, x_regs, with_jac=False)
+            for r in rows:
+                f = f + 0.5 * r * r
+        eq_l1 = zero
+        for con in problem.equality_constraints:
+            rows, _ = _eval_block(con, x_regs, with_jac=False)
+            for r in rows:
+                eq_l1 = eq_l1 + jnp.abs(r)
+        return f, eq_l1
+
+    return FusedFamily(
+        n=n,
+        data_rows=data_rows,
+        m_eq=m_eq,
+        linearize=linearize,
+        errors=errors,
+        lower=lower,
+        upper=upper,
+        retract=retract,
+    )
+
+
+def check_family_against_problem(
+    family: FusedFamily,
+    problem_builder: Callable,
+    data: jax.Array,  # (B, data_rows) sample instances
+    x: jax.Array,  # (B, n) sample points
+    atol: float = 1e-6,
+    rtol: float = 1e-6,
+):
+    """Eager validation of the scalar-style contract: compare the compiled
+    register ``linearize``/``errors`` against the general path's per-block
+    semantics on B sample instances (run OUTSIDE any kernel). Raises on
+    mismatch; returns the max absolute deviation otherwise."""
+    import numpy as np
+
+    B = data.shape[0]
+    pad = -(-B // 1024) * 1024
+    dtype = x.dtype
+
+    def to_regs(arr, rows):
+        # (B, rows) -> list of rows (8, 128)-register stacks of ceil(B/1024)
+        # tiles; we only use the first tile here (B <= 1024 recommended).
+        a = np.zeros((pad, rows), dtype=dtype)
+        a[:B] = np.asarray(arr)
+        t = a[:1024].T.reshape(rows, 8, 128)
+        return [jnp.asarray(t[i]) for i in range(rows)]
+
+    x_regs = to_regs(x, family.n)
+    d_regs = to_regs(data, family.data_rows)
+    f, r_eq, J_eq, G, c = jax.jit(family.linearize)(x_regs, d_regs)
+    fe, eqe = jax.jit(family.errors)(x_regs, d_regs)
+
+    def flat(reg):
+        return np.asarray(reg).reshape(-1)[:B]
+
+    worst = 0.0
+
+    def cmp(a, b, what):
+        nonlocal worst
+        a = np.asarray(a)
+        b = np.asarray(b)
+        dev = float(np.max(np.abs(a - b))) if a.size else 0.0
+        worst = max(worst, dev)
+        if not np.allclose(a, b, atol=atol, rtol=rtol):
+            raise AssertionError(
+                f"{what}: register path deviates from the general path "
+                f"(max abs {dev:.3e}) -- the builder's residuals are not "
+                "scalar-style (see fused_auto docstring)"
+            )
+
+    from ..nonlinear import linearize_and_fill_qp
+
+    for b in range(B):
+        problem = problem_builder(data[b])
+        qp, errs = linearize_and_fill_qp(problem, x[b], lam=jnp.zeros((), dtype))
+        n = family.n
+        G_b = np.zeros((n, n))
+        for i in range(n):
+            for j in range(i + 1):
+                G_b[i, j] = flat(G[i][j])[b]
+        ref_G = np.asarray(qp.G)
+        cmp(G_b, np.tril(ref_G), f"G[{b}]")
+        cmp([flat(ci)[b] for ci in c], np.asarray(qp.c), f"c[{b}]")
+        cmp([flat(r)[b] for r in r_eq], np.asarray(qp.b_eq), f"r_eq[{b}]")
+        for k in range(family.m_eq):
+            cmp(
+                [flat(J_eq[k][i])[b] for i in range(n)],
+                np.asarray(qp.A_eq)[k],
+                f"J_eq[{k}][{b}]",
+            )
+        cmp(flat(f)[b], float(errs.f), f"f[{b}]")
+        cmp(flat(eqe)[b], float(errs.equality), f"eq_l1[{b}]")
+    return worst

@@ -1,0 +1,222 @@
+"""Problem -> fused-kernel compiler (ops/fused_auto.py).
+
+The compiled family must (a) reproduce the general path's linearization
+bit-for-bit at the register level (the eager validator), (b) match the
+handwritten planar family's kernel end to end, (c) agree with ``nls_solve``
+on a problem family that was never hand-fused (product equality + active
+bound, the reference's nonlinear-equality structure from
+nonlinear_test.cc:745-825), and (d) reject non-scalar-style residuals
+instead of silently producing garbage.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mini_opt_tpu import (
+    NLSParams,
+    Problem,
+    Var,
+    check_family_against_problem,
+    family_from_problem,
+    fused_ik_solve_batch,
+    fused_solve_batch,
+    make_residual,
+    nls_solve,
+)
+from mini_opt_tpu.models.ik import scalar_planar_ik_builder
+from mini_opt_tpu.ops.pallas_ik import _mod_pi
+from mini_opt_tpu.structs import LineSearchStrategy
+
+
+def _ik_instances(B, seed=0):
+    """bench.py's warm-start serving distribution (kept in sync by the
+    state-parity test in test_pallas_ik.py)."""
+    rng = np.random.default_rng(seed)
+    L = 0.4
+    radius = rng.uniform(0.55, 0.95, B) * 2 * L
+    angle = rng.uniform(0.25, 1.25, B)
+    tx, ty = radius * np.cos(angle), radius * np.sin(angle)
+    r2 = tx**2 + ty**2
+    c1 = np.clip((r2 - 2 * L * L) / (2 * L * L), -1.0, 1.0)
+    th1 = np.arccos(c1)
+    th0 = np.arctan2(ty, tx) - np.arctan2(L * np.sin(th1), L + L * np.cos(th1))
+    x0 = np.stack([th0, th1], axis=1) + rng.uniform(-0.3, 0.3, (B, 2))
+    x0[:, 1] = np.clip(x0[:, 1], 0.05, np.pi - 0.05)
+    targets = np.stack([tx, ty], axis=1)
+    return (
+        jnp.asarray(targets, jnp.float32),
+        jnp.asarray(x0, jnp.float32),
+    )
+
+
+def test_register_linearization_matches_general_path():
+    builder = scalar_planar_ik_builder(2)
+    fam = family_from_problem(builder, data_rows=2)
+    assert fam.n == 2 and fam.m_eq == 1
+    assert fam.lower == (None, 0.0)
+    assert fam.upper == (None, 3.14159265)
+    rng = np.random.default_rng(3)
+    B = 12
+    data = jnp.asarray(rng.uniform(0.1, 0.7, (B, 2)))
+    x = jnp.asarray(rng.uniform(-1.0, 2.0, (B, 2)))
+    worst = check_family_against_problem(fam, builder, data, x)
+    assert worst < 1e-12  # f64 eager: machine-epsilon agreement
+
+
+def test_auto_family_matches_handwritten_kernel():
+    targets, x0 = _ik_instances(1024)
+    builder = scalar_planar_ik_builder(2)
+    fam = family_from_problem(
+        builder, data_rows=2, retract=lambda th: [_mod_pi(t) for t in th]
+    )
+    # Robust budget (not the minimal serving budget): the subject here is
+    # auto == handwritten, and the minimal budget has zero convergence margin
+    # for fp-context flips of chaotic lanes (see CLAUDE.md).
+    xa = fused_solve_batch(
+        fam, targets, x0, max_iterations=10, qp_iterations=6,
+        ls_iterations=2, barrier="mpc",
+    )
+    xh = fused_ik_solve_batch(
+        targets, x0, max_iterations=10, qp_iterations=6,
+        ls_iterations=2, barrier="mpc",
+    )
+    # Same algorithm, same budget; only fp ordering differs (jvp-generated
+    # vs handwritten jacobian arithmetic). f32 trajectories of borderline
+    # lanes are fp-context sensitive (see CLAUDE.md), so gate the bulk on
+    # iterate agreement and EVERY lane on convergence.
+    dx = np.abs(np.asarray(xa) - np.asarray(xh))
+    dx = np.minimum(dx, 2 * np.pi - dx).max(axis=1)
+    assert np.quantile(dx, 0.9) < 1e-3, np.sort(dx)[-8:]
+    L = 0.4
+    t = np.asarray(targets)
+    for x in (np.asarray(xa), np.asarray(xh)):
+        phi1, phi2 = x[:, 0], x[:, 0] + x[:, 1]
+        px = L * (np.cos(phi1) + np.cos(phi2))
+        py = L * (np.sin(phi1) + np.sin(phi2))
+        err = np.maximum(np.abs(px - t[:, 0]), np.abs(py - t[:, 1]))
+        assert np.max(err) < 1e-3, np.max(err)
+
+
+def _product_builder(data):
+    """min 0.5[(x0-a)^2 + (x1-b)^2]  s.t.  x0*x1 = v,  x0 >= 0.6
+    (the reference's nonlinear product-equality structure,
+    nonlinear_test.cc:745-825, plus a box bound that activates when the
+    cost pulls x0 negative)."""
+    a, b, v = data[0], data[1], data[2]
+    return Problem(
+        dimension=2,
+        costs=(
+            make_residual([0, 1], lambda p: jnp.stack([p[0] - a, p[1] - b]), 2),
+        ),
+        equality_constraints=(
+            make_residual([0, 1], lambda p: jnp.stack([p[0] * p[1] - v]), 1),
+        ),
+        inequality_constraints=(Var(0) >= 0.6,),
+    )
+
+
+def test_auto_family_never_hand_fused_matches_nls_solve():
+    B = 512
+    rng = np.random.default_rng(7)
+    # Half the instances pull x0 negative so the x0 >= 0.6 bound activates.
+    a = np.where(
+        np.arange(B) % 2 == 0,
+        rng.uniform(0.7, 1.5, B),
+        rng.uniform(-0.8, -0.2, B),
+    )
+    data = np.stack(
+        [a, rng.uniform(0.5, 1.5, B), rng.uniform(0.3, 1.0, B)], axis=1
+    ).astype(np.float32)
+    x0 = np.stack(
+        [np.maximum(a, 0.8), data[:, 2] / np.maximum(a, 0.8)], axis=1
+    ).astype(np.float32)
+
+    fam = family_from_problem(_product_builder, data_rows=3)
+    xf = np.asarray(
+        fused_solve_batch(
+            fam, jnp.asarray(data), jnp.asarray(x0),
+            max_iterations=12, qp_iterations=6, ls_iterations=2, barrier="mpc",
+        )
+    )
+
+    # nls_solve configured step-identically to the fused kernel's hard-coded
+    # machine (same matching as test_pallas_ik._general_solver_history).
+    from mini_opt_tpu.structs import BarrierStrategy
+
+    params = NLSParams(
+        max_iterations=12,
+        max_qp_iterations=6,
+        max_line_search_iterations=2,
+        line_search_strategy=LineSearchStrategy.ARMIJO_BACKTRACK,
+        armijo_search_tau=0.5,
+        equality_penalty_initial=0.01,
+        lambda_initial=0.001,
+        lambda_failure_init=0.001,
+        min_lambda=1e-9,
+        termination_kkt_tolerance=1e-12,
+        absolute_exit_tol=1e-30,
+        relative_exit_tol=0.0,
+        absolute_first_derivative_tol=0.0,
+        early_exit=False,
+        kkt_solver="ldlt",
+        qp_barrier_strategy=BarrierStrategy.PREDICTOR_CORRECTOR,
+    )
+
+    def solve_one(d, x):
+        return nls_solve(_product_builder(d), params, x).x
+
+    xg = np.asarray(jax.jit(jax.vmap(solve_one))(jnp.asarray(data), jnp.asarray(x0)))
+    # Bulk agreement between the tiers; borderline f32 lanes may drift.
+    dx = np.max(np.abs(xf - xg), axis=1)
+    assert np.quantile(dx, 0.9) < 1e-3, np.sort(dx)[-8:]
+    # Solution quality of the fused result: feasibility tracks the general
+    # path (penalty-driven equality feasibility converges at the same rate)
+    # and the bound holds everywhere, with the active set actually exercised.
+    viol_f = np.abs(xf[:, 0] * xf[:, 1] - data[:, 2])
+    viol_g = np.abs(xg[:, 0] * xg[:, 1] - data[:, 2])
+    assert np.max(viol_f) < max(2.0 * np.max(viol_g), 1e-3), (
+        np.max(viol_f),
+        np.max(viol_g),
+    )
+    assert np.all(xf[:, 0] >= 0.6 - 1e-4)
+    assert (np.abs(xf[:, 0] - 0.6) < 5e-3).sum() > B // 4  # bound active
+
+
+def test_validator_rejects_non_scalar_style_residual():
+    def bad_builder(data):
+        # jnp.sum over the local-parameter array reduces the lane dims too
+        # once evaluated on registers -- the canonical contract violation.
+        return Problem(
+            dimension=2,
+            costs=(
+                make_residual(
+                    [0, 1], lambda p: jnp.stack([jnp.sum(p) - data[0]]), 1
+                ),
+            ),
+        )
+
+    fam = family_from_problem(bad_builder, data_rows=1)
+    rng = np.random.default_rng(0)
+    data = jnp.asarray(rng.uniform(0.5, 1.0, (4, 1)))
+    x = jnp.asarray(rng.uniform(-1.0, 1.0, (4, 2)))
+    with pytest.raises(Exception):
+        check_family_against_problem(fam, bad_builder, data, x)
+
+
+def test_block_residual_rejected():
+    from mini_opt_tpu.residual import BlockResidual
+
+    def builder(data):
+        return Problem(
+            dimension=2,
+            costs=(
+                BlockResidual(
+                    fn=lambda p, d: p, indices=((0, 1),), dim=2, data=None
+                ),
+            ),
+        )
+
+    with pytest.raises(TypeError):
+        family_from_problem(builder, data_rows=1)
