@@ -97,6 +97,29 @@ def general_solver_reference(y_rows, x0_rows):
     return jax.jit(jax.vmap(one))(y_rows, x0_rows)
 
 
+def auto_compiled_family():
+    """The SAME family again -- but compiled automatically from the Problem
+    description by family_from_problem (no hand-written register code):
+    residuals in scalar style, Jacobians via unrolled jvp, bounds from the
+    Var DSL."""
+    from mini_opt_tpu import family_from_problem
+
+    def builder(data):
+        def res(p):
+            a, b = p[0], p[1]
+            return jnp.stack(
+                [a * jnp.exp(b * t) - data[k] for k, t in enumerate(_TIMES)]
+            )
+
+        return Problem(
+            dimension=2,
+            costs=(make_residual([0, 1], res, 3),),
+            inequality_constraints=(Var(0) >= 0.0, Var(1) <= 0.0),
+        )
+
+    return family_from_problem(builder, data_rows=len(_TIMES))
+
+
 def main():
     B = 8192
     rng = np.random.default_rng(0)
@@ -126,6 +149,18 @@ def main():
     agree = np.abs(x_gen - x_fused[:K]).max()
     print(f"fused vs general solver on {K} instances: max |dx| = {agree:.2e}")
     assert agree < 1e-2
+
+    # Same kernel, zero register code: compile the family straight from the
+    # Problem description.
+    x_auto = np.asarray(
+        fused_solve_batch(
+            auto_compiled_family(), y32, jnp.asarray(x0),
+            max_iterations=8, qp_iterations=6,
+        )
+    )
+    agree_auto = np.abs(x_auto - x_fused).max()
+    print(f"auto-compiled vs handwritten family: max |dx| = {agree_auto:.2e}")
+    assert agree_auto < 1e-3
     print("ok")
 
 
