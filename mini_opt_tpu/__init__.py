@@ -40,6 +40,7 @@ from .nonlinear import (
 from .ops.fused_auto import (
     check_family_against_problem,
     family_from_problem,
+    fused_nls_solve_batch,
 )
 from .ops.pallas_ik import (
     FusedFamily,

@@ -39,7 +39,8 @@ family-specific ``linearize``/``errors`` register callables.
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence
+import functools
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -271,3 +272,68 @@ def check_family_against_problem(
         cmp(flat(f)[b], float(errs.f), f"f[{b}]")
         cmp(flat(eqe)[b], float(errs.equality), f"eq_l1[{b}]")
     return worst
+
+
+@functools.lru_cache(maxsize=None)
+def _cached_family(problem_builder, data_rows, retract):
+    return family_from_problem(problem_builder, data_rows, retract=retract)
+
+
+def fused_nls_solve_batch(
+    problem_builder: Callable,
+    data: jax.Array,  # (B, data_rows)
+    x0: jax.Array,  # (B, n)
+    params,  # NLSParams
+    retract: Optional[Callable] = None,
+):
+    """``nls_solve``'s fused-kernel twin: solve B instances of
+    ``problem_builder`` with ONE whole-solver Pallas kernel, configured from
+    the same :class:`NLSParams` the general path takes.
+
+    Honored knobs: ``max_iterations`` / ``max_qp_iterations`` /
+    ``max_line_search_iterations`` (the kernel runs them as FIXED trip
+    counts -- it has no early exit, like ``early_exit=False``),
+    ``line_search_strategy``, and ``qp_barrier_strategy`` (FIXED_DECREASE is
+    not available in the kernel; COMPLEMENTARITY and PREDICTOR_CORRECTOR
+    are). Tolerance knobs are ignored (fixed-trip semantics). The damping /
+    penalty machine uses the kernel's fixed constants (lambda0 1e-3,
+    penalty0 1e-2, Armijo tau 0.5 -- the ``default_ik_params`` values);
+    a different ``armijo_search_tau`` raises rather than being silently
+    ignored.
+
+    The compiled family is cached on (builder, data_rows, retract) identity,
+    so repeated calls reuse one kernel specialization.
+    """
+    from ..structs import BarrierStrategy, LineSearchStrategy
+
+    if params.line_search_strategy == LineSearchStrategy.ARMIJO_BACKTRACK:
+        if abs(params.armijo_search_tau - 0.5) > 1e-12:
+            raise ValueError(
+                "the fused kernel backtracks with fixed tau=0.5; got "
+                f"armijo_search_tau={params.armijo_search_tau}"
+            )
+        line_search = "armijo"
+    else:
+        line_search = "polynomial"
+    if params.qp_barrier_strategy == BarrierStrategy.PREDICTOR_CORRECTOR:
+        barrier = "mpc"
+    elif params.qp_barrier_strategy == BarrierStrategy.COMPLEMENTARITY:
+        barrier = "complementarity"
+    else:
+        raise ValueError(
+            f"unsupported barrier for the fused kernel: "
+            f"{params.qp_barrier_strategy!r}"
+        )
+    family = _cached_family(problem_builder, int(data.shape[1]), retract)
+    from .pallas_ik import fused_solve_batch
+
+    return fused_solve_batch(
+        family,
+        data,
+        x0,
+        max_iterations=params.max_iterations,
+        qp_iterations=params.max_qp_iterations,
+        ls_iterations=params.max_line_search_iterations,
+        line_search=line_search,
+        barrier=barrier,
+    )

@@ -220,3 +220,63 @@ def test_block_residual_rejected():
 
     with pytest.raises(TypeError):
         family_from_problem(builder, data_rows=1)
+
+
+def test_fused_nls_solve_batch_api():
+    """The NLSParams-driven wrapper: same result as the direct construction,
+    cached family across calls, unsupported knobs rejected."""
+    import dataclasses
+
+    from mini_opt_tpu import fused_nls_solve_batch
+    from mini_opt_tpu.ops.fused_auto import _cached_family
+    from mini_opt_tpu.structs import BarrierStrategy
+
+    B = 256
+    rng = np.random.default_rng(11)
+    data = np.stack(
+        [
+            rng.uniform(0.7, 1.5, B),
+            rng.uniform(0.5, 1.5, B),
+            rng.uniform(0.3, 1.0, B),
+        ],
+        axis=1,
+    ).astype(np.float32)
+    x0 = np.stack([np.full(B, 0.9), data[:, 2] / 0.9], axis=1).astype(np.float32)
+    params = NLSParams(
+        max_iterations=8,
+        max_qp_iterations=4,
+        max_line_search_iterations=2,
+        line_search_strategy=LineSearchStrategy.ARMIJO_BACKTRACK,
+        armijo_search_tau=0.5,
+        qp_barrier_strategy=BarrierStrategy.PREDICTOR_CORRECTOR,
+    )
+    before = _cached_family.cache_info().currsize
+    xw = fused_nls_solve_batch(
+        _product_builder, jnp.asarray(data), jnp.asarray(x0), params
+    )
+    xw2 = fused_nls_solve_batch(
+        _product_builder, jnp.asarray(data), jnp.asarray(x0), params
+    )
+    info = _cached_family.cache_info()
+    assert info.currsize == before + 1 and info.hits >= 1  # one kernel, reused
+    np.testing.assert_array_equal(np.asarray(xw), np.asarray(xw2))
+
+    fam = family_from_problem(_product_builder, data_rows=3)
+    xd = fused_solve_batch(
+        fam, jnp.asarray(data), jnp.asarray(x0),
+        max_iterations=8, qp_iterations=4, ls_iterations=2, barrier="mpc",
+    )
+    np.testing.assert_array_equal(np.asarray(xw), np.asarray(xd))
+
+    with pytest.raises(ValueError):
+        fused_nls_solve_batch(
+            _product_builder, jnp.asarray(data), jnp.asarray(x0),
+            dataclasses.replace(params, armijo_search_tau=0.8),
+        )
+    with pytest.raises(ValueError):
+        fused_nls_solve_batch(
+            _product_builder, jnp.asarray(data), jnp.asarray(x0),
+            dataclasses.replace(
+                params, qp_barrier_strategy=BarrierStrategy.FIXED_DECREASE
+            ),
+        )
