@@ -215,7 +215,12 @@ def check_family_against_problem(
     import numpy as np
 
     B = data.shape[0]
-    pad = -(-B // 1024) * 1024
+    if B > 1024:
+        raise ValueError(
+            f"check_family_against_problem packs one (8, 128) register tile "
+            f"(1024 instances); got B={B} -- validate on a sample"
+        )
+    pad = 1024
     dtype = x.dtype
 
     def to_regs(arr, rows):
@@ -223,7 +228,7 @@ def check_family_against_problem(
         # tiles; we only use the first tile here (B <= 1024 recommended).
         a = np.zeros((pad, rows), dtype=dtype)
         a[:B] = np.asarray(arr)
-        t = a[:1024].T.reshape(rows, 8, 128)
+        t = a.T.reshape(rows, 8, 128)
         return [jnp.asarray(t[i]) for i in range(rows)]
 
     x_regs = to_regs(x, family.n)
