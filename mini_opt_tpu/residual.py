@@ -215,7 +215,12 @@ def _robust_rescale(r: jax.Array, kind: str, delta: float) -> jax.Array:
     # still deep inside the exact-identity regime (s <= eps*delta^2 implies
     # the quadratic branch), so values are unchanged.
     eps = jnp.finfo(dtype).eps * delta * delta
-    s = 0.5 * jnp.sum(r * r)
+    # axis=0 (the residual-row axis), NOT a full reduction: on the general
+    # path r is (dim,) so this is the same scalar, while on the fused
+    # compiler's (dim, 8, 128) register stacks (ops/fused_auto.py) it keeps
+    # one s per lane instead of contaminating 1024 instances. All following
+    # scales broadcast over the trailing lane dims either way.
+    s = 0.5 * jnp.sum(r * r, axis=0)
     s_safe = jnp.maximum(s, eps)
     if kind == "huber":
         a = jnp.sqrt(2.0 * s_safe)  # ||r||

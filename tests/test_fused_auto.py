@@ -280,3 +280,90 @@ def test_fused_nls_solve_batch_api():
                 params, qp_barrier_strategy=BarrierStrategy.FIXED_DECREASE
             ),
         )
+
+
+def test_robustified_residuals_compile_to_registers():
+    """robustify() produces scalar-style functions (axis-0 reduction only),
+    so robust losses work inside compiled kernels: register linearization
+    matches the general path to machine epsilon, and the compiled solve
+    resists an outlier sample that drags the plain-LS solution."""
+    from mini_opt_tpu.residual import robustify
+
+    ts = (0.0, 0.5, 1.0, 1.5)
+
+    def builder_robust(data):
+        def res(p):
+            # Linear fit y = p0 + p1 t against len(ts) samples.
+            return jnp.stack([p[0] + p[1] * t - data[k] for k, t in enumerate(ts)])
+
+        return Problem(
+            dimension=2,
+            costs=tuple(
+                robustify(
+                    make_residual([0, 1], lambda p, k=k, t=t: jnp.stack(
+                        [p[0] + p[1] * t - data[k]]
+                    ), 1),
+                    kind="huber",
+                    delta=0.5,
+                )
+                for k, t in enumerate(ts)
+            ),
+        )
+
+    fam = family_from_problem(builder_robust, data_rows=len(ts))
+    rng = np.random.default_rng(5)
+    B = 64
+    data = jnp.asarray(rng.normal(0.0, 1.0, (B, len(ts))))
+    x = jnp.asarray(rng.normal(0.0, 1.0, (B, 2)))
+    worst = check_family_against_problem(fam, builder_robust, data, x)
+    assert worst < 1e-12
+
+    # Outlier resistance end to end: true line y = 1 + 2t, last sample wild.
+    # Cauchy (redescending) for the solve: with the outlier at 25 sigma, a
+    # small-delta huber turns into L1 line fitting whose kinked landscape has
+    # spurious stationary points -- BOTH tiers agree on them (verified), but
+    # they make a poor convergence test.
+    def builder_cauchy(data):
+        return Problem(
+            dimension=2,
+            costs=tuple(
+                robustify(
+                    make_residual([0, 1], lambda p, k=k, t=t: jnp.stack(
+                        [p[0] + p[1] * t - data[k]]
+                    ), 1),
+                    kind="cauchy",
+                    delta=1.0,
+                )
+                for k, t in enumerate(ts)
+            ),
+        )
+
+    fam_c = family_from_problem(builder_cauchy, data_rows=len(ts))
+    y = np.array([1.0 + 2.0 * t for t in ts], np.float32)
+    y_out = y.copy()
+    y_out[-1] += 25.0
+    datab = jnp.asarray(np.tile(y_out, (1024, 1)), jnp.float32)
+    x0 = jnp.zeros((1024, 2), jnp.float32)
+    xr = np.asarray(
+        fused_solve_batch(
+            fam_c, datab, x0, max_iterations=20, qp_iterations=1,
+            ls_iterations=2, barrier="mpc",
+        )
+    )[0]
+    # Plain least squares on the same data for contrast.
+    def builder_ls(data):
+        def res(p):
+            return jnp.stack([p[0] + p[1] * t - data[k] for k, t in enumerate(ts)])
+        return Problem(dimension=2, costs=(make_residual([0, 1], res, len(ts)),))
+
+    fam_ls = family_from_problem(builder_ls, data_rows=len(ts))
+    xl = np.asarray(
+        fused_solve_batch(
+            fam_ls, datab, x0, max_iterations=12, qp_iterations=1,
+            ls_iterations=2, barrier="mpc",
+        )
+    )[0]
+    err_r = abs(xr[0] - 1.0) + abs(xr[1] - 2.0)
+    err_l = abs(xl[0] - 1.0) + abs(xl[1] - 2.0)
+    assert err_r < 0.35, (xr, err_r)
+    assert err_l > 3 * err_r, (xl, xr)  # robust beats plain LS on outliers
