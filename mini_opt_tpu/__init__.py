@@ -25,6 +25,12 @@ from .models.pose_graph import (
     solve_pose_graph_large,
     solve_pose_graph_large_sharded,
 )
+from .models.bundle_adjustment import (
+    make_ba_problem,
+    make_synthetic_scene,
+    solve_bundle_adjustment,
+    solve_bundle_adjustment_large,
+)
 from .models.pose_graph3 import (
     make_pose_graph3_problem,
     solve_pose_graph3,

@@ -1,0 +1,341 @@
+"""Fourth model family: bundle adjustment (cameras + landmarks).
+
+The canonical large-scale NLS workload: C cameras with 6-DoF poses and L
+3-D landmarks, tied by K reprojection observations. One ``BlockResidual``
+holds every observation, so the whole structure-from-motion refinement runs
+through the same machinery as the pose-graph families -- dense one-hot MXU
+assembly for tiny scenes, matrix-free Jacobi-PCG Gauss-Newton
+(``qp_solver="cg"``) when the (6C+3L)-dim Hessian must never materialize,
+``robustify`` for outlier-tolerant reprojection terms.
+
+No analog in the reference (kinematics-only test tree,
+/root/reference/test/transform_chains.cc); built on the same SO(3)
+utilities as the SE(3) pose-graph family (utils/so3.py).
+
+Variable layout: camera c owns ``[6c, 6c+6)`` as (t_c(3), w_c(3)) --
+camera-to-world translation + rotation vector; landmark l owns
+``[6C + 3l, 6C + 3l + 3)``.
+
+Observation (camera c sees landmark l at normalized pixel (u, v)):
+
+    p_cam = R(w_c)^T (X_l - t_c)          # world -> camera
+    r     = weight * (p_cam[:2] / p_cam[2] - (u, v))   # pinhole, f = 1
+
+Monocular reprojection-only BA has a 7-dim gauge freedom (6 rigid + scale);
+the problem fixes it with a camera-0 anchor (soft prior or 6 hard equality
+rows) plus a scale row pinning ``||t_1 - t_0||`` to its initial value.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..nonlinear import NLSParams, Problem, nls_solve
+from ..residual import BlockResidual, make_residual, robustify
+from ..structs import LineSearchStrategy, NLSResult
+from ..utils.so3 import quat_conjugate, quat_exp, quat_log, quat_rotate
+
+
+def _reprojection_residual(xl, row):
+    """2-row reprojection residual of one observation.
+
+    xl = (t_c(3), w_c(3), X(3)); row = (u, v, weight).
+    """
+    t_c, w_c, X = xl[0:3], xl[3:6], xl[6:9]
+    uv, w = row[0:2], row[2]
+    p = quat_rotate(quat_conjugate(quat_exp(w_c)), X - t_c)
+    # Depth guard: a candidate step can push a point near the camera plane;
+    # clamping the denominator keeps the residual finite (the line search
+    # rejects such steps on merit).
+    d = p[2]
+    d_safe = jnp.where(jnp.abs(d) < 1e-6, jnp.where(d < 0, -1e-6, 1e-6), d)
+    return w * (p[0:2] / d_safe - uv)
+
+
+def _obs_data(uv: jax.Array, weights) -> jax.Array:
+    uv = jnp.asarray(uv)
+    if weights is None:
+        weights = jnp.ones((uv.shape[0],), uv.dtype)
+    weights = jnp.asarray(weights, uv.dtype)
+    return jnp.concatenate([uv, weights[:, None]], axis=1)
+
+
+def _obs_indices(n_cameras: int, obs_cl) -> jax.Array:
+    """(K, 9) int32 global indices: camera block then landmark block."""
+    import numpy as np
+
+    obs = np.asarray(obs_cl, dtype=np.int64)
+    cam = (6 * obs[:, 0:1] + np.arange(6)[None, :]).astype(np.int64)
+    lmk = (6 * n_cameras + 3 * obs[:, 1:2] + np.arange(3)[None, :]).astype(
+        np.int64
+    )
+    return jnp.asarray(np.concatenate([cam, lmk], axis=1), dtype=jnp.int32)
+
+
+def make_ba_problem(
+    n_cameras: int,
+    n_landmarks: int,
+    obs_cl,  # (K, 2) int: (camera, landmark) per observation
+    uv: jax.Array,  # (K, 2) normalized pixel coordinates
+    weights: Optional[jax.Array] = None,  # (K,)
+    scale_ref: float = 1.0,  # gauge: target for ||t_1 - t_0||
+    anchor_ref: Optional[jax.Array] = None,  # (6,): camera-0 (t, w) to pin
+    anchor_weight: float = 100.0,
+    hard_anchor: bool = False,
+    robust: Optional[str] = None,  # "huber" | "cauchy" on the observations
+    robust_delta: float = 1.0,
+) -> Problem:
+    """Bundle-adjustment problem over 6C + 3L variables.
+
+    The 7-dim monocular gauge is fixed by pinning camera 0 to
+    ``anchor_ref`` (its initial pose in the solver wrappers; origin if
+    None) plus the scale row. ``hard_anchor=True`` makes all 7 rows exact
+    equality constraints through the projected-CG path; otherwise they are
+    soft priors of weight ``anchor_weight``.
+    """
+    data = _obs_data(uv, weights)
+    indices = _obs_indices(n_cameras, obs_cl)
+
+    block = BlockResidual(
+        fn=_reprojection_residual, indices=indices, dim=2, data=data
+    )
+    if robust is not None:
+        block = robustify(block, kind=robust, delta=robust_delta)
+
+    ref = (
+        jnp.zeros((6,), jnp.asarray(uv).dtype)
+        if anchor_ref is None
+        else jnp.asarray(anchor_ref)
+    )
+
+    def gauge(xl):
+        # Camera-0 pose (6, relative to the reference) + scale row
+        # ||t_1 - t_0|| - scale_ref.
+        d = xl[6:9] - xl[0:3]
+        scale = jnp.sqrt(jnp.sum(d * d, axis=0) + 1e-18) - scale_ref
+        return jnp.concatenate(
+            [xl[0:3] - ref[0:3], xl[3:6] - ref[3:6], scale[None]]
+        )
+
+    gauge_idx = list(range(6)) + list(range(6, 9))  # t0, w0, t1
+
+    if hard_anchor:
+        return Problem(
+            dimension=6 * n_cameras + 3 * n_landmarks,
+            costs=(block,),
+            equality_constraints=(make_residual(gauge_idx, gauge, 7),),
+        )
+
+    def anchor(xl):
+        return anchor_weight * gauge(xl)
+
+    return Problem(
+        dimension=6 * n_cameras + 3 * n_landmarks,
+        costs=(block, make_residual(gauge_idx, anchor, 7)),
+    )
+
+
+def make_ba_jacobi_preconditioner(
+    n_cameras: int,
+    obs_cl,
+    uv: jax.Array,
+    weights: Optional[jax.Array] = None,
+    anchor_weight: float = 100.0,
+):
+    """Jacobi preconditioner for the CG path (shared edge_jtj_diag core
+    with the pose-graph families)."""
+    from .pose_graph import edge_jtj_diag
+
+    data = _obs_data(uv, weights)
+    idx = _obs_indices(n_cameras, obs_cl)
+
+    def diag_fn(x):
+        d = edge_jtj_diag(_reprojection_residual, x, idx, data)
+        d = d.at[:9].add(anchor_weight * anchor_weight)
+        return jnp.maximum(d, jnp.asarray(1e-12, x.dtype))
+
+    return diag_fn
+
+
+def make_ba_retraction(n_cameras: int):
+    """Additive update with camera rotation vectors renormalized through the
+    quaternion exp/log round trip (|w| stays <= pi); landmarks plain."""
+
+    def retraction(x, dx, alpha):
+        x_new = x + alpha * dx
+        cams = x_new[: 6 * n_cameras].reshape(n_cameras, 6)
+        ws = jax.vmap(lambda w: quat_log(quat_exp(w)))(cams[:, 3:6])
+        cams = cams.at[:, 3:6].set(ws)
+        return jnp.concatenate([cams.reshape(-1), x_new[6 * n_cameras :]])
+
+    return retraction
+
+
+def default_ba_params(dtype=jnp.float64, max_iterations: int = 30) -> NLSParams:
+    return NLSParams(
+        max_iterations=max_iterations,
+        max_qp_iterations=1,  # unconstrained: one GN step per outer iteration
+        absolute_exit_tol=1e-14,
+        relative_exit_tol=1e-10,
+        max_line_search_iterations=8,
+        line_search_strategy=LineSearchStrategy.ARMIJO_BACKTRACK,
+        armijo_search_tau=0.5,
+        lambda_initial=1e-4,
+        min_lambda=1e-10,
+    )
+
+
+def solve_bundle_adjustment(
+    n_cameras: int,
+    n_landmarks: int,
+    obs_cl,
+    uv: jax.Array,
+    x0: jax.Array,
+    weights: Optional[jax.Array] = None,
+    scale_ref: float = 1.0,
+    params: Optional[NLSParams] = None,
+    robust: Optional[str] = None,
+    robust_delta: float = 1.0,
+) -> NLSResult:
+    """Dense path (one-hot MXU assembly); scenes up to a few hundred
+    variables."""
+    problem = make_ba_problem(
+        n_cameras, n_landmarks, obs_cl, uv, weights, scale_ref=scale_ref,
+        anchor_ref=x0[0:6], robust=robust, robust_delta=robust_delta,
+    )
+    if params is None:
+        params = default_ba_params(x0.dtype)
+    return nls_solve(
+        problem, params, x0, retraction=make_ba_retraction(n_cameras)
+    )
+
+
+def solve_bundle_adjustment_large(
+    n_cameras: int,
+    n_landmarks: int,
+    obs_cl,
+    uv: jax.Array,
+    x0: jax.Array,
+    weights: Optional[jax.Array] = None,
+    scale_ref: float = 1.0,
+    params: Optional[NLSParams] = None,
+    cg_iterations: int = 100,
+    hard_anchor: bool = False,
+    robust: Optional[str] = None,
+    robust_delta: float = 1.0,
+) -> NLSResult:
+    """Large-scene path: matrix-free Jacobi-PCG Gauss-Newton over the
+    observation set -- the (6C+3L)^2 Hessian is never materialized, so
+    thousands of landmarks fit where the dense path's O(N^2) assembly
+    cannot. ``hard_anchor=True`` fixes the 7-dim gauge exactly through the
+    projected-CG equality path."""
+    import dataclasses
+
+    problem = make_ba_problem(
+        n_cameras, n_landmarks, obs_cl, uv, weights, scale_ref=scale_ref,
+        anchor_ref=x0[0:6], hard_anchor=hard_anchor, robust=robust,
+        robust_delta=robust_delta,
+    )
+    if params is None:
+        params = default_ba_params(x0.dtype)
+    params = dataclasses.replace(
+        params, qp_solver="cg", cg_iterations=cg_iterations
+    )
+    diag_fn = make_ba_jacobi_preconditioner(
+        n_cameras, obs_cl, uv, weights,
+        anchor_weight=0.0 if hard_anchor else 100.0,
+    )
+    return nls_solve(
+        problem,
+        params,
+        x0,
+        retraction=make_ba_retraction(n_cameras),
+        cg_diag_preconditioner=diag_fn,
+    )
+
+
+def make_synthetic_scene(
+    n_cameras: int,
+    n_landmarks: int,
+    seed: int = 0,
+    pixel_noise: float = 1e-3,
+    outlier_fraction: float = 0.0,
+    dtype=jnp.float64,
+):
+    """Synthetic ring-of-cameras scene for tests and benches.
+
+    Cameras sit on a circle of radius 4 in the z=0 plane looking at the
+    origin; landmarks fill a unit cube at the center; every camera observes
+    every landmark. Returns (obs_cl, uv, x_true, scale_ref)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    cams = np.zeros((n_cameras, 6))
+    for c in range(n_cameras):
+        ang = 2.0 * np.pi * c / n_cameras
+        t = np.array([4.0 * np.cos(ang), 4.0 * np.sin(ang), 0.0])
+        # Rotation: camera z-axis (optical axis) points at the origin.
+        z = -t / np.linalg.norm(t)
+        up = np.array([0.0, 0.0, 1.0])
+        xaxis = np.cross(up, z)
+        xaxis /= np.linalg.norm(xaxis)
+        yaxis = np.cross(z, xaxis)
+        R = np.stack([xaxis, yaxis, z], axis=1)  # camera-to-world columns
+        # Rotation vector from R via Shepperd's method: branch on the largest
+        # of (trace, R00, R11, R22) so 180-degree rotations (trace -> -1,
+        # where the naive qw = sqrt(tr+1)/2 formula divides by ~0) extract
+        # exactly -- ring cameras hit that case.
+        tr = np.trace(R)
+        if tr > max(R[0, 0], R[1, 1], R[2, 2]):
+            s4 = 2.0 * np.sqrt(tr + 1.0)
+            q = np.array(
+                [
+                    s4 / 4.0,
+                    (R[2, 1] - R[1, 2]) / s4,
+                    (R[0, 2] - R[2, 0]) / s4,
+                    (R[1, 0] - R[0, 1]) / s4,
+                ]
+            )
+        else:
+            i = int(np.argmax([R[0, 0], R[1, 1], R[2, 2]]))
+            j, k = (i + 1) % 3, (i + 2) % 3
+            s4 = 2.0 * np.sqrt(max(R[i, i] - R[j, j] - R[k, k] + 1.0, 1e-12))
+            q = np.zeros(4)
+            q[0] = (R[k, j] - R[j, k]) / s4
+            q[1 + i] = s4 / 4.0
+            q[1 + j] = (R[j, i] + R[i, j]) / s4
+            q[1 + k] = (R[k, i] + R[i, k]) / s4
+        q /= np.linalg.norm(q)
+        w = np.asarray(quat_log(jnp.asarray(q)))
+        cams[c, 0:3] = t
+        cams[c, 3:6] = w
+    lmks = rng.uniform(-1.0, 1.0, (n_landmarks, 3))
+    x_true = np.concatenate([cams.reshape(-1), lmks.reshape(-1)])
+
+    obs_cl = np.stack(
+        np.meshgrid(np.arange(n_cameras), np.arange(n_landmarks), indexing="ij"),
+        axis=-1,
+    ).reshape(-1, 2)
+    xt = jnp.asarray(x_true)
+    idx = _obs_indices(n_cameras, obs_cl)
+    data0 = _obs_data(jnp.zeros((obs_cl.shape[0], 2)), None)
+    uv_clean = jax.vmap(
+        lambda i, row: _reprojection_residual(xt[i], row)
+    )(idx, data0)
+    uv = np.asarray(uv_clean) + rng.normal(0.0, pixel_noise, uv_clean.shape)
+    if outlier_fraction > 0.0:
+        k = int(outlier_fraction * uv.shape[0])
+        sel = rng.choice(uv.shape[0], size=k, replace=False)
+        uv[sel] += rng.uniform(-0.5, 0.5, (k, 2))
+    scale_ref = float(
+        np.linalg.norm(cams[1, 0:3] - cams[0, 0:3])
+    )
+    return (
+        obs_cl,
+        jnp.asarray(uv, dtype),
+        jnp.asarray(x_true, dtype),
+        scale_ref,
+    )

@@ -300,6 +300,68 @@ def long_chain_bench(L=512, B=1024):
     )
 
 
+def bundle_adjustment_bench(C=16, L=2048):
+    """Matrix-free bundle adjustment on-chip: C cameras x L landmarks, every
+    camera sees every landmark (C*L observations, 6C+3L variables); the dense
+    Hessian would be (6C+3L)^2 ~ 39M entries -- never materialized."""
+    import dataclasses
+
+    from mini_opt_tpu.models.bundle_adjustment import (
+        default_ba_params,
+        make_synthetic_scene,
+        solve_bundle_adjustment_large,
+    )
+
+    obs, uv, x_true, scale_ref = make_synthetic_scene(C, L, pixel_noise=1e-3)
+    rng = np.random.default_rng(1)
+    x0 = np.asarray(x_true).copy()
+    x0[6 : 6 * C] += rng.normal(0, 0.01, 6 * (C - 1))
+    x0[6 * C :] += rng.normal(0, 0.03, len(x0) - 6 * C)
+    uv32 = jnp.asarray(uv, jnp.float32)
+    x032 = jnp.asarray(x0, jnp.float32)
+    params = dataclasses.replace(
+        default_ba_params(jnp.float32, max_iterations=20),
+        absolute_exit_tol=1e-8,
+        relative_exit_tol=1e-6,
+    )
+
+    def run():
+        return solve_bundle_adjustment_large(
+            C, L, obs, uv32, x032, scale_ref=scale_ref, params=params,
+            cg_iterations=40,
+        )
+
+    t0 = time.time()
+    r = run()
+    jax.block_until_ready(r.x)
+    compile_s = time.time() - t0
+    t0 = time.time()
+    r = run()
+    f_final = float(np.asarray(r.errors.f))  # readback closes the timing
+    solve_s = time.time() - t0
+    lm_err = float(
+        np.max(np.abs(np.asarray(r.x[6 * C :]) - np.asarray(x_true[6 * C :])))
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "bundle_adjustment_matrix_free_solve_s_on_chip",
+                "value": round(solve_s, 2),
+                "unit": "s",
+                "compile_s": round(compile_s, 1),
+                "cameras": C,
+                "landmarks": L,
+                "observations": int(obs.shape[0]),
+                "variables": 6 * C + 3 * L,
+                "f_final": round(f_final, 5),
+                "max_landmark_err": round(lm_err, 5),
+                "dtype": "float32",
+            }
+        ),
+        flush=True,
+    )
+
+
 if __name__ == "__main__":
     log(f"backend={jax.default_backend()}")
     warm_tunnel()
@@ -307,3 +369,4 @@ if __name__ == "__main__":
     pose_graph_bench()
     pose_graph3_bench()
     long_chain_bench(L=512)
+    bundle_adjustment_bench()
