@@ -339,3 +339,97 @@ def make_synthetic_scene(
         jnp.asarray(x_true, dtype),
         scale_ref,
     )
+
+
+def solve_bundle_adjustment_large_sharded(
+    mesh,
+    n_cameras: int,
+    n_landmarks: int,
+    obs_cl,
+    uv: jax.Array,
+    x0: jax.Array,
+    weights: Optional[jax.Array] = None,
+    scale_ref: float = 1.0,
+    params: Optional[NLSParams] = None,
+    cg_iterations: int = 100,
+    axis: str = "mp",
+    anchor_weight: float = 100.0,
+) -> NLSResult:
+    """Observation-partitioned distributed BA (same design as the
+    pose-graph sharded variants): the observation set is split across
+    ``mesh`` axis ``axis`` (zero-weight padding rows when not divisible),
+    each device holds a local BlockResidual shard, and gradient /
+    Hessian-vector products / cost / Jacobi diagonal psum-reduce while x
+    and the CG iterates stay replicated. Gauge prior on device 0 only."""
+    import dataclasses
+    from functools import partial
+
+    import numpy as np
+    from jax.sharding import PartitionSpec as P
+
+    n_dev = mesh.shape[axis]
+    data = np.asarray(_obs_data(uv, weights))
+    idx = np.asarray(_obs_indices(n_cameras, obs_cl))
+    K = idx.shape[0]
+    K_pad = -(-K // n_dev) * n_dev
+    if K_pad != K:
+        idx = np.concatenate([idx, np.zeros((K_pad - K, 9), idx.dtype)], 0)
+        data = np.concatenate(
+            [data, np.zeros((K_pad - K, data.shape[1]), data.dtype)], 0
+        )  # zero WEIGHT rows: padded residuals and Jacobians vanish
+
+    if params is None:
+        params = default_ba_params(x0.dtype)
+    params = dataclasses.replace(
+        params, qp_solver="cg", cg_iterations=cg_iterations
+    )
+    ref = jnp.asarray(x0[0:6])
+    retraction = make_ba_retraction(n_cameras)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        check_vma=False,
+        in_specs=(P(), P(axis), P(axis)),
+        out_specs=P(),
+    )
+    def run(x, idx_local, data_local):
+        on0 = (jax.lax.axis_index(axis) == 0).astype(x.dtype)
+        aw = anchor_weight * on0
+
+        def anchor(xl):
+            d = xl[6:9] - xl[0:3]
+            scale = jnp.sqrt(jnp.sum(d * d, axis=0) + 1e-18) - scale_ref
+            return aw * jnp.concatenate(
+                [xl[0:3] - ref[0:3], xl[3:6] - ref[3:6], scale[None]]
+            )
+
+        problem = Problem(
+            dimension=6 * n_cameras + 3 * n_landmarks,
+            costs=(
+                BlockResidual(
+                    fn=_reprojection_residual, indices=idx_local, dim=2,
+                    data=data_local,
+                ),
+                make_residual(list(range(9)), anchor, 7),
+            ),
+        )
+
+        def diag_fn(xx):
+            from .pose_graph import edge_jtj_diag
+
+            # Device-local contribution; psum'd (and +lam floored) by
+            # _cg_step_direction.
+            d = edge_jtj_diag(_reprojection_residual, xx, idx_local, data_local)
+            return d.at[:9].add(on0 * anchor_weight * anchor_weight)
+
+        return nls_solve(
+            problem,
+            params,
+            x,
+            retraction=retraction,
+            axis_name=axis,
+            cg_diag_preconditioner=diag_fn,
+        )
+
+    return run(x0, jnp.asarray(idx), jnp.asarray(data, x0.dtype))

@@ -154,3 +154,26 @@ def test_ba_cost_at_truth_is_noise_floor():
     e = evaluate_nonlinear_errors(prob, x_true)
     K = obs.shape[0]
     assert float(e.f) < 3.0 * 0.5 * K * 2 * NOISE**2
+
+
+def test_ba_sharded_matches_single_device():
+    """Observation-partitioned distributed BA on the 8-device CPU mesh
+    matches the single-device matrix-free trajectory."""
+    from jax.sharding import Mesh
+
+    from mini_opt_tpu.models.bundle_adjustment import (
+        solve_bundle_adjustment_large_sharded,
+    )
+
+    obs, uv, x_true, scale_ref, x0 = _scene_and_start()
+    mesh = Mesh(np.asarray(jax.devices("cpu"))[:8].reshape(8), ("mp",))
+    rs = solve_bundle_adjustment_large_sharded(
+        mesh, C, L, obs, uv, x0, scale_ref=scale_ref, cg_iterations=80
+    )
+    r1 = solve_bundle_adjustment_large(
+        C, L, obs, uv, x0, scale_ref=scale_ref, cg_iterations=80
+    )
+    np.testing.assert_allclose(
+        np.asarray(rs.x), np.asarray(r1.x), atol=1e-8
+    )
+    assert float(rs.errors.f) < 4.0 * 0.5 * obs.shape[0] * 2 * NOISE**2
