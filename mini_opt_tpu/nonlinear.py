@@ -321,8 +321,10 @@ def _stacked_equality(problem: Problem, x: jax.Array) -> jax.Array:
     return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
 
 
-def _pcg(matvec, b, diag, iterations: int):
-    """Fixed-trip preconditioned conjugate gradient (Jacobi M = diag).
+def _pcg(matvec, b, prec_apply, iterations: int):
+    """Fixed-trip preconditioned conjugate gradient; ``prec_apply`` is the
+    M^-1 application (Jacobi ``r / diag`` by default, or a block solve from
+    ``cg_preconditioner``).
 
     A fixed ``lax.scan`` rather than a tolerance loop: the batched-TPU
     configuration wants static trip counts, and converged iterates are stable
@@ -331,7 +333,7 @@ def _pcg(matvec, b, diag, iterations: int):
     tiny = jnp.finfo(b.dtype).tiny
     x0 = jnp.zeros_like(b)
     r0 = b
-    z0 = r0 / diag
+    z0 = prec_apply(r0)
     rz0 = jnp.dot(r0, z0)
 
     def body(carry, _):
@@ -342,14 +344,14 @@ def _pcg(matvec, b, diag, iterations: int):
         alpha = jnp.where(jnp.abs(denom) > tiny, alpha, 0.0)
         x1 = xk + alpha * pk
         r1 = rk - alpha * Ap
-        z1 = r1 / diag
+        z1 = prec_apply(r1)
         rz1 = jnp.dot(r1, z1)
         beta = jnp.where(jnp.abs(rz) > tiny, rz1 / jnp.where(jnp.abs(rz) > tiny, rz, 1.0), 0.0)
         p1 = z1 + beta * pk
         return (x1, r1, z1, p1, rz1), None
 
     (xk, *_), _ = jax.lax.scan(
-        body, (x0, r0, z0, r0 / diag, rz0), None, length=iterations
+        body, (x0, r0, z0, z0, rz0), None, length=iterations
     )
     return xk
 
@@ -394,7 +396,7 @@ def _box_bounds(problem: Problem, dtype):
 
 def _cg_step_direction(
     problem: Problem, x, lam, params: "NLSParams", diag_fn, axis_name=None,
-    bounds=None,
+    bounds=None, prec_fn=None,
 ):
     """Matrix-free Gauss-Newton step: solve (JᵀJ + lam I) dx = -Jᵀr by PCG
     without materializing the Hessian.
@@ -430,13 +432,23 @@ def _cg_step_direction(
             jtjv = jax.lax.psum(jtjv, axis_name)
         return jtjv + lam * v
 
-    if diag_fn is not None:
-        diag = diag_fn(x)  # device-LOCAL contribution when axis_name is set
-        if axis_name is not None:
-            diag = jax.lax.psum(diag, axis_name)
-        diag = diag + lam
+    if prec_fn is not None:
+        # General preconditioner apply M^-1 r (e.g. block-Jacobi); the
+        # factory sees (x, lam) and owns any damping of its blocks.
+        # Single-device only (an opaque apply cannot be psum-reduced here;
+        # nls_solve rejects the combination eagerly).
+        prec_apply = prec_fn(x, lam)
     else:
-        diag = jnp.ones_like(g)
+        if diag_fn is not None:
+            diag = diag_fn(x)  # device-LOCAL contribution under axis_name
+            if axis_name is not None:
+                diag = jax.lax.psum(diag, axis_name)
+            diag = diag + lam
+        else:
+            diag = jnp.ones_like(g)
+
+        def prec_apply(r, _diag=diag):
+            return r / _diag
 
     has_eq = len(problem.equality_constraints) > 0
     b = -g
@@ -455,9 +467,15 @@ def _cg_step_direction(
             return fmask * matvec(fmask * v) + (1.0 - fmask) * v
 
         b = fmask * b
-        diag = jnp.where(free, diag, jnp.ones_like(diag))
+        inner_apply = prec_apply
+
+        def prec_apply(r, _inner=inner_apply):  # noqa: F811
+            # Frozen coordinates see the identity (their system row is the
+            # identity in mv); the preconditioner acts on the free set.
+            return fmask * _inner(fmask * r) + (1.0 - fmask) * r
+
     if not has_eq:
-        dx = _pcg(mv, b, diag, params.cg_iterations)
+        dx = _pcg(mv, b, prec_apply, params.cg_iterations)
         derivatives = DirectionalDerivatives(
             d_f=jnp.dot(g, dx), d_equality=jnp.zeros((), x.dtype)
         )
@@ -496,7 +514,7 @@ def _cg_step_direction(
         pv = proj(v)
         return proj(matvec(pv)) + (v - pv)
 
-    dx_t = _pcg(mv_t, b_t, diag, params.cg_iterations)
+    dx_t = _pcg(mv_t, b_t, prec_apply, params.cg_iterations)
     dx = dx_p + dx_t
     y = -solve_nrm(A @ (g + matvec(dx)))  # first-order multiplier estimate
     derivatives = DirectionalDerivatives(
@@ -911,6 +929,7 @@ def nls_solve(
     exit_callback: Optional[Callable] = None,
     axis_name: Optional[str] = None,
     cg_diag_preconditioner: Optional[Callable] = None,
+    cg_preconditioner: Optional[Callable] = None,
 ) -> NLSResult:
     """Solve the constrained NLS problem (nonlinear.cc:75-157) as one pure,
     jittable, vmappable function.
@@ -930,10 +949,20 @@ def nls_solve(
         cost evaluation over (large-single-instance parallelism).
       cg_diag_preconditioner: for ``qp_solver="cg"``, an optional
         ``f(x) -> diag(JᵀJ)`` estimate used as the Jacobi preconditioner.
+      cg_preconditioner: for ``qp_solver="cg"``, a general preconditioner
+        FACTORY ``(x, lam) -> (apply: r -> M^-1 r)`` (e.g. block-Jacobi over
+        camera/landmark blocks, models/bundle_adjustment.py). Overrides
+        ``cg_diag_preconditioner``; the factory owns damping of its blocks.
+        Single-device only (an opaque apply cannot be psum-reduced).
     """
     from .assertions import validate_problem
 
     validate_problem(problem)
+    if cg_preconditioner is not None and axis_name is not None:
+        raise ValueError(
+            "cg_preconditioner is single-device (its apply cannot be "
+            "psum-reduced); use cg_diag_preconditioner with axis_name"
+        )
     x0 = jnp.asarray(x0)
     dtype = x0.dtype
     use_ns = _uses_null_space(problem)
@@ -987,7 +1016,7 @@ def nls_solve(
         if use_cg:
             dx, errors_pre, derivatives, lagrange_l_inf = _cg_step_direction(
                 problem, x, lam, params, cg_diag_preconditioner, axis_name,
-                cg_bounds,
+                cg_bounds, cg_preconditioner,
             )
             qp_indefinite = ~jnp.all(jnp.isfinite(dx))
             dx = jnp.where(qp_indefinite, jnp.zeros_like(dx), dx)

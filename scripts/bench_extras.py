@@ -308,9 +308,12 @@ def bundle_adjustment_bench(C=16, L=2048):
 
     from mini_opt_tpu.models.bundle_adjustment import (
         default_ba_params,
+        make_ba_block_preconditioner,
+        make_ba_problem,
+        make_ba_retraction,
         make_synthetic_scene,
-        solve_bundle_adjustment_large,
     )
+    from mini_opt_tpu.nonlinear import nls_solve
 
     obs, uv, x_true, scale_ref = make_synthetic_scene(C, L, pixel_noise=1e-3)
     rng = np.random.default_rng(1)
@@ -325,10 +328,20 @@ def bundle_adjustment_bench(C=16, L=2048):
         relative_exit_tol=1e-6,
     )
 
+    # Block-Jacobi preconditioner (6x6 camera / 3x3 landmark blocks): the
+    # BA structure exploit -- reaches the same floor in 10 CG iterations
+    # that plain Jacobi needs 40 for (measured f64 on the sparse-visibility
+    # test scene; pinned in tests/test_bundle_adjustment.py).
+    params = dataclasses.replace(params, qp_solver="cg", cg_iterations=10)
+    prob = make_ba_problem(
+        C, L, obs, uv32, scale_ref=scale_ref, anchor_ref=x032[0:6]
+    )
+    prec_fn = make_ba_block_preconditioner(C, L, obs, uv32)
+    retr = make_ba_retraction(C)
+
     def run():
-        return solve_bundle_adjustment_large(
-            C, L, obs, uv32, x032, scale_ref=scale_ref, params=params,
-            cg_iterations=40,
+        return nls_solve(
+            prob, params, x032, retraction=retr, cg_preconditioner=prec_fn
         )
 
     t0 = time.time()

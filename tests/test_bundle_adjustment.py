@@ -177,3 +177,81 @@ def test_ba_sharded_matches_single_device():
         np.asarray(rs.x), np.asarray(r1.x), atol=1e-8
     )
     assert float(rs.errors.f) < 4.0 * 0.5 * obs.shape[0] * 2 * NOISE**2
+
+
+def test_ba_block_preconditioner_beats_diag_at_small_budget():
+    """The block-Jacobi preconditioner (6x6 camera / 3x3 landmark blocks)
+    exploits BA's intra-block coupling: at a starved CG budget it reaches a
+    lower cost than plain Jacobi on a sparse-visibility scene with a wide
+    depth spread, and matches it once the budget is generous."""
+    import dataclasses
+
+    from mini_opt_tpu.models.bundle_adjustment import (
+        _obs_data,
+        _obs_indices,
+        _reprojection_residual,
+        default_ba_params,
+        make_ba_block_preconditioner,
+        make_ba_jacobi_preconditioner,
+        make_ba_retraction,
+    )
+    from mini_opt_tpu.nonlinear import nls_solve
+    from mini_opt_tpu.utils.so3 import quat_log as _ql  # noqa: F401
+
+    C12, L400 = 12, 120
+    rng = np.random.default_rng(0)
+    # Ring cameras at radius 10 via the library's own scene generator, then
+    # replace the landmarks with a wide depth spread and sparse visibility
+    # (each landmark seen by 3 consecutive cameras).
+    obs_full, _, x_scene, _ = make_synthetic_scene(C12, 1, seed=0)
+    cams = np.array(x_scene[: 6 * C12]).reshape(C12, 6)
+    cams[:, 0:3] *= 2.5  # radius 4 -> 10
+    r_lm = rng.uniform(0.5, 8.0, L400)
+    th = rng.uniform(0, 2 * np.pi, L400)
+    ph = rng.uniform(-0.3, 0.3, L400)
+    lmks = (
+        np.stack(
+            [r_lm * np.cos(th), r_lm * np.sin(th), r_lm * np.sin(ph)], axis=1
+        )
+        * 0.4
+    )
+    x_true = np.concatenate([cams.reshape(-1), lmks.reshape(-1)])
+    obs = np.array(
+        [[(l + c0) % C12, l] for l in range(L400) for c0 in range(3)]
+    )
+    xt = jnp.asarray(x_true)
+    idx = _obs_indices(C12, obs)
+    d0 = _obs_data(jnp.zeros((obs.shape[0], 2)), None)
+    uv = np.array(
+        jax.vmap(lambda i, row: _reprojection_residual(xt[i], row))(idx, d0)
+    )
+    uv += rng.normal(0, 1e-3, uv.shape)
+    uv = jnp.asarray(uv)
+    x0 = x_true.copy()
+    x0[6 : 6 * C12] += rng.normal(0, 0.05, 6 * (C12 - 1))
+    x0[6 * C12 :] += rng.normal(0, 0.2, len(x0) - 6 * C12)
+    x0 = jnp.asarray(x0)
+    scale_ref = float(np.linalg.norm(cams[1, 0:3] - cams[0, 0:3]))
+
+    prob = make_ba_problem(
+        C12, L400, obs, uv, scale_ref=scale_ref, anchor_ref=x0[0:6]
+    )
+    retr = make_ba_retraction(C12)
+    diag_fn = make_ba_jacobi_preconditioner(C12, obs, uv)
+    prec_fn = make_ba_block_preconditioner(C12, L400, obs, uv)
+    params = dataclasses.replace(
+        default_ba_params(jnp.float64), qp_solver="cg", cg_iterations=5
+    )
+    rd = nls_solve(prob, params, x0, retraction=retr,
+                   cg_diag_preconditioner=diag_fn)
+    rb = nls_solve(prob, params, x0, retraction=retr,
+                   cg_preconditioner=prec_fn)
+    assert float(rb.errors.f) < float(rd.errors.f), (
+        float(rb.errors.f),
+        float(rd.errors.f),
+    )
+    # And the combination guard: opaque applies cannot ride shard_map.
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        nls_solve(prob, params, x0, cg_preconditioner=prec_fn, axis_name="mp")
