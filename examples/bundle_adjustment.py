@@ -1,0 +1,84 @@
+"""Example: bundle adjustment -- cameras + landmarks, matrix-free, robust.
+
+A ring of 12 cameras observes 800 landmarks (9,600 reprojection
+observations, 2,472 variables); 5% of the observations are gross outliers.
+The refinement runs matrix-free (`qp_solver="cg"` under the hood -- the
+2472^2 Gauss-Newton Hessian is never materialized) with the block-Jacobi
+preconditioner (6x6 camera / 3x3 landmark blocks) and cauchy-robust
+observations, and recovers the structure to the pixel-noise floor.
+
+Run: python examples/bundle_adjustment.py
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mini_opt_tpu import make_synthetic_scene
+from mini_opt_tpu.models.bundle_adjustment import (
+    default_ba_params,
+    make_ba_block_preconditioner,
+    make_ba_problem,
+    make_ba_retraction,
+)
+from mini_opt_tpu.nonlinear import nls_solve
+
+
+def main():
+    C, L = 12, 800
+    obs, uv, x_true, scale_ref = make_synthetic_scene(
+        C, L, pixel_noise=1e-3, outlier_fraction=0.05, seed=0
+    )
+    rng = np.random.default_rng(1)
+    x0 = np.array(x_true)
+    x0[6 : 6 * C] += rng.normal(0, 0.02, 6 * (C - 1))
+    x0[6 * C :] += rng.normal(0, 0.05, len(x0) - 6 * C)
+    x0 = jnp.asarray(x0)
+
+    import dataclasses
+
+    params = dataclasses.replace(
+        default_ba_params(x0.dtype, max_iterations=25),
+        qp_solver="cg",
+        cg_iterations=12,
+    )
+    prob = make_ba_problem(
+        C, L, obs, uv, scale_ref=scale_ref, anchor_ref=x0[0:6],
+        robust="cauchy", robust_delta=0.01,
+    )
+    prec = make_ba_block_preconditioner(C, L, obs, uv)
+    retr = make_ba_retraction(C)
+
+    t0 = time.time()
+    r = jax.block_until_ready(
+        nls_solve(prob, params, x0, retraction=retr, cg_preconditioner=prec)
+    )
+    dt = time.time() - t0
+
+    lm_err = np.abs(np.asarray(r.x[6 * C :]) - np.asarray(x_true[6 * C :]))
+    lm0_err = np.abs(np.asarray(x0[6 * C :]) - np.asarray(x_true[6 * C :]))
+    print(
+        f"{C} cameras x {L} landmarks, {obs.shape[0]} observations "
+        f"(5% outliers), {6 * C + 3 * L} variables"
+    )
+    print(
+        f"solved matrix-free + block-Jacobi + cauchy in {dt:.1f}s "
+        f"({int(r.num_iterations)} GN iterations, f = {float(r.errors.f):.4g})"
+    )
+    print(
+        f"landmark error: start max {lm0_err.max():.3f} -> "
+        f"final max {lm_err.max():.4f}, median {np.median(lm_err):.5f}"
+    )
+    assert lm_err.max() < 0.05
+    print("ok")
+
+
+if __name__ == "__main__":
+    main()
