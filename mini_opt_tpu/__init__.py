@@ -52,6 +52,7 @@ from .ops.pallas_ik import (
     FusedFamily,
     fused_ik_solve_batch,
     fused_solve_batch,
+    fused_solve_multi_start,
     fused_spatial_ik_solve_batch,
 )
 from .ops.pallas_qp import make_fused_qp_solver

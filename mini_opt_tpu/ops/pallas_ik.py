@@ -786,3 +786,33 @@ def _fused_solve(
         h = jnp.moveaxis(hist.reshape(max_iterations, 2, b_pad), -1, 0)[:B]
         return x, h
     return jnp.moveaxis(res.reshape(n, b_pad), -1, 0)[:B]
+
+
+def fused_solve_multi_start(
+    family: FusedFamily,
+    data: jax.Array,  # (B, data_rows)
+    x0s: jax.Array,  # (B, S, n): S starts per instance
+    eq_penalty: float = 1.0,
+    **kernel_kwargs,
+):
+    """Multi-start robustification of the fused path: solve all B*S starts
+    in one kernel batch (extra starts are nearly free on TPU) and keep, per
+    instance, the start with the lowest merit f + eq_penalty * |eq| -- the
+    standard cure for the chaotic-tail instances a single cold start loses
+    (same pattern as models/ik.py::solve_ik_multi_start for the general
+    path). The merit is evaluated with the family's own ``errors`` callable,
+    which is elementwise register code and therefore works directly on
+    (B*S,) columns outside the kernel. Returns (B, n)."""
+    B, S, n = x0s.shape
+    assert n == family.n
+    data_rep = jnp.repeat(data, S, axis=0)
+    x = fused_solve_batch(
+        family, data_rep, x0s.reshape(B * S, n), **kernel_kwargs
+    )
+    f, eq = family.errors(
+        [x[:, i] for i in range(n)],
+        [data_rep[:, i] for i in range(family.data_rows)],
+    )
+    merit = (f + eq_penalty * eq).reshape(B, S)
+    best = jnp.argmin(merit, axis=1)
+    return x.reshape(B, S, n)[jnp.arange(B), best]
