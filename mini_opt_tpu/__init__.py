@@ -20,6 +20,7 @@ from .models.ik import (
     solve_ik_multi_start,
 )
 from .models.pose_graph import (
+    chordal_initialization,
     make_pose_graph_problem,
     solve_pose_graph,
     solve_pose_graph_large,

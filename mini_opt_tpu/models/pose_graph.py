@@ -328,3 +328,120 @@ def solve_pose_graph_large_sharded(
         )
 
     return run(x0, jnp.asarray(idx), jnp.asarray(data, x0.dtype))
+
+
+def chordal_initialization(
+    n_poses: int,
+    edges_ij,
+    measurements: jax.Array,  # (E, 3)
+    weights: jax.Array,  # (E,) or (E, 3)
+    anchor_pose: Optional[jax.Array] = None,  # (3,) pose-0 gauge; origin if None
+    cg_iterations: int = 300,
+    anchor_weight: float = 100.0,
+) -> jax.Array:
+    """Chordal initialization: two LINEAR least-squares solves instead of a
+    long nonlinear descent.
+
+    Stage 1 relaxes each heading to a free 2-vector r_i = (cos, sin) --
+    edge residual r_j - Rot(dtheta_ij) r_i is linear, so one Gauss-Newton
+    step solves it exactly (up to CG tolerance); headings come back through
+    atan2. Stage 2 solves positions, which are exactly linear once the
+    rotations are fixed. Both stages run through the same matrix-free CG
+    machinery (qp_solver="cg", max_iterations=1).
+
+    The descent from a chordal start needs only a short polish (2-5 GN
+    iterations) instead of the ~100 a spread-out odometry start costs --
+    the standard large-graph recipe (Carlone et al.; Ceres/g2o practice).
+    Returns the (3 n_poses,) initial state.
+    """
+    import numpy as np
+
+    measurements = jnp.asarray(measurements)
+    dtype = measurements.dtype
+    weights = jnp.asarray(weights, dtype)
+    if weights.ndim == 1:
+        weights = weights[:, None] * jnp.ones((1, 3), dtype)
+    edges = np.asarray(edges_ij, dtype=np.int64)
+    anchor = (
+        jnp.zeros((3,), dtype) if anchor_pose is None
+        else jnp.asarray(anchor_pose, dtype)
+    )
+
+    lin_params = NLSParams(
+        max_iterations=1,
+        max_qp_iterations=1,
+        max_line_search_iterations=0,
+        line_search_strategy=LineSearchStrategy.ARMIJO_BACKTRACK,
+        armijo_search_tau=0.5,
+        relative_exit_tol=0.0,
+        early_exit=False,
+        qp_solver="cg",
+        cg_iterations=cg_iterations,
+    )
+
+    # --- stage 1: chordal rotations --------------------------------------
+    rot_idx = tuple(
+        (2 * i, 2 * i + 1, 2 * j, 2 * j + 1) for i, j in edges
+    )
+    rot_data = jnp.stack(
+        [jnp.cos(measurements[:, 2]), jnp.sin(measurements[:, 2]),
+         weights[:, 2]],
+        axis=1,
+    )
+
+    def rot_res(xl, row):
+        ci, si, cj, sj = xl[0], xl[1], xl[2], xl[3]
+        c, s, w = row[0], row[1], row[2]
+        return w * jnp.stack([cj - (c * ci - s * si), sj - (s * ci + c * si)])
+
+    def rot_anchor(xl):
+        return anchor_weight * jnp.stack(
+            [xl[0] - jnp.cos(anchor[2]), xl[1] - jnp.sin(anchor[2])]
+        )
+
+    rot_problem = Problem(
+        dimension=2 * n_poses,
+        costs=(
+            BlockResidual(fn=rot_res, indices=rot_idx, dim=2, data=rot_data),
+            make_residual([0, 1], rot_anchor, 2),
+        ),
+    )
+    r0 = jnp.tile(jnp.asarray([1.0, 0.0], dtype), n_poses)
+    r_sol = nls_solve(rot_problem, lin_params, r0).x.reshape(n_poses, 2)
+    theta = jnp.arctan2(r_sol[:, 1], r_sol[:, 0])
+
+    # --- stage 2: positions, exactly linear given the rotations ----------
+    pos_idx = tuple((2 * i, 2 * i + 1, 2 * j, 2 * j + 1) for i, j in edges)
+    ci = jnp.cos(theta)[jnp.asarray(edges[:, 0])]
+    si = jnp.sin(theta)[jnp.asarray(edges[:, 0])]
+    pos_data = jnp.stack(
+        [ci, si, measurements[:, 0], measurements[:, 1],
+         0.5 * (weights[:, 0] + weights[:, 1])],
+        axis=1,
+    )
+
+    def pos_res(xl, row):
+        xi, yi, xj, yj = xl[0], xl[1], xl[2], xl[3]
+        c, s, dx, dy, w = row[0], row[1], row[2], row[3], row[4]
+        rx = c * (xj - xi) + s * (yj - yi) - dx
+        ry = -s * (xj - xi) + c * (yj - yi) - dy
+        return w * jnp.stack([rx, ry])
+
+    def pos_anchor(xl):
+        return anchor_weight * jnp.stack(
+            [xl[0] - anchor[0], xl[1] - anchor[1]]
+        )
+
+    pos_problem = Problem(
+        dimension=2 * n_poses,
+        costs=(
+            BlockResidual(fn=pos_res, indices=pos_idx, dim=2, data=pos_data),
+            make_residual([0, 1], pos_anchor, 2),
+        ),
+    )
+    t0 = jnp.zeros((2 * n_poses,), dtype)
+    t_sol = nls_solve(pos_problem, lin_params, t0).x.reshape(n_poses, 2)
+
+    return jnp.stack(
+        [t_sol[:, 0], t_sol[:, 1], theta], axis=1
+    ).reshape(-1)

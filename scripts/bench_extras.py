@@ -135,31 +135,32 @@ def pose_graph_bench(n_poses=1200):
         solve_pose_graph_large,
     )
 
+    from mini_opt_tpu.models.pose_graph import chordal_initialization
+
     gt, edges, meas, x0 = _circle_graph(n_poses, seed=1, noise=0.01, loop_every=10)
     w = jnp.ones((len(edges),), jnp.float32)
-    p = default_pose_graph_params(jnp.float32, max_iterations=100)
+    meas32 = jnp.asarray(meas, jnp.float32)
+    anchor = jnp.asarray(x0[0], jnp.float32)
+    # Chordal pipeline (two linear solves + 3-GN polish): 1.5s on-chip vs
+    # 11.8s for the plain 100-GN descent at cg=600, at slightly BETTER
+    # quality (f 0.01907 vs 0.0191, drift 1.32 vs 1.65) -- ~19x fewer
+    # Hessian-vector products.
+    p = default_pose_graph_params(jnp.float32, max_iterations=3)
+
+    def pipeline(x00):
+        xc = chordal_initialization(
+            n_poses, edges, meas32, w, anchor_pose=x00, cg_iterations=1200
+        )
+        return solve_pose_graph_large(
+            n_poses, edges, meas32, w, xc, params=p, cg_iterations=300
+        )
+
     t0 = time.time()
-    res = solve_pose_graph_large(
-        n_poses,
-        edges,
-        jnp.asarray(meas, jnp.float32),
-        w,
-        jnp.asarray(x0.ravel(), jnp.float32),
-        params=p,
-        cg_iterations=600,
-    )
+    res = pipeline(anchor)
     np.asarray(res.x)  # host readback closes the timing (CLAUDE.md quirk)
     compile_s = time.time() - t0
     t0 = time.time()
-    res2 = solve_pose_graph_large(
-        n_poses,
-        edges,
-        jnp.asarray(meas, jnp.float32),
-        w,
-        jnp.asarray(x0.ravel() + 1e-6, jnp.float32),
-        params=p,
-        cg_iterations=600,
-    )
+    res2 = pipeline(anchor + 1e-6)
     np.asarray(res2.x)
     warm_s = time.time() - t0
     xf = np.asarray(res.x).reshape(n_poses, 3)
@@ -171,6 +172,7 @@ def pose_graph_bench(n_poses=1200):
                 "metric": "pose_graph_1200_solve_s_on_chip",
                 "value": round(warm_s, 2),
                 "unit": "s",
+                "method": "chordal_init+3gn_polish",
                 "compile_s": round(compile_s, 1),
                 "f_final": round(float(res.errors.f), 4),
                 "drift_before": round(drift0, 2),

@@ -295,3 +295,39 @@ def test_hard_anchor_gauge_equality():
     drift0 = np.abs(x0 - gt)[:, :2].max()
     assert drift_hard < drift0, (drift0, drift_hard)
     assert drift_hard < drift_soft * 1.01, (drift_soft, drift_hard)
+
+
+def test_chordal_initialization_short_polish_matches_long_descent():
+    """Chordal init (two linear solves through the same CG machinery) plus a
+     3-iteration polish reaches the long descent's optimum -- the large-graph
+    recipe that cut the on-chip 1200-pose solve from 11.8s to 1.5s."""
+    from mini_opt_tpu.models.pose_graph import (
+        chordal_initialization,
+        solve_pose_graph_large,
+    )
+
+    n = 300
+    gt, edges, meas, x0 = _circle_graph(n, seed=3, noise=0.01, loop_every=10)
+    w = jnp.ones((len(edges),), jnp.float64)
+    xc = chordal_initialization(
+        n, edges, jnp.asarray(meas), w, anchor_pose=jnp.asarray(x0[0]),
+        cg_iterations=600,
+    )
+    p_short = default_pose_graph_params(jnp.float64, max_iterations=3)
+    r = solve_pose_graph_large(
+        n, edges, jnp.asarray(meas), w, xc, params=p_short, cg_iterations=300
+    )
+    p_long = default_pose_graph_params(jnp.float64, max_iterations=60)
+    r_long = solve_pose_graph_large(
+        n, edges, jnp.asarray(meas), w, jnp.asarray(x0.ravel()),
+        params=p_long, cg_iterations=400,
+    )
+    assert float(r.errors.f) <= 1.02 * float(r_long.errors.f) + 1e-12, (
+        float(r.errors.f),
+        float(r_long.errors.f),
+    )
+    xf = np.asarray(r.x).reshape(n, 3)
+    xl = np.asarray(r_long.x).reshape(n, 3)
+    drift_c = np.abs(xf - gt)[:, :2].max()
+    drift_l = np.abs(xl - gt)[:, :2].max()
+    assert drift_c <= drift_l + 0.1, (drift_c, drift_l)
