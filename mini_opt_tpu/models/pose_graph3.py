@@ -305,3 +305,124 @@ def solve_pose_graph3_large_sharded(
         )
 
     return run(x0, jnp.asarray(idx), jnp.asarray(data, x0.dtype))
+
+
+def chordal_initialization3(
+    n_poses: int,
+    edges_ij,
+    measurements: jax.Array,  # (E, 6)
+    weights: jax.Array,  # (E,) or (E, 2)
+    anchor_pose: Optional[jax.Array] = None,  # (6,) pose-0 gauge
+    cg_iterations: int = 300,
+    anchor_weight: float = 100.0,
+) -> jax.Array:
+    """SE(3) chordal initialization (same recipe as the SE(2)
+    ``chordal_initialization``): relax each rotation to a free 3x3 matrix
+    M_i in R^9 -- the edge residual ``M_j - M_i R(dw_ij)`` is LINEAR, so one
+    Gauss-Newton step through the matrix-free CG machinery solves the
+    rotation graph; each M is then projected to SO(3) by SVD and positions
+    solve a second linear system ``(t_j - t_i) - R_i dt_ij``. Returns the
+    (6 n_poses,) initial state for the nonlinear polish."""
+    import numpy as np
+
+    from ..utils.so3 import quat_from_matrix, quat_to_matrix
+
+    measurements = jnp.asarray(measurements)
+    dtype = measurements.dtype
+    weights = jnp.asarray(weights, dtype)
+    if weights.ndim == 1:
+        weights = weights[:, None] * jnp.ones((1, 2), dtype)
+    edges = np.asarray(edges_ij, dtype=np.int64)
+    anchor = (
+        jnp.zeros((6,), dtype) if anchor_pose is None
+        else jnp.asarray(anchor_pose, dtype)
+    )
+    anchor_R = quat_to_matrix(quat_exp(anchor[3:6]))
+
+    lin_params = NLSParams(
+        max_iterations=1,
+        max_qp_iterations=1,
+        max_line_search_iterations=0,
+        line_search_strategy=LineSearchStrategy.ARMIJO_BACKTRACK,
+        armijo_search_tau=0.5,
+        relative_exit_tol=0.0,
+        early_exit=False,
+        qp_solver="cg",
+        cg_iterations=cg_iterations,
+    )
+
+    # --- stage 1: chordal rotations over R^9 ------------------------------
+    Rd = jax.vmap(lambda w: quat_to_matrix(quat_exp(w)))(
+        measurements[:, 3:6]
+    )  # (E, 3, 3)
+    rot_idx = tuple(
+        tuple(range(9 * i, 9 * i + 9)) + tuple(range(9 * j, 9 * j + 9))
+        for i, j in edges
+    )
+    rot_data = jnp.concatenate(
+        [Rd.reshape(-1, 9), weights[:, 1:2]], axis=1
+    )  # (E, 10)
+
+    def rot_res(xl, row):
+        w = row[9]
+        rows = []
+        for r_ in range(3):
+            for c in range(3):
+                acc = xl[9 + 3 * r_ + c]
+                for k in range(3):
+                    acc = acc - xl[3 * r_ + k] * row[3 * k + c]
+                rows.append(w * acc)
+        return jnp.stack(rows)
+
+    def rot_anchor(xl):
+        return anchor_weight * (xl - anchor_R.reshape(-1))
+
+    rot_problem = Problem(
+        dimension=9 * n_poses,
+        costs=(
+            BlockResidual(fn=rot_res, indices=rot_idx, dim=9, data=rot_data),
+            make_residual(list(range(9)), rot_anchor, 9),
+        ),
+    )
+    m0 = jnp.tile(jnp.eye(3, dtype=dtype).reshape(-1), n_poses)
+    M = nls_solve(rot_problem, lin_params, m0).x.reshape(n_poses, 3, 3)
+
+    def project(Mi):
+        U, _, Vt = jnp.linalg.svd(Mi)
+        det = jnp.linalg.det(U @ Vt)
+        return U @ jnp.diag(jnp.asarray([1.0, 1.0, 0.0], dtype) + jnp.asarray(
+            [0.0, 0.0, 1.0], dtype) * det) @ Vt
+
+    R = jax.vmap(project)(M)  # (N, 3, 3) in SO(3)
+    w_vec = jax.vmap(lambda Ri: quat_log(quat_from_matrix(Ri)))(R)
+
+    # --- stage 2: positions, linear given rotations -----------------------
+    Ri_dt = jnp.einsum(
+        "eab,eb->ea", R[jnp.asarray(edges[:, 0])], measurements[:, 0:3]
+    )
+    pos_idx = tuple(
+        tuple(range(3 * i, 3 * i + 3)) + tuple(range(3 * j, 3 * j + 3))
+        for i, j in edges
+    )
+    pos_data = jnp.concatenate([Ri_dt, weights[:, 0:1]], axis=1)  # (E, 4)
+
+    def pos_res(xl, row):
+        return row[3] * jnp.stack(
+            [xl[3 + k] - xl[k] - row[k] for k in range(3)]
+        )
+
+    def pos_anchor(xl):
+        return anchor_weight * (xl - anchor[0:3])
+
+    pos_problem = Problem(
+        dimension=3 * n_poses,
+        costs=(
+            BlockResidual(fn=pos_res, indices=pos_idx, dim=3, data=pos_data),
+            make_residual([0, 1, 2], pos_anchor, 3),
+        ),
+    )
+    t = nls_solve(
+        pos_problem, lin_params, jnp.zeros((3 * n_poses,), dtype)
+    ).x.reshape(n_poses, 3)
+
+    return jnp.concatenate([t, w_vec], axis=1).reshape(-1)

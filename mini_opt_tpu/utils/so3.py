@@ -174,3 +174,32 @@ def euler_angles_xyz_from_quat(q: jax.Array) -> jax.Array:
     a = jnp.arctan2(-r[..., 1, 2], r[..., 2, 2])
     c = jnp.arctan2(-r[..., 0, 1], r[..., 0, 0])
     return jnp.stack([a, b, c], axis=-1)
+
+
+def quat_from_matrix(R: jax.Array) -> jax.Array:
+    """Quaternion (w, x, y, z) from a rotation matrix, branchless Shepperd:
+    build all four candidate quaternions (one per largest component), select
+    by one-hot on the largest diagonal combination, normalize. Robust at
+    180-degree rotations where the naive trace formula divides by ~0
+    (geometry_utils analog; the numpy twin lives in
+    models/bundle_adjustment.py's scene generator)."""
+    m00, m01, m02 = R[0, 0], R[0, 1], R[0, 2]
+    m10, m11, m12 = R[1, 0], R[1, 1], R[1, 2]
+    m20, m21, m22 = R[2, 0], R[2, 1], R[2, 2]
+    tr = m00 + m11 + m22
+    cands = jnp.stack(
+        [
+            jnp.stack([1.0 + tr, m21 - m12, m02 - m20, m10 - m01]),
+            jnp.stack([m21 - m12, 1.0 + m00 - m11 - m22, m01 + m10, m02 + m20]),
+            jnp.stack([m02 - m20, m01 + m10, 1.0 + m11 - m00 - m22, m12 + m21]),
+            jnp.stack([m10 - m01, m02 + m20, m12 + m21, 1.0 + m22 - m00 - m11]),
+        ]
+    )  # (4, 4); candidate k has leading term 4 q_k^2
+    lead = jnp.stack(
+        [1.0 + tr, 1.0 + m00 - m11 - m22, 1.0 + m11 - m00 - m22,
+         1.0 + m22 - m00 - m11]
+    )
+    sel = (jnp.arange(4) == jnp.argmax(lead)).astype(R.dtype)
+    q = sel @ cands
+    q = q * jnp.where(q[0] < 0, -1.0, 1.0)  # w >= 0 representative
+    return q / jnp.sqrt(jnp.maximum(jnp.sum(q * q), jnp.finfo(R.dtype).tiny))

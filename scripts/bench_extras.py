@@ -147,6 +147,7 @@ def pose_graph_bench(n_poses=1200):
     # Hessian-vector products.
     p = default_pose_graph_params(jnp.float32, max_iterations=3)
 
+    @jax.jit
     def pipeline(x00):
         xc = chordal_initialization(
             n_poses, edges, meas32, w, anchor_pose=x00, cg_iterations=1200
@@ -189,31 +190,37 @@ def pose_graph3_bench(n_poses=400):
     sys.path.insert(0, "/root/repo/tests")
     from test_pose_graph3 import _helix_graph
 
-    from mini_opt_tpu.models.pose_graph3 import solve_pose_graph3_large
+    from mini_opt_tpu.models.pose_graph3 import (
+        chordal_initialization3,
+        default_pose_graph3_params,
+        solve_pose_graph3_large,
+    )
 
     gt, edges, meas, x0 = _helix_graph(n_poses, seed=4, noise=0.01, loop_every=10)
     w = jnp.ones((len(edges),), jnp.float32)
-    args = (
-        jnp.asarray(meas, jnp.float32),
-        w,
-        jnp.asarray(x0.ravel(), jnp.float32),
-    )
+    meas32 = jnp.asarray(meas, jnp.float32)
+    anchor = jnp.asarray(x0[0], jnp.float32)
+    # Chordal pipeline (R^9 rotation relaxation + linear positions + 3-GN
+    # polish): reaches the same optimum as the 13-GN descent at ~3.7x fewer
+    # Hessian-vector products (see chordal_initialization3).
+    p = default_pose_graph3_params(jnp.float32, max_iterations=3)
+
+    @jax.jit
+    def pipeline(a0):
+        xc = chordal_initialization3(
+            n_poses, edges, meas32, w, anchor_pose=a0, cg_iterations=300
+        )
+        return solve_pose_graph3_large(
+            n_poses, edges, meas32, w, xc, params=p, cg_iterations=150,
+            hard_anchor=True,
+        )
+
     t0 = time.time()
-    res = solve_pose_graph3_large(
-        n_poses, edges, *args, cg_iterations=300, hard_anchor=True
-    )
+    res = pipeline(anchor)
     np.asarray(res.x)  # host readback closes the timing (CLAUDE.md quirk)
     compile_s = time.time() - t0
     t0 = time.time()
-    res2 = solve_pose_graph3_large(
-        n_poses,
-        edges,
-        args[0],
-        w,
-        args[2] + 1e-6,
-        cg_iterations=300,
-        hard_anchor=True,
-    )
+    res2 = pipeline(anchor + 1e-6)
     np.asarray(res2.x)
     warm_s = time.time() - t0
     xf = np.asarray(res.x).reshape(n_poses, 6)
@@ -225,6 +232,7 @@ def pose_graph3_bench(n_poses=400):
                 "metric": "pose_graph3_se3_400_solve_s_on_chip",
                 "value": round(warm_s, 2),
                 "unit": "s",
+                "method": "chordal_init+3gn_polish",
                 "compile_s": round(compile_s, 1),
                 "f_final": round(float(res.errors.f), 4),
                 "drift_before": round(drift0, 2),

@@ -157,3 +157,40 @@ def test_se3_sharded_cg_matches_single_device():
         float(r8.errors.f), float(r1.errors.f), rtol=1e-5
     )
     np.testing.assert_allclose(np.asarray(r8.x), np.asarray(r1.x), atol=1e-3)
+
+
+def test_chordal3_short_polish_matches_long_descent():
+    """SE(3) chordal init (R^9 rotation relaxation, SVD projection, linear
+    positions) + a 3-GN polish reaches the long descent's optimum."""
+    from mini_opt_tpu.models.pose_graph3 import (
+        chordal_initialization3,
+        default_pose_graph3_params,
+        solve_pose_graph3_large,
+    )
+
+    n = 200
+    gt, edges, meas, x0 = _helix_graph(n, seed=4, noise=0.01, loop_every=10)
+    w = jnp.ones((len(edges),), jnp.float64)
+    xc = chordal_initialization3(
+        n, edges, jnp.asarray(meas), w, anchor_pose=jnp.asarray(x0[0]),
+        cg_iterations=300,
+    )
+    # The init alone beats the odometry drift.
+    xc_r = np.asarray(xc).reshape(n, 6)
+    assert (
+        np.abs(xc_r[:, :3] - gt[:, :3]).max()
+        < 0.7 * np.abs(x0[:, :3] - gt[:, :3]).max()
+    )
+    p = default_pose_graph3_params(jnp.float64, max_iterations=3)
+    r = solve_pose_graph3_large(
+        n, edges, jnp.asarray(meas), w, xc, params=p, cg_iterations=150,
+        hard_anchor=True,
+    )
+    r_long = solve_pose_graph3_large(
+        n, edges, jnp.asarray(meas), w, jnp.asarray(x0.ravel()),
+        cg_iterations=300, hard_anchor=True,
+    )
+    assert float(r.errors.f) <= 1.02 * float(r_long.errors.f) + 1e-12, (
+        float(r.errors.f),
+        float(r_long.errors.f),
+    )
