@@ -56,10 +56,14 @@ def main():
     prec = make_ba_block_preconditioner(C, L, obs, uv)
     retr = make_ba_retraction(C)
 
-    t0 = time.time()
-    r = jax.block_until_ready(
-        nls_solve(prob, params, x0, retraction=retr, cg_preconditioner=prec)
+    solve = jax.jit(
+        lambda x00: nls_solve(
+            prob, params, x00, retraction=retr, cg_preconditioner=prec
+        )
     )
+    jax.block_until_ready(solve(x0))  # compile
+    t0 = time.time()
+    r = jax.block_until_ready(solve(x0))
     dt = time.time() - t0
 
     lm_err = np.abs(np.asarray(r.x[6 * C :]) - np.asarray(x_true[6 * C :]))

@@ -353,10 +353,14 @@ def bundle_adjustment_bench(C=16, L=2048):
     prec_fn = make_ba_block_preconditioner(C, L, obs, uv32)
     retr = make_ba_retraction(C)
 
-    def run():
+    @jax.jit
+    def run_jit(x00):
         return nls_solve(
-            prob, params, x032, retraction=retr, cg_preconditioner=prec_fn
+            prob, params, x00, retraction=retr, cg_preconditioner=prec_fn
         )
+
+    def run():
+        return run_jit(x032)
 
     t0 = time.time()
     r = run()
