@@ -4,7 +4,9 @@ A noisy circular odometry run with periodic loop closures (3600 variables,
 ~1300 edges). The dense path would build a 3600x3600 Hessian; the large-N
 path (`solve_pose_graph_large`) never materializes it -- Hessian-vector
 products run through jvp/vjp of the stacked edge residuals, preconditioned
-by the exact block-sparse diagonal.
+by the exact block-sparse diagonal. `chordal_initialization` replaces the
+long nonlinear descent with two LINEAR solves + a 3-iteration polish
+(~19x fewer Hessian-vector products; both shown below).
 
 Run: python examples/large_pose_graph.py
 """
@@ -19,7 +21,10 @@ import time
 import jax.numpy as jnp
 import numpy as np
 
+import jax
+
 from mini_opt_tpu.models.pose_graph import (
+    chordal_initialization,
     default_pose_graph_params,
     solve_pose_graph_large,
 )
@@ -86,9 +91,32 @@ def main():
     )
     res.x.block_until_ready()
     xf = np.asarray(res.x).reshape(n, 3)
-    print(f"solved in {time.time() - t0:.1f}s (compile + solve): "
+    print(f"plain descent: {time.time() - t0:.1f}s (compile + solve): "
           f"cost {float(res.errors.f):.4f}, "
           f"drift after: {np.abs(xf - gt)[:, :2].max():.2f} m")
+
+    # The fast path: chordal init (two linear solves) + 3-GN polish, jitted.
+    polish = default_pose_graph_params(jnp.float64, max_iterations=3)
+
+    @jax.jit
+    def chordal_pipeline(anchor):
+        xc = chordal_initialization(
+            n, edges, jnp.asarray(meas), w, anchor_pose=anchor,
+            cg_iterations=1200,
+        )
+        return solve_pose_graph_large(
+            n, edges, jnp.asarray(meas), w, xc, params=polish,
+            cg_iterations=300,
+        )
+
+    anchor = jnp.asarray(x0[0])
+    jax.block_until_ready(chordal_pipeline(anchor))  # compile
+    t0 = time.time()
+    res_c = jax.block_until_ready(chordal_pipeline(anchor))
+    xc = np.asarray(res_c.x).reshape(n, 3)
+    print(f"chordal + 3-GN polish (warm): {time.time() - t0:.2f}s: "
+          f"cost {float(res_c.errors.f):.4f}, "
+          f"drift after: {np.abs(xc - gt)[:, :2].max():.2f} m")
 
 
 if __name__ == "__main__":
