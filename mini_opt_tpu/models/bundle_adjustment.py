@@ -500,3 +500,109 @@ def make_ba_block_preconditioner(
         return apply
 
     return prec_fn
+
+
+def make_ba_schur_preconditioner(
+    n_cameras: int,
+    n_landmarks: int,
+    obs_cl,
+    uv: jax.Array,
+    weights: Optional[jax.Array] = None,
+    anchor_weight: float = 100.0,
+):
+    """EXACT Gauss-Newton preconditioner via the Schur complement -- the
+    textbook large-BA factorization. Per outer iteration: assemble the
+    per-landmark 3x3 blocks H_ll (closed-form eliminable), the per-camera
+    6x6 blocks H_cc, and the camera-landmark coupling W (6C x 3L,
+    block-sparse, materialized as (C, L, 6, 3)); factor the DENSE reduced
+    camera system S = H_cc - W H_ll^-1 W^T (6C x 6C -- tiny for hundreds of
+    cameras). ``apply`` then solves (J^T J + lam I) z = r exactly by
+    back-substitution, so the outer CG converges in ~1 iteration regardless
+    of conditioning.
+
+    Use with ``nls_solve(..., cg_preconditioner=...)`` and a small
+    ``cg_iterations`` (2 is enough; the CG wrapper just polishes fp error).
+    Memory is O(C L) blocks -- fine for dense visibility at tens of
+    cameras; for very large C switch to the block-Jacobi preconditioner.
+    """
+    import numpy as np
+
+    from ..ops.kkt import ldlt_factorize, ldlt_solve
+
+    data = _obs_data(uv, weights)
+    idx = _obs_indices(n_cameras, obs_cl)
+    obs = np.asarray(obs_cl, dtype=np.int64)
+    cam_ids = jnp.asarray(obs[:, 0], jnp.int32)
+    lmk_ids = jnp.asarray(obs[:, 1], jnp.int32)
+    pair_ids = jnp.asarray(obs[:, 0] * n_landmarks + obs[:, 1], jnp.int32)
+    C, L = n_cameras, n_landmarks
+
+    def prec_fn(x, lam):
+        def one(row_idx, row_data):
+            return jax.jacfwd(
+                lambda v: _reprojection_residual(v, row_data)
+            )(x[row_idx])  # (2, 9)
+
+        J = jax.vmap(one)(idx, data)
+        Jc, Jl = J[:, :, 0:6], J[:, :, 6:9]
+        eye6 = jnp.eye(6, dtype=x.dtype)
+        eye3 = jnp.eye(3, dtype=x.dtype)
+        floor = jnp.asarray(1e-12, x.dtype)
+        Hcc = jax.ops.segment_sum(
+            jnp.einsum("koa,kob->kab", Jc, Jc), cam_ids, num_segments=C
+        )
+        # Gauge prior (camera-0 pose rows + scale row's t0/t1 parts) --
+        # diagonal approximation, adequate for a preconditioner.
+        aw2 = anchor_weight * anchor_weight
+        Hcc = Hcc.at[0].add(aw2 * eye6)
+        Hcc = Hcc.at[1, 0:3, 0:3].add(aw2 * eye3)
+        Hcc = Hcc + (lam + floor) * eye6
+        Hll = (
+            jax.ops.segment_sum(
+                jnp.einsum("koa,kob->kab", Jl, Jl), lmk_ids, num_segments=L
+            )
+            + (lam + floor) * eye3
+        )
+        W = jax.ops.segment_sum(
+            jnp.einsum("koa,kob->kab", Jc, Jl), pair_ids,
+            num_segments=C * L,
+        ).reshape(C, L, 6, 3)
+        lmk_fact, _ = jax.vmap(ldlt_factorize)(Hll)
+
+        def hll_solve(v):  # (L, 3) -> (L, 3)
+            return jax.vmap(ldlt_solve)(lmk_fact, v)
+
+        # S = Hcc - W Hll^-1 W^T, dense (6C, 6C).
+        Winv = jax.vmap(
+            lambda Wl, f: jax.vmap(
+                # rows of W[c,l] through the 3x3 solve: W[c,l] @ Hll[l]^-1
+                # (Hll symmetric; ldlt_solve takes vector rhs)
+                lambda Wcl: jax.vmap(lambda row: ldlt_solve(f, row))(Wcl)
+            )(Wl),
+            in_axes=(1, 0),
+            out_axes=1,
+        )(W, lmk_fact)  # (C, L, 6, 3)
+        U = jnp.einsum("clax,mlex->came", Winv, W)  # (C, 6, C, 6)
+        S = (
+            jnp.zeros((C, 6, C, 6), x.dtype)
+            .at[jnp.arange(C), :, jnp.arange(C), :]
+            .add(Hcc)
+            - U
+        ).reshape(6 * C, 6 * C)
+        S_fact, _ = ldlt_factorize(S)
+
+        def apply(r):
+            rc = r[: 6 * C]
+            rl = r[6 * C :].reshape(L, 3)
+            yl = hll_solve(rl)  # Hll^-1 rl
+            rhs_c = rc - jnp.einsum("clab,lb->ca", W, yl).reshape(-1)
+            zc = ldlt_solve(S_fact, rhs_c)
+            rl2 = rl - jnp.einsum(
+                "clab,ca->lb", W, zc.reshape(C, 6)
+            )
+            zl = hll_solve(rl2)
+            return jnp.concatenate([zc, zl.reshape(-1)])
+
+        return apply
+
+    return prec_fn

