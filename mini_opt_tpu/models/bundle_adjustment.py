@@ -524,6 +524,11 @@ def make_ba_schur_preconditioner(
     ``cg_iterations`` (2 is enough; the CG wrapper just polishes fp error).
     Memory is O(C L) blocks -- fine for dense visibility at tens of
     cameras; for very large C switch to the block-Jacobi preconditioner.
+
+    Both BA preconditioners build from the PLAIN reprojection Jacobians;
+    for a robustified problem the operator they approximate differs by the
+    per-observation robust weights, which slows CG slightly but cannot
+    change the solution (preconditioners only shape the search).
     """
     import numpy as np
 
