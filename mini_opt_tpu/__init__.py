@@ -22,18 +22,22 @@ from .models.ik import (
 from .models.pose_graph import (
     chordal_initialization,
     make_pose_graph_problem,
+    make_tree_preconditioner,
     solve_pose_graph,
     solve_pose_graph_large,
     solve_pose_graph_large_sharded,
 )
 from .models.bundle_adjustment import (
     make_ba_problem,
+    make_ba_schur_preconditioner_sparse,
     make_synthetic_scene,
     solve_bundle_adjustment,
     solve_bundle_adjustment_large,
 )
 from .models.pose_graph3 import (
+    chordal_initialization3,
     make_pose_graph3_problem,
+    make_tree_preconditioner3,
     solve_pose_graph3,
     solve_pose_graph3_large,
     solve_pose_graph3_large_sharded,
@@ -54,6 +58,7 @@ from .ops.pallas_ik import (
     fused_ik_solve_batch,
     fused_solve_batch,
     fused_solve_multi_start,
+    fused_solve_refined,
     fused_spatial_ik_solve_batch,
 )
 from .ops.pallas_qp import make_fused_qp_solver

@@ -148,6 +148,32 @@ def make_jacobi_preconditioner(
     return diag_fn
 
 
+def make_tree_preconditioner(
+    n_poses: int,
+    edges_ij,
+    measurements: jax.Array,
+    weights: jax.Array,
+    anchor_weight: float = 100.0,
+):
+    """Spanning-chain block-tridiagonal preconditioner for the SE(2)
+    pose-graph CG path (ops/tree_prec.py): the odometry chain's Hessian is
+    solved exactly per CG iteration (log-depth associative-scan
+    substitution), so CG only has to correct for loop closures — the
+    standard subgraph-preconditioner upgrade over Jacobi for cycle-heavy
+    graphs. Use with ``nls_solve(..., cg_preconditioner=...)`` or
+    ``solve_pose_graph_large(..., preconditioner="tree")``."""
+    import numpy as np
+
+    from ..ops.tree_prec import make_chain_tree_preconditioner
+
+    data = _edge_data(measurements, weights)
+    idx = jnp.asarray(np.asarray(_edge_indices(edges_ij), dtype=np.int32))
+    anchor_block = (anchor_weight * anchor_weight) * jnp.eye(3)
+    return make_chain_tree_preconditioner(
+        _edge_residual, idx, data, n_poses, 3, anchor_block=anchor_block
+    )
+
+
 def pose_graph_retraction(x, dx, alpha):
     """Additive update with heading wrap on every third variable."""
     x_new = x + alpha * dx
@@ -200,15 +226,20 @@ def solve_pose_graph_large(
     hard_anchor: bool = False,
     robust: Optional[str] = None,
     robust_delta: float = 1.0,
+    preconditioner: str = "jacobi",  # "jacobi" | "tree"
 ) -> NLSResult:
-    """Large-N path: matrix-free Jacobi-preconditioned CG Gauss-Newton. The
+    """Large-N path: matrix-free preconditioned-CG Gauss-Newton. The
     (3N, 3N) Hessian is never materialized, so graphs of thousands of poses
     fit where the dense path's O(N^2) assembly cannot. The dense reference
     (all-dense Eigen, README.md:35-38 'no sparse solvers') has no counterpart
     at this scale.
 
-    ``hard_anchor=True`` fixes the gauge exactly (pose 0 == origin) via the
-    projected-CG equality path instead of the soft prior."""
+    ``preconditioner="tree"`` upgrades scalar Jacobi to the spanning-chain
+    block-tridiagonal preconditioner (exact on the odometry chain; CG then
+    only corrects for loop closures — far fewer iterations on cycle-heavy
+    graphs). ``hard_anchor=True`` fixes the gauge exactly (pose 0 == origin)
+    via the projected-CG equality path instead of the soft prior
+    (Jacobi-only: the tree factor needs the gauge prior to stay SPD)."""
     import dataclasses
 
     problem = make_pose_graph_problem(
@@ -220,6 +251,22 @@ def solve_pose_graph_large(
     params = dataclasses.replace(
         params, qp_solver="cg", cg_iterations=cg_iterations
     )
+    if preconditioner == "tree":
+        if hard_anchor:
+            raise ValueError(
+                "preconditioner='tree' requires the soft anchor (the gauge "
+                "prior keeps the chain factor SPD); use jacobi with "
+                "hard_anchor=True"
+            )
+        return nls_solve(
+            problem,
+            params,
+            x0,
+            retraction=pose_graph_retraction,
+            cg_preconditioner=make_tree_preconditioner(
+                n_poses, edges_ij, measurements, weights
+            ),
+        )
     diag_fn = make_jacobi_preconditioner(
         edges_ij,
         measurements,
@@ -338,9 +385,15 @@ def chordal_initialization(
     anchor_pose: Optional[jax.Array] = None,  # (3,) pose-0 gauge; origin if None
     cg_iterations: int = 300,
     anchor_weight: float = 100.0,
+    preconditioner: str = "none",  # "none" | "tree"
 ) -> jax.Array:
     """Chordal initialization: two LINEAR least-squares solves instead of a
     long nonlinear descent.
+
+    ``preconditioner="tree"`` runs both stage solves under the
+    spanning-chain block-tridiagonal preconditioner (2x2 blocks;
+    ops/tree_prec.py), cutting the CG budget each stage needs by ~an order
+    of magnitude on cycle-heavy graphs.
 
     Stage 1 relaxes each heading to a free 2-vector r_i = (cos, sin) --
     edge residual r_j - Rot(dtheta_ij) r_i is linear, so one Gauss-Newton
@@ -406,8 +459,26 @@ def chordal_initialization(
             make_residual([0, 1], rot_anchor, 2),
         ),
     )
+
+    def _tree_prec(res_fn, idx_tuples, stage_data):
+        if preconditioner != "tree":
+            return None
+        from ..ops.tree_prec import make_chain_tree_preconditioner
+
+        return make_chain_tree_preconditioner(
+            res_fn,
+            jnp.asarray(np.asarray(idx_tuples, np.int32)),
+            stage_data,
+            n_poses,
+            2,
+            anchor_block=(anchor_weight * anchor_weight) * jnp.eye(2, dtype=dtype),
+        )
+
     r0 = jnp.tile(jnp.asarray([1.0, 0.0], dtype), n_poses)
-    r_sol = nls_solve(rot_problem, lin_params, r0).x.reshape(n_poses, 2)
+    r_sol = nls_solve(
+        rot_problem, lin_params, r0,
+        cg_preconditioner=_tree_prec(rot_res, rot_idx, rot_data),
+    ).x.reshape(n_poses, 2)
     theta = jnp.arctan2(r_sol[:, 1], r_sol[:, 0])
 
     # --- stage 2: positions, exactly linear given the rotations ----------
@@ -440,7 +511,10 @@ def chordal_initialization(
         ),
     )
     t0 = jnp.zeros((2 * n_poses,), dtype)
-    t_sol = nls_solve(pos_problem, lin_params, t0).x.reshape(n_poses, 2)
+    t_sol = nls_solve(
+        pos_problem, lin_params, t0,
+        cg_preconditioner=_tree_prec(pos_res, pos_idx, pos_data),
+    ).x.reshape(n_poses, 2)
 
     return jnp.stack(
         [t_sol[:, 0], t_sol[:, 1], theta], axis=1

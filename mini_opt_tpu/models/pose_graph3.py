@@ -136,6 +136,31 @@ def make_jacobi_preconditioner3(
     return diag_fn
 
 
+def make_tree_preconditioner3(
+    n_poses: int,
+    edges_ij,
+    measurements: jax.Array,
+    weights: jax.Array,
+    anchor_weight: float = 100.0,
+):
+    """Spanning-chain block-tridiagonal preconditioner for the SE(3)
+    pose-graph CG path — the 6x6-block twin of
+    pose_graph.make_tree_preconditioner (shared ops/tree_prec.py core).
+    The anchor block uses aw^2 I_6: quat_log(quat_exp(w)) has identity
+    Jacobian inside the |w| < pi chart, and preconditioners only shape the
+    search."""
+    import numpy as np
+
+    from ..ops.tree_prec import make_chain_tree_preconditioner
+
+    data = _edge_data3(measurements, weights)
+    idx = jnp.asarray(np.asarray(_edge_indices3(edges_ij), dtype=np.int32))
+    anchor_block = (anchor_weight * anchor_weight) * jnp.eye(6)
+    return make_chain_tree_preconditioner(
+        _edge_residual3, idx, data, n_poses, 6, anchor_block=anchor_block
+    )
+
+
 def pose_graph3_retraction(x, dx, alpha):
     """Additive update; rotation vectors renormalized through the quaternion
     exp/log round trip so every |w| stays in [0, pi] (the SO(3) analog of the
@@ -187,9 +212,12 @@ def solve_pose_graph3_large(
     hard_anchor: bool = False,
     robust: Optional[str] = None,
     robust_delta: float = 1.0,
+    preconditioner: str = "jacobi",  # "jacobi" | "tree"
 ) -> NLSResult:
-    """Large-N path: matrix-free Jacobi-PCG Gauss-Newton over the edge set
-    (the 6N x 6N Hessian is never materialized)."""
+    """Large-N path: matrix-free PCG Gauss-Newton over the edge set
+    (the 6N x 6N Hessian is never materialized). ``preconditioner="tree"``
+    solves the odometry-chain Hessian exactly per CG iteration (see
+    pose_graph.solve_pose_graph_large)."""
     import dataclasses
 
     problem = make_pose_graph3_problem(
@@ -201,6 +229,21 @@ def solve_pose_graph3_large(
     params = dataclasses.replace(
         params, qp_solver="cg", cg_iterations=cg_iterations
     )
+    if preconditioner == "tree":
+        if hard_anchor:
+            raise ValueError(
+                "preconditioner='tree' requires the soft anchor; use jacobi "
+                "with hard_anchor=True"
+            )
+        return nls_solve(
+            problem,
+            params,
+            x0,
+            retraction=pose_graph3_retraction,
+            cg_preconditioner=make_tree_preconditioner3(
+                n_poses, edges_ij, measurements, weights
+            ),
+        )
     diag_fn = make_jacobi_preconditioner3(
         edges_ij,
         measurements,
@@ -315,6 +358,7 @@ def chordal_initialization3(
     anchor_pose: Optional[jax.Array] = None,  # (6,) pose-0 gauge
     cg_iterations: int = 300,
     anchor_weight: float = 100.0,
+    preconditioner: str = "none",  # "none" | "tree"
 ) -> jax.Array:
     """SE(3) chordal initialization (same recipe as the SE(2)
     ``chordal_initialization``): relax each rotation to a free 3x3 matrix
@@ -322,7 +366,12 @@ def chordal_initialization3(
     Gauss-Newton step through the matrix-free CG machinery solves the
     rotation graph; each M is then projected to SO(3) by SVD and positions
     solve a second linear system ``(t_j - t_i) - R_i dt_ij``. Returns the
-    (6 n_poses,) initial state for the nonlinear polish."""
+    (6 n_poses,) initial state for the nonlinear polish.
+
+    ``preconditioner="tree"`` runs both stage solves under the
+    spanning-chain block-tridiagonal preconditioner (9x9 / 3x3 blocks;
+    ops/tree_prec.py) — an order-of-magnitude smaller CG budget on
+    cycle-heavy graphs."""
     import numpy as np
 
     from ..utils.so3 import quat_from_matrix, quat_to_matrix
@@ -384,8 +433,26 @@ def chordal_initialization3(
             make_residual(list(range(9)), rot_anchor, 9),
         ),
     )
+    def _tree_prec(res_fn, idx_tuples, stage_data, dof):
+        if preconditioner != "tree":
+            return None
+        from ..ops.tree_prec import make_chain_tree_preconditioner
+
+        return make_chain_tree_preconditioner(
+            res_fn,
+            jnp.asarray(np.asarray(idx_tuples, np.int32)),
+            stage_data,
+            n_poses,
+            dof,
+            anchor_block=(anchor_weight * anchor_weight)
+            * jnp.eye(dof, dtype=dtype),
+        )
+
     m0 = jnp.tile(jnp.eye(3, dtype=dtype).reshape(-1), n_poses)
-    M = nls_solve(rot_problem, lin_params, m0).x.reshape(n_poses, 3, 3)
+    M = nls_solve(
+        rot_problem, lin_params, m0,
+        cg_preconditioner=_tree_prec(rot_res, rot_idx, rot_data, 9),
+    ).x.reshape(n_poses, 3, 3)
 
     def project(Mi):
         U, _, Vt = jnp.linalg.svd(Mi)
@@ -422,7 +489,8 @@ def chordal_initialization3(
         ),
     )
     t = nls_solve(
-        pos_problem, lin_params, jnp.zeros((3 * n_poses,), dtype)
+        pos_problem, lin_params, jnp.zeros((3 * n_poses,), dtype),
+        cg_preconditioner=_tree_prec(pos_res, pos_idx, pos_data, 3),
     ).x.reshape(n_poses, 3)
 
     return jnp.concatenate([t, w_vec], axis=1).reshape(-1)

@@ -118,7 +118,9 @@ def ldlt_factorize(H: jax.Array) -> Tuple[Tuple[jax.Array, jax.Array], jax.Array
 def ldlt_solve(fact, rhs: jax.Array) -> jax.Array:
     L, d = fact
     w = jax.scipy.linalg.solve_triangular(L, rhs, lower=True, unit_diagonal=True)
-    w = w / d
+    # The diagonal scale acts on the ROW axis; broadcast accordingly for
+    # matrix right-hand sides (e.g. solving for an explicit inverse).
+    w = w / (d[:, None] if rhs.ndim == 2 else d)
     return jax.scipy.linalg.solve_triangular(
         L.T, w, lower=False, unit_diagonal=True
     )
