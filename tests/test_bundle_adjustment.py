@@ -296,3 +296,71 @@ def test_ba_schur_preconditioner_exact_solve():
         int(rs.num_iterations),
         int(rb.num_iterations),
     )
+
+
+def test_ba_schur_sparse_matches_dense_apply():
+    """The sparse-visibility Schur factory is numerically the SAME
+    preconditioner as the dense one (both exact); their applies agree on
+    random vectors to fp accuracy on a dense-visibility scene."""
+    from mini_opt_tpu.models.bundle_adjustment import (
+        make_ba_schur_preconditioner,
+        make_ba_schur_preconditioner_sparse,
+    )
+
+    obs, uv, x_true, scale_ref, x0 = _scene_and_start()
+    dense = make_ba_schur_preconditioner(C, L, obs, uv)(x0, 1e-4)
+    sparse = make_ba_schur_preconditioner_sparse(C, L, obs, uv)(x0, 1e-4)
+    rng = np.random.default_rng(7)
+    for _ in range(3):
+        r = jnp.asarray(rng.normal(size=(6 * C + 3 * L,)))
+        np.testing.assert_allclose(
+            np.asarray(sparse(r)), np.asarray(dense(r)), rtol=1e-9, atol=1e-9
+        )
+
+
+def test_ba_schur_sparse_visibility_end_to_end():
+    """Sparse-visibility regime (each landmark seen by 4 of 10 ring
+    cameras): the sparse Schur preconditioner solves to the noise floor at
+    cg_iterations=2, with a pair count far below the dense C^2 L coupling
+    work."""
+    import dataclasses
+
+    from mini_opt_tpu.models.bundle_adjustment import (
+        default_ba_params,
+        make_ba_retraction,
+        make_ba_schur_preconditioner_sparse,
+        make_synthetic_scene,
+    )
+    from mini_opt_tpu.nonlinear import nls_solve
+
+    C10, L120, k = 10, 120, 4
+    obs, uv, x_true, scale_ref = make_synthetic_scene(
+        C10, L120, pixel_noise=NOISE, seed=2, cameras_per_landmark=k
+    )
+    K = obs.shape[0]
+    assert K == L120 * k  # the visibility filter kept exactly k views each
+    rng = np.random.default_rng(3)
+    x0 = np.asarray(x_true).copy()
+    x0[6 : 6 * C10] += rng.normal(0, 0.02, 6 * (C10 - 1))
+    x0[6 * C10 :] += rng.normal(0, 0.05, len(x0) - 6 * C10)
+    x0 = jnp.asarray(x0)
+
+    prob = make_ba_problem(
+        C10, L120, obs, uv, scale_ref=scale_ref, anchor_ref=x0[0:6]
+    )
+    prec = make_ba_schur_preconditioner_sparse(C10, L120, obs, uv)
+    ps = dataclasses.replace(
+        default_ba_params(jnp.float64, max_iterations=12),
+        qp_solver="cg", cg_iterations=2,
+    )
+    rs = nls_solve(
+        prob, ps, x0, retraction=make_ba_retraction(C10),
+        cg_preconditioner=prec,
+    )
+    floor = 0.5 * K * 2 * NOISE**2
+    assert float(rs.errors.f) < 4.0 * floor, (float(rs.errors.f), floor)
+    # Sparse visibility leaves the ring weakly constrained (a converged
+    # jacobi-200 reference lands at t_err 0.028 on the same flat valley);
+    # gate the geometry loosely and the cost tightly.
+    t_err, r_err = _camera_errors(rs.x, x_true, C10)
+    assert t_err < 0.1 and r_err < 0.02, (t_err, r_err)
