@@ -314,3 +314,39 @@ def scalar_planar_ik_builder(n_active: int, link_len: float = 0.4):
         )
 
     return builder
+
+
+def make_spatial_refine_fn(
+    n_active: int = 3,
+    link_length: float = 0.4,
+    max_iterations: int = 12,
+    qp_iterations: int = 6,
+):
+    """f64 general-path re-solver for ``ops.pallas_ik.fused_solve_refined``
+    on the spatial family: the same problems through ``nls_solve`` with
+    SO(3) actuator masks and the Mehrotra inner QP (the configuration that
+    converges every spatial instance in f64,
+    tests/test_pallas_ik.py::test_general_solver_spatial_chain_mpc).
+    Signature matches refine_fn: (targets (K, 3) f64, x0 (K, n) f64) ->
+    (K, n) f64."""
+    import dataclasses
+
+    from ..nonlinear import nls_solve
+    from ..structs import BarrierStrategy
+
+    chain = make_spatial_chain(n_active, link_length, dtype=jnp.float64)
+    params = dataclasses.replace(
+        default_ik_params(jnp.float64, max_iterations, qp_iterations),
+        qp_barrier_strategy=BarrierStrategy.PREDICTOR_CORRECTOR,
+    )
+
+    def refine(targets, x0):
+        def one(t, x):
+            return nls_solve(
+                make_spatial_ik_problem(chain, t), params, x,
+                retraction=mod_pi_retraction,
+            ).x
+
+        return jax.vmap(one)(targets, x0)
+
+    return refine

@@ -788,6 +788,51 @@ def _fused_solve(
     return jnp.moveaxis(res.reshape(n, b_pad), -1, 0)[:B]
 
 
+def fused_solve_refined(
+    family: FusedFamily,
+    data: jax.Array,  # (B, data_rows)
+    x0: jax.Array,  # (B, n)
+    refine_fn,  # (data_k (K, rows) f64, x0_k (K, n) f64) -> (K, n) f64
+    refine_k: int = 64,
+    eq_penalty: float = 1.0,
+    **kernel_kwargs,
+):
+    """f32 fused kernel + f64 refinement of the worst-merit lanes.
+
+    The fused families' residual tail (ROADMAP: 35/24576 spatial instances
+    single-start, 6 with multi-start) is f32-basin-limited: the same descent
+    in f64 converges. This wrapper keeps the kernel's throughput for the
+    bulk and re-solves only the ``refine_k`` worst lanes (by the family's
+    own merit f + eq_penalty*|eq|) through a caller-supplied f64 solver --
+    typically the general ``nls_solve`` on the family's general-path twin,
+    vmapped (static top-k shape: jit-friendly). A refined lane replaces the
+    kernel's answer only when its f64 merit is strictly better.
+
+    Requires x64 enabled; otherwise the refinement silently runs in f32 and
+    can only match the kernel. Returns (B, n) in x0's dtype."""
+    n = family.n
+    x = fused_solve_batch(family, data, x0, **kernel_kwargs)
+
+    def merit_of(xs, ds):
+        f, eq = family.errors(
+            [xs[:, i] for i in range(n)],
+            [ds[:, i] for i in range(family.data_rows)],
+        )
+        return f + eq_penalty * eq
+
+    merit = merit_of(x, data)
+    _, worst = jax.lax.top_k(merit, refine_k)
+    d64 = data[worst].astype(jnp.float64)
+    xr = refine_fn(d64, x0[worst].astype(jnp.float64))
+    # Compare merits in f64 on both candidates (the kernel's f32 merit is
+    # noisy at the crossover scale).
+    m_kernel = merit_of(x[worst].astype(jnp.float64), d64)
+    m_refined = merit_of(xr, d64)
+    take = (m_refined < m_kernel)[:, None]
+    replacement = jnp.where(take, xr, x[worst].astype(jnp.float64))
+    return x.at[worst].set(replacement.astype(x.dtype))
+
+
 def fused_solve_multi_start(
     family: FusedFamily,
     data: jax.Array,  # (B, data_rows)

@@ -348,3 +348,36 @@ def test_fused_multi_start_rescues_spatial_tail():
     f_s, f_m = fails(single), fails(multi)
     assert f_m <= f_s, (f_m, f_s)
     assert f_m <= 1, f_m  # the multi-start tail on this slice
+
+
+def test_fused_refined_rescues_spatial_tail_to_zero():
+    """fused_solve_refined: f32 kernel for the bulk + f64 general-path
+    re-solve of the worst-merit lanes. On the 512-instance seed-2 slice the
+    single-start kernel loses 7 instances (f32-basin-limited, ROADMAP); the
+    refinement recovers ALL of them (measured worst effector error 1.3e-7)
+    -- parity 1.0 for the spatial family."""
+    from mini_opt_tpu.models.ik import make_spatial_refine_fn
+    from mini_opt_tpu.ops.pallas_ik import (
+        fused_solve_refined,
+        fused_spatial_ik_solve_batch,
+        spatial_family,
+    )
+
+    B, n = 512, 3
+    chain, fkv, targets, x0 = _spatial_instances(B, n=n, seed=2)
+    t32 = jnp.asarray(targets, jnp.float32)
+    x32 = jnp.asarray(x0, jnp.float32)
+    kw = dict(max_iterations=12, qp_iterations=2, ls_iterations=2)
+
+    def n_fails(x):
+        final = fkv(jnp.asarray(x, jnp.float64))
+        err = np.asarray(jnp.max(jnp.abs(final - jnp.asarray(targets)), axis=1))
+        return int((err >= 1e-3).sum())
+
+    single = fused_spatial_ik_solve_batch(t32, x32, **kw)
+    assert n_fails(single) > 0  # the tail exists on this slice
+    refined = fused_solve_refined(
+        spatial_family(n, 0.4), t32, x32, make_spatial_refine_fn(n),
+        refine_k=32, **kw,
+    )
+    assert n_fails(refined) == 0
