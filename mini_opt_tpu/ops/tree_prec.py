@@ -45,6 +45,7 @@ from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .kkt import ldlt_factorize, ldlt_solve
 
@@ -146,6 +147,72 @@ def block_tridiag_apply(fact: TreeFactor, r: jax.Array) -> jax.Array:
     return jnp.flip(x_rev, axis=0)
 
 
+def spanning_chain_order(
+    block_pairs: np.ndarray, n_blocks: int, root: int = 0
+) -> np.ndarray:
+    """Host-side DFS preorder of a spanning tree of the block graph.
+
+    ``block_pairs`` is an (E, 2) integer array of block-index endpoints.
+    Returns ``perm`` with ``perm[p] = block id visited at position p``:
+    relabeling blocks by their position makes every first-child tree edge
+    consecutive, so the block-tridiagonal preconditioner captures the
+    spanning chain of ANY graph layout, not just consecutive-pose SLAM
+    orderings. DFS preorder (not BFS) is used precisely because it walks
+    each tree branch as an unbroken run of consecutive positions; only
+    branching points (edges to second/later children) and loop closures
+    fall back to diagonal-only coverage. On a graph that already contains
+    the consecutive chain (i, i+1) this returns the identity. Disconnected
+    components are laid out back to back (the zero coupling block between
+    them keeps the factor exact there). Each component starts at its
+    lowest-index degree-1 vertex when one exists (``root`` wins the
+    tie-break in its component): starting mid-path would split that path
+    into two non-adjacent runs and lose half the chain coverage."""
+    pairs = {
+        (min(ia, ib), max(ia, ib))
+        for ia, ib in np.asarray(block_pairs, dtype=np.int64).tolist()
+        if ia != ib
+    }
+    if all((i, i + 1) in pairs for i in range(n_blocks - 1)):
+        return np.arange(n_blocks, dtype=np.int32)  # consecutive chain present
+
+    adj: list[set[int]] = [set() for _ in range(n_blocks)]
+    for ia, ib in pairs:
+        adj[ia].add(ib)
+        adj[ib].add(ia)
+    seen = np.zeros(n_blocks, dtype=bool)
+    perm: list[int] = []
+    for r0 in [root] + [i for i in range(n_blocks) if i != root]:
+        if seen[r0]:
+            continue
+        # Discover the component, then restart its DFS from a leaf if any.
+        comp, frontier = {r0}, [r0]
+        while frontier:
+            u = frontier.pop()
+            for v in adj[u]:
+                if v not in comp:
+                    comp.add(v)
+                    frontier.append(v)
+        leaves = sorted(v for v in comp if len(adj[v]) == 1)
+        start = (
+            r0
+            if (not leaves or (r0 in leaves))
+            else leaves[0]
+        )
+        stack = [start]
+        while stack:
+            u = stack.pop()
+            if seen[u]:
+                continue
+            seen[u] = True
+            perm.append(u)
+            # Reverse-sorted push -> lowest-index unvisited neighbor is
+            # visited next (deterministic output).
+            for v in sorted(adj[u], reverse=True):
+                if not seen[v]:
+                    stack.append(v)
+    return np.asarray(perm, dtype=np.int32)
+
+
 def chain_block_hessian(
     residual_fn: Callable,
     x: jax.Array,
@@ -153,16 +220,21 @@ def chain_block_hessian(
     data: jax.Array,  # (E, k) per-edge data rows
     n_blocks: int,
     dof: int,
+    block_map: jax.Array | None = None,  # (N,) old block id -> position
 ):
     """Block-tridiagonal part of the Gauss-Newton Hessian of one
     BlockResidual edge set whose rows touch exactly two ``dof``-sized,
     block-aligned variable groups (the pose-graph layout).
 
-    Chain edges (|block_i - block_j| == 1) contribute their full four
-    blocks; all other edges contribute their two diagonal blocks only.
-    Returns (Hd (N, d, d), Hu (N-1, d, d))."""
+    Chain edges (|block_i - block_j| == 1, in ``block_map`` order when one
+    is given) contribute their full four blocks; all other edges contribute
+    their two diagonal blocks only.
+    Returns (Hd (N, d, d), Hu (N-1, d, d)) in position order."""
     bi = idx[:, 0] // dof  # (E,)
     bj = idx[:, dof] // dof
+    if block_map is not None:
+        bi = block_map[bi]
+        bj = block_map[bj]
 
     def one(row_idx, row_data):
         xl = x[row_idx]
@@ -196,26 +268,71 @@ def make_chain_tree_preconditioner(
     dof: int,
     anchor_block: jax.Array | None = None,  # (d, d) added to block 0
     floor: float = 1e-12,
+    order: np.ndarray | str | None = "auto",
 ):
     """Generic ``cg_preconditioner`` factory over one two-block-per-row edge
     set (SE(2)/SE(3) pose graphs share it, as do the chordal relaxation
     stages). ``anchor_block`` carries the gauge prior's J^T J (block 0);
     ``lam`` from the solver plus ``floor`` damp every diagonal block, so the
-    factorization stays SPD whenever the chain is connected."""
+    factorization stays SPD whenever the chain is connected.
+
+    ``order`` selects the block ordering the tridiagonal factor follows:
+    ``"auto"`` (default) runs ``spanning_chain_order`` on the host over the
+    concrete edge set — arbitrary (non-consecutive) graph layouts get their
+    spanning chain captured with no caller involvement, and graphs whose
+    chain is already consecutive skip the permutation entirely; ``None``
+    forces the raw index order; an explicit (N,) permutation array uses
+    that. The permutation indices are compile-time constants, so the gathers
+    they introduce are static (no traced-index scatters — see CLAUDE.md)."""
+    if isinstance(order, str):
+        assert order == "auto", order
+        bp = np.stack(
+            [np.asarray(idx[:, 0]) // dof, np.asarray(idx[:, dof]) // dof],
+            axis=1,
+        )
+        order_np = spanning_chain_order(bp, n_blocks)
+        if np.array_equal(order_np, np.arange(n_blocks, dtype=np.int32)):
+            order_np = None
+    elif order is None:
+        order_np = None
+    else:
+        order_np = np.asarray(order, dtype=np.int32)
+        assert order_np.shape == (n_blocks,)
+
+    if order_np is None:
+        perm = iperm = None
+        block_map = None
+        anchor_pos = 0
+    else:
+        perm = jnp.asarray(order_np)  # position -> old block id
+        inv = np.empty(n_blocks, dtype=np.int32)
+        inv[order_np] = np.arange(n_blocks, dtype=np.int32)
+        iperm = jnp.asarray(inv)  # old block id -> position
+        block_map = iperm
+        anchor_pos = int(inv[0])
+
     eye = None
 
     def prec_fn(x, lam):
         nonlocal eye
         if eye is None or eye.dtype != x.dtype:
             eye = jnp.eye(dof, dtype=x.dtype)
-        Hd, Hu = chain_block_hessian(residual_fn, x, idx, data, n_blocks, dof)
+        Hd, Hu = chain_block_hessian(
+            residual_fn, x, idx, data, n_blocks, dof, block_map=block_map
+        )
         if anchor_block is not None:
-            Hd = Hd.at[0].add(anchor_block.astype(x.dtype))
+            Hd = Hd.at[anchor_pos].add(anchor_block.astype(x.dtype))
         Hd = Hd + (lam + jnp.asarray(floor, x.dtype)) * eye
         fact = block_tridiag_factor(Hd, Hu)
 
         def apply(r):
-            return block_tridiag_apply(fact, r.reshape(n_blocks, dof)).reshape(-1)
+            rb = r.reshape(n_blocks, dof)
+            if perm is not None:
+                rb = rb[perm]
+            xb = block_tridiag_apply(fact, rb)
+            if perm is not None:
+                xb = xb[iperm]
+            return xb.reshape(-1)
 
         return apply
 

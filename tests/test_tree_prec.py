@@ -13,6 +13,8 @@ from mini_opt_tpu.ops.tree_prec import (
     block_tridiag_apply,
     block_tridiag_factor,
     chain_block_hessian,
+    make_chain_tree_preconditioner,
+    spanning_chain_order,
 )
 
 
@@ -199,6 +201,120 @@ def test_tree_preconditioner_cuts_cg_budget_se3():
     f_ref, f_tree = float(r_ref.errors.f), float(r_tree.errors.f)
     assert f_tree <= f_ref * 1.01 + 1e-12, (f_tree, f_ref)
     np.testing.assert_allclose(np.asarray(r_tree.x), np.asarray(r_ref.x), atol=2e-3)
+
+
+def test_spanning_chain_order_unit():
+    """Host-side ordering rules: identity when the consecutive chain is
+    present (even with loop closures), path recovery under scrambled
+    labels, and leaf-start when block 0 is interior."""
+    # Consecutive chain + loop closures -> identity, no permutation cost.
+    pairs = [(i, i + 1) for i in range(9)] + [(0, 5), (2, 8)]
+    np.testing.assert_array_equal(
+        spanning_chain_order(np.asarray(pairs), 10), np.arange(10)
+    )
+    # Scrambled path whose block 0 is interior: start at the lowest-index
+    # leaf (2) and walk the path unbroken to the other end.
+    path = [3, 0, 4, 1, 2]
+    edges = np.asarray([[path[k], path[k + 1]] for k in range(4)])
+    np.testing.assert_array_equal(
+        spanning_chain_order(edges, 5), path[::-1]
+    )
+    # Every consecutive position pair in the output is a graph edge
+    # (full chain coverage) for a random scrambled path.
+    rng = np.random.default_rng(7)
+    lab = rng.permutation(40)
+    edges = np.asarray([[lab[k], lab[k + 1]] for k in range(39)])
+    perm = spanning_chain_order(edges, 40)
+    eset = {tuple(sorted(e)) for e in edges.tolist()}
+    for k in range(39):
+        assert tuple(sorted((int(perm[k]), int(perm[k + 1])))) in eset
+    # Two disconnected chains: both fully covered, laid out back to back.
+    e2 = np.asarray([[0, 2], [2, 4], [1, 3], [3, 5]])
+    perm2 = spanning_chain_order(e2, 6)
+    s = {tuple(sorted(e)) for e in e2.tolist()}
+    runs = [
+        tuple(sorted((int(perm2[k]), int(perm2[k + 1])))) in s
+        for k in range(5)
+    ]
+    assert sum(runs) == 4  # exactly one component boundary
+
+
+def test_auto_order_exact_on_scrambled_tree_graph():
+    """Oracle: on a loop-free pose graph with SCRAMBLED labels (spanning
+    chain nowhere consecutive), ``order="auto"`` recovers the chain and the
+    preconditioner solve equals the dense solve of the FULL damped Hessian
+    (exactness on trees — the property the consecutive-order factor has on
+    sequential SLAM layouts, now label-independent)."""
+    from mini_opt_tpu.models.pose_graph import (
+        _edge_data,
+        _edge_indices,
+        _edge_residual,
+    )
+
+    n = 23
+    rng = np.random.default_rng(11)
+    lab = rng.permutation(n)
+    edges = [[int(lab[k]), int(lab[k + 1])] for k in range(n - 1)]
+    meas = jnp.asarray(rng.normal(size=(n - 1, 3)) * 0.3 + jnp.asarray([1.0, 0, 0]))
+    w = jnp.ones((n - 1,))
+    data = _edge_data(meas, w)
+    idx = jnp.asarray(np.asarray(_edge_indices(edges), np.int32))
+    x = jnp.asarray(rng.normal(size=(3 * n,)) * 0.1)
+    lam = 1e-3
+
+    prec = make_chain_tree_preconditioner(
+        _edge_residual, idx, data, n, 3, floor=0.0
+    )
+    apply = prec(x, jnp.asarray(lam))
+
+    def stacked(xx):
+        return jax.vmap(lambda ri, rd: _edge_residual(xx[ri], rd))(
+            idx, data
+        ).ravel()
+
+    J = jax.jacfwd(stacked)(x)
+    H = np.asarray(J.T @ J) + lam * np.eye(3 * n)
+    r = rng.normal(size=(3 * n,))
+    np.testing.assert_allclose(
+        np.asarray(apply(jnp.asarray(r))), np.linalg.solve(H, r), atol=1e-9
+    )
+
+
+def test_scrambled_pose_graph_tree_budget():
+    """End-to-end: a cycle graph whose pose labels are randomly permuted
+    (so no consecutive odometry chain exists) still gets the tree
+    preconditioner's budget cut through ``preconditioner="tree"`` — the
+    auto-ordering is invisible to the caller."""
+    from test_pose_graph import _circle_graph
+
+    from mini_opt_tpu.models.pose_graph import (
+        default_pose_graph_params,
+        solve_pose_graph_large,
+    )
+
+    n = 120
+    gt, edges, meas, x0 = _circle_graph(n, seed=6, noise=0.01, loop_every=10)
+    rng = np.random.default_rng(13)
+    lab = rng.permutation(n)
+    edges_s = [[int(lab[i]), int(lab[j])] for i, j in edges]
+    x0_s = np.zeros_like(np.asarray(x0))
+    x0_s[lab] = np.asarray(x0)
+    p = default_pose_graph_params(jnp.float64, max_iterations=40)
+
+    r_ref = solve_pose_graph_large(
+        n, edges_s, jnp.asarray(meas), jnp.ones((len(edges),)),
+        jnp.asarray(x0_s.ravel()), params=p, cg_iterations=500,
+    )
+    r_tree = solve_pose_graph_large(
+        n, edges_s, jnp.asarray(meas), jnp.ones((len(edges),)),
+        jnp.asarray(x0_s.ravel()), params=p, cg_iterations=50,
+        preconditioner="tree",
+    )
+    f_ref, f_tree = float(r_ref.errors.f), float(r_tree.errors.f)
+    assert f_tree <= f_ref * 1.001 + 1e-12, (f_tree, f_ref)
+    np.testing.assert_allclose(
+        np.asarray(r_tree.x), np.asarray(r_ref.x), atol=1e-3
+    )
 
 
 def test_chordal_tree_preconditioner_budget_se2():
