@@ -16,6 +16,8 @@ from .models.ik import (
     make_planar_chain,
     make_spatial_chain,
     make_spatial_ik_problem,
+    scalar_chain_fk,
+    scalar_chain_ik_builder,
     solve_ik_batch,
     solve_ik_multi_start,
 )

@@ -316,6 +316,205 @@ def scalar_planar_ik_builder(n_active: int, link_len: float = 0.4):
     return builder
 
 
+def _c_neg(a):
+    return -a
+
+
+def _c_mul(a, b):
+    """Constant-folding multiply: python-float identities stay floats, exact
+    0/1 factors vanish — keeps the generated register code (and therefore the
+    Mosaic kernel) free of dead ops from inactive mask bits."""
+    if isinstance(a, float):
+        if a == 0.0:
+            return 0.0
+        if a == 1.0:
+            return b
+        if isinstance(b, float):
+            return a * b
+    if isinstance(b, float):
+        if b == 0.0:
+            return 0.0
+        if b == 1.0:
+            return a
+    return a * b
+
+
+def _c_add(a, b):
+    if isinstance(a, float) and a == 0.0:
+        return b
+    if isinstance(b, float) and b == 0.0:
+        return a
+    return a + b
+
+
+def _m3_mul(A, B):
+    """3x3 product of nested-list matrices whose entries are python floats
+    or register arrays. ``None`` stands for the identity."""
+    if A is None:
+        return B
+    if B is None:
+        return A
+    return [
+        [
+            _c_add(
+                _c_add(_c_mul(A[i][0], B[0][j]), _c_mul(A[i][1], B[1][j])),
+                _c_mul(A[i][2], B[2][j]),
+            )
+            for j in range(3)
+        ]
+        for i in range(3)
+    ]
+
+
+def _axis_rot(angle, axis):
+    """Rx/Ry/Rz as an entry list; float angles fold to float entries, exact
+    zero folds to identity (None)."""
+    import math
+
+    if isinstance(angle, float):
+        if angle == 0.0:
+            return None
+        c, s = math.cos(angle), math.sin(angle)
+    else:
+        c, s = jnp.cos(angle), jnp.sin(angle)
+    if axis == 0:
+        return [[1.0, 0.0, 0.0], [0.0, c, _c_neg(s)], [0.0, s, c]]
+    if axis == 1:
+        return [[c, 0.0, s], [0.0, 1.0, 0.0], [_c_neg(s), 0.0, c]]
+    return [[c, _c_neg(s), 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]]
+
+
+def scalar_chain_fk(chain: ActuatorChain, p):
+    """Forward kinematics of ANY ActuatorChain in SCALAR STYLE: static Python
+    indexing of ``p`` plus elementwise ops only — no matmul, scan, or
+    shape-dependent code — so the same function serves the general path
+    (``p`` a (P,) vector) and the fused-kernel compiler (``p`` a (P, 8, 128)
+    register stack; ops/fused_auto.py).
+
+    The per-link mask/base-pose structure (transform_chains.hpp:124-153) is
+    burned in at trace time: inactive euler angles and translations fold to
+    python-float constants (link poses are concrete at build time), so a
+    planar chain generates exactly the cos/sin accumulation the handwritten
+    planar family uses, while arbitrary SO(3) masks generate the minimal set
+    of register 3x3 products. Returns ``(R, t)``: a 3x3 nested list (or
+    ``None`` for identity) and a 3-list, entries floats or registers.
+
+    Link constants are read through wholesale ``np.asarray`` (never jnp
+    indexing): under an enclosing trace, slicing even a concrete array
+    stages to a tracer (omnistaging), while numpy conversion of concrete
+    closure data stays eager.
+    """
+    import numpy as np
+
+    R = None  # accumulated rotation (None == identity)
+    t = [0.0, 0.0, 0.0]
+    pos = 0
+    for link in chain.links:
+        rot_xyz = np.asarray(link.rotation_xyz, np.float64)
+        trans = np.asarray(link.translation, np.float64)
+        # --- link rotation ------------------------------------------------
+        if link.active_rotation_count == 0:
+            # Mirror ActuatorLink.compute: use the stored quaternion
+            # directly (the euler decomposition may sit at a singularity).
+            qw, qx, qy, qz = np.asarray(link.rotation, np.float64)
+            Rq = np.array(
+                [
+                    [1 - 2 * (qy * qy + qz * qz), 2 * (qx * qy - qw * qz),
+                     2 * (qx * qz + qw * qy)],
+                    [2 * (qx * qy + qw * qz), 1 - 2 * (qx * qx + qz * qz),
+                     2 * (qy * qz - qw * qx)],
+                    [2 * (qx * qz - qw * qy), 2 * (qy * qz + qw * qx),
+                     1 - 2 * (qx * qx + qy * qy)],
+                ]
+            )
+            if np.array_equal(Rq, np.eye(3)):
+                R_link = None
+            else:
+                R_link = [[float(Rq[i, j]) for j in range(3)] for i in range(3)]
+        else:
+            R_link = None
+            for axis in range(3):
+                if link.active[axis]:
+                    ang = p[pos]
+                    pos += 1
+                else:
+                    ang = float(rot_xyz[axis])
+                R_link = _m3_mul(R_link, _axis_rot(ang, axis))
+        # --- link translation ----------------------------------------------
+        tl = []
+        for axis in range(3):
+            if link.active[axis + 3]:
+                tl.append(p[pos])
+                pos += 1
+            else:
+                tl.append(float(trans[axis]))
+        # --- compose: t += R @ tl; R = R @ R_link ---------------------------
+        if R is None:
+            t = [_c_add(t[i], tl[i]) for i in range(3)]
+        else:
+            t = [
+                _c_add(
+                    t[i],
+                    _c_add(
+                        _c_add(_c_mul(R[i][0], tl[0]), _c_mul(R[i][1], tl[1])),
+                        _c_mul(R[i][2], tl[2]),
+                    ),
+                )
+                for i in range(3)
+            ]
+        R = _m3_mul(R, R_link)
+    return R, t
+
+
+def scalar_chain_ik_builder(
+    chain: ActuatorChain,
+    target_dim: int = 2,
+    with_joint_limits: bool = True,
+    joint_limit: float = 3.14159265,
+):
+    """The IK problem of an ARBITRARY ActuatorChain as a scalar-style
+    ``problem_builder`` for ``family_from_problem`` (ops/fused_auto.py):
+    the generalization of ``scalar_planar_ik_builder`` from planar
+    Z-rotation chains to any 6-bit actuator-mask layout, via
+    ``scalar_chain_fk``. The SAME returned ``Problem`` drives ``nls_solve``
+    and compiles to a fused whole-solver Pallas kernel.
+
+    ``target_dim=2`` mirrors ``make_ik_problem`` (soft y cost, x equality);
+    ``target_dim=3`` mirrors ``make_spatial_ik_problem`` (soft (y, z) cost,
+    x equality). ``data = target`` of that length.
+    """
+    assert target_dim in (2, 3)
+    P = chain.total_active
+    idx = list(range(P))
+
+    def builder(data):
+        def soft_res(p):
+            _, t = scalar_chain_fk(chain, p)
+            if target_dim == 2:
+                return jnp.stack([t[1] - data[1]])
+            return jnp.stack([t[1] - data[1], t[2] - data[2]])
+
+        def x_eq(p):
+            _, t = scalar_chain_fk(chain, p)
+            return jnp.stack([t[0] - data[0]])
+
+        ineq = ()
+        if with_joint_limits:
+            ineq = tuple(
+                c
+                for i in range(1, P)
+                for c in (Var(i) >= 0.0, Var(i) <= joint_limit)
+            )
+        return Problem(
+            dimension=P,
+            costs=(make_residual(idx, soft_res, target_dim - 1),),
+            equality_constraints=(make_residual(idx, x_eq, 1),),
+            inequality_constraints=ineq,
+        )
+
+    return builder
+
+
 def make_spatial_refine_fn(
     n_active: int = 3,
     link_length: float = 0.4,

@@ -506,6 +506,16 @@ def _make_kernel(
         lam = 0.001 * one
         penalty = 0.01 * one
         restore = zero
+        # Best-merit iterate ever visited (under the CURRENT penalty). A
+        # fixed-trip kernel has no tolerance exit, so it keeps iterating at
+        # already-converged points where the f32 inner QP can emit garbage
+        # directions (collapsed mu, sigma=(mu_aff/mu)^3 unclamped per
+        # qp.cc:182); any accepted bad step would otherwise overwrite a
+        # converged state on its way out. NaN-poisoned lanes also stay on
+        # their last good iterate (NaN comparisons are False).
+        th_best = list(th)
+        f_best = None
+        eq_best = None
 
         for it in range(max_iterations):
             f_pre, r_eq, Jeq, G0, c = family.linearize(th, tgt)
@@ -513,9 +523,23 @@ def _make_kernel(
             eq_pre = zero
             for k in range(m):
                 eq_pre = eq_pre + jnp.abs(r_eq[k])
+            if f_best is None:
+                f_best, eq_best = f_pre, eq_pre
+            else:
+                better = (
+                    f_pre + penalty * eq_pre < f_best + penalty * eq_best
+                )
+                th_best = [
+                    jnp.where(better, th[i], th_best[i]) for i in range(n)
+                ]
+                f_best = jnp.where(better, f_pre, f_best)
+                eq_best = jnp.where(better, eq_pre, eq_best)
             if debug_history:
                 # errors_initial per outer iteration (the NLSIteration
                 # analog), for state-level parity against nls_solve.
+                # Channels 2+ carry solver internals (penalty, lambda, dd,
+                # accepted, alpha, dx) for kernel forensics -- see
+                # _DEBUG_CHANNELS.
                 hist_refs[0][it, 0, 0] = f_pre
                 hist_refs[0][it, 1, 0] = eq_pre
             G = [
@@ -547,6 +571,8 @@ def _make_kernel(
             accepted = zero
             dead = zero  # lanes whose polynomial fit went invalid
             best = list(th)
+            f_acc = f_pre
+            eq_acc = eq_pre
             alpha_prev = one
             phi_prev = merit_pre
             alpha_prev2 = 2.0 * one
@@ -589,14 +615,33 @@ def _make_kernel(
                     cand = family.retract(cand)
                 f_c, eq_c = family.errors(cand, tgt)
                 merit_c = f_c + penalty * eq_c
-                ok = (merit_c <= merit_pre + 1e-4 * alpha * dd).astype(one.dtype)
+                # Armijo with the slack term clamped to <= 0: a POSITIVE
+                # directional derivative (degenerate post-convergence QP
+                # direction, or the small positive dd of a bound-active
+                # optimum) must demand a plain decrease, never RELAX the
+                # acceptance threshold -- an unclamped dd > 0 let garbage
+                # steps through on converged lanes (the reference rejects
+                # such steps outright, nonlinear.cc FAILURE_POSITIVE_*).
+                ok = (
+                    merit_c <= merit_pre + 1e-4 * alpha * jnp.minimum(dd, zero)
+                ).astype(one.dtype)
                 take = ok * (1.0 - accepted) * (1.0 - dead)
                 best = [take * cand[i] + (1.0 - take) * best[i] for i in range(n)]
+                f_acc = take * f_c + (1.0 - take) * f_acc
+                eq_acc = take * eq_c + (1.0 - take) * eq_acc
                 accepted = jnp.minimum(accepted + take, 1.0)
                 alpha_prev2, phi_prev2 = alpha_prev, phi_prev
                 alpha_prev, phi_prev = alpha, merit_c
 
             th = [jnp.where(accepted > 0, best[i], th[i]) for i in range(n)]
+            if debug_history:
+                hist_refs[0][it, 2, 0] = penalty
+                hist_refs[0][it, 3, 0] = lam
+                hist_refs[0][it, 4, 0] = dd
+                hist_refs[0][it, 5, 0] = accepted
+                hist_refs[0][it, 6, 0] = alpha
+                for i in range(n):
+                    hist_refs[0][it, 7 + i, 0] = dx[i]
             lam_succ = jnp.maximum(lam * jnp.where(restore > 0, 0.8, 0.1), 1e-9)
             lam_fail = jnp.where(
                 restore > 0, lam * 10.0, jnp.maximum(0.001 * one, lam * 10.0)
@@ -604,8 +649,13 @@ def _make_kernel(
             lam = jnp.where(accepted > 0, lam_succ, lam_fail)
             restore = jnp.where(accepted > 0, zero, one)
 
+        # Final best update covers the last iteration's accepted step (its
+        # (f, eq) was tracked through the probes -- no extra evaluation).
+        f_fin = jnp.where(accepted > 0, f_acc, f_pre)
+        eq_fin = jnp.where(accepted > 0, eq_acc, eq_pre)
+        better = f_fin + penalty * eq_fin < f_best + penalty * eq_best
         for i in range(n):
-            out_ref[i, 0] = th[i]
+            out_ref[i, 0] = jnp.where(better, th[i], th_best[i])
 
     return kernel
 
@@ -747,17 +797,18 @@ def _fused_solve(
         pl.BlockSpec((n, 1, 8, 128), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM)
     ]
     out_shapes = [jax.ShapeDtypeStruct((n, grid, 8, 128), targets.dtype)]
+    n_dbg = 7 + n  # _DEBUG_CHANNELS: f, eq, penalty, lam, dd, accepted, alpha, dx_i
     if debug_history:
         out_specs.append(
             pl.BlockSpec(
-                (max_iterations, 2, 1, 8, 128),
+                (max_iterations, n_dbg, 1, 8, 128),
                 lambda i: (0, 0, i, 0, 0),
                 memory_space=pltpu.VMEM,
             )
         )
         out_shapes.append(
             jax.ShapeDtypeStruct(
-                (max_iterations, 2, grid, 8, 128), targets.dtype
+                (max_iterations, n_dbg, grid, 8, 128), targets.dtype
             )
         )
 
@@ -783,7 +834,7 @@ def _fused_solve(
         out, hist = res
         x = jnp.moveaxis(out.reshape(n, b_pad), -1, 0)[:B]
         # (iters, 2, grid, 8, 128) -> (B, iters, 2)
-        h = jnp.moveaxis(hist.reshape(max_iterations, 2, b_pad), -1, 0)[:B]
+        h = jnp.moveaxis(hist.reshape(max_iterations, n_dbg, b_pad), -1, 0)[:B]
         return x, h
     return jnp.moveaxis(res.reshape(n, b_pad), -1, 0)[:B]
 

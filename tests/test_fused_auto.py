@@ -367,3 +367,174 @@ def test_robustified_residuals_compile_to_registers():
     err_l = abs(xl[0] - 1.0) + abs(xl[1] - 2.0)
     assert err_r < 0.35, (xr, err_r)
     assert err_l > 3 * err_r, (xl, xr)  # robust beats plain LS on outliers
+
+
+# ---------------------------------------------------------------------------
+# Generalized chain FK: any ActuatorChain compiles to a fused kernel
+# ---------------------------------------------------------------------------
+
+
+def _random_chain(seed, masks, dtype=jnp.float64):
+    """ActuatorChain with the given 6-bit masks and random base poses."""
+    from mini_opt_tpu.models.chains import ActuatorChain, ActuatorLink, Pose
+    from mini_opt_tpu.utils import so3
+
+    rng = np.random.default_rng(seed)
+    links = []
+    for mask in masks:
+        w = jnp.asarray(rng.normal(0, 0.4, 3), dtype)
+        q = so3.quat_exp(w)
+        t = jnp.asarray(rng.normal(0, 0.5, 3), dtype)
+        links.append(ActuatorLink.create(Pose(q, t), mask))
+    return ActuatorChain(links=tuple(links))
+
+
+def test_scalar_chain_fk_matches_chain_update():
+    """Oracle: scalar-style FK == ActuatorChain.update (position AND
+    rotation) for arbitrary masks -- multi-axis euler actuators, prismatic
+    joints, fixed links with non-identity base rotations."""
+    from mini_opt_tpu.models.ik import scalar_chain_fk
+    from mini_opt_tpu.utils import so3
+
+    masks = [
+        (0, 0, 1, 0, 0, 0),  # z-rotation
+        (1, 1, 0, 0, 0, 0),  # x+y rotation (two params)
+        (0, 0, 0, 1, 0, 1),  # prismatic x and z
+        (0, 0, 0, 0, 0, 0),  # fixed link, random base pose
+        (1, 1, 1, 1, 1, 1),  # fully active
+    ]
+    for seed in range(3):
+        chain = _random_chain(seed, masks)
+        P = chain.total_active
+        rng = np.random.default_rng(100 + seed)
+        p = jnp.asarray(rng.normal(0, 0.7, P))
+        st = chain.update(p)
+        R_ref = np.asarray(so3.quat_to_matrix(st.rotation))
+        t_ref = np.asarray(st.translation)
+        R, t = scalar_chain_fk(chain, p)
+        t_got = np.asarray(jnp.stack(t))
+        R_got = np.asarray(jnp.stack([jnp.stack(row) for row in R]))
+        np.testing.assert_allclose(t_got, t_ref, atol=1e-12)
+        np.testing.assert_allclose(R_got, R_ref, atol=1e-12)
+
+
+def test_scalar_chain_builder_register_linearization():
+    """The generalized chain builder passes the register-vs-general
+    linearization validator at machine epsilon (f64 eager) on the spatial
+    z/y chain."""
+    from mini_opt_tpu.models.ik import make_spatial_chain, scalar_chain_ik_builder
+
+    chain = make_spatial_chain(3, dtype=jnp.float64)
+    builder = scalar_chain_ik_builder(chain, target_dim=3)
+    fam = family_from_problem(builder, data_rows=3)
+    assert fam.n == 3 and fam.m_eq == 1
+    rng = np.random.default_rng(5)
+    B = 16
+    data = jnp.asarray(rng.uniform(0.1, 0.5, (B, 3)))
+    x = jnp.asarray(rng.uniform(0.1, 1.2, (B, 3)))
+    worst = check_family_against_problem(fam, builder, data, x)
+    assert worst < 1e-12
+
+
+def test_scalar_chain_family_arbitrary_mask_kernel_vs_general():
+    """End to end on a chain family no kernel was ever handwritten for:
+    z-rotation, y-rotation with constant euler offsets folded from the base
+    pose, a PRISMATIC x-joint, and a tilted fixed end link. Reachable
+    targets; the fused kernel (at the tight mpc serving budget) and
+    nls_solve (same builder Problem) both hit every instance within the
+    f32 gate."""
+    from mini_opt_tpu.models.ik import (
+        scalar_chain_fk,
+        scalar_chain_ik_builder,
+    )
+    from mini_opt_tpu.models.chains import ActuatorChain, ActuatorLink, Pose
+    from mini_opt_tpu.utils import so3 as _so3
+
+    qi = _so3.quat_identity(jnp.float32)
+    q_off = _so3.so3_from_euler_angles_xyz(
+        jnp.asarray([0.2, 0.3, 0.1], jnp.float32)
+    ).q
+    q_tilt = _so3.so3_from_euler_angles_xyz(
+        jnp.asarray([0.0, 0.3, 0.0], jnp.float32)
+    ).q
+    chain = ActuatorChain(links=(
+        ActuatorLink.create(
+            Pose(qi, jnp.zeros(3, jnp.float32)), (0, 0, 1, 0, 0, 0)
+        ),
+        ActuatorLink.create(
+            Pose(q_off, jnp.asarray([0.4, 0, 0], jnp.float32)),
+            (0, 1, 0, 0, 0, 0),
+        ),
+        ActuatorLink.create(
+            Pose(qi, jnp.asarray([0.3, 0, 0.1], jnp.float32)),
+            (0, 0, 0, 1, 0, 0),
+        ),
+        ActuatorLink.create(
+            Pose(q_tilt, jnp.asarray([0.4, 0, 0], jnp.float32)),
+            (0, 0, 0, 0, 0, 0),
+        ),
+    ))
+    P = chain.total_active
+    assert P == 3
+
+    B = 1024
+    rng = np.random.default_rng(9)
+    x_true = np.column_stack([
+        rng.uniform(-0.6, 0.6, B),       # joint 0: free
+        rng.uniform(0.15, 1.1, (B, 2)),  # joints 1..2 inside [0, pi] limits
+    ]).astype(np.float32)
+    targets = np.asarray(
+        jax.vmap(lambda x: jnp.stack(scalar_chain_fk(chain, x)[1]))(
+            jnp.asarray(x_true)
+        ),
+        np.float32,
+    )
+    x0 = np.clip(
+        x_true + rng.uniform(-0.1, 0.1, (B, P)).astype(np.float32),
+        [-10.0, 0.02, 0.02],
+        [10.0, 3.1, 3.1],
+    ).astype(np.float32)
+
+    builder = scalar_chain_ik_builder(chain, target_dim=3)
+    fam = family_from_problem(builder, data_rows=3)
+    xk = np.asarray(
+        fused_solve_batch(
+            fam, jnp.asarray(targets), jnp.asarray(x0),
+            max_iterations=10, qp_iterations=3, ls_iterations=1,
+            barrier="mpc",
+        )
+    )
+
+    params = NLSParams(
+        max_iterations=10,
+        max_qp_iterations=6,
+        relative_exit_tol=1e-6,
+        absolute_exit_tol=1e-7,
+        termination_kkt_tolerance=1e-5,
+        max_line_search_iterations=4,
+        equality_penalty_initial=0.01,
+        lambda_initial=0.001,
+        early_exit=False,
+    )
+
+    def one(t, x):
+        return nls_solve(builder(t), params, x).x
+
+    sel = np.arange(0, B, 8)  # general path on a 128-instance sample
+    xg = np.asarray(
+        jax.vmap(one)(jnp.asarray(targets[sel]), jnp.asarray(x0[sel]))
+    )
+
+    def eff_err(x, t):
+        e = jax.vmap(lambda xi: jnp.stack(scalar_chain_fk(chain, xi)[1]))(
+            jnp.asarray(x)
+        )
+        return np.abs(np.asarray(e) - t).max(axis=1)
+
+    ek = eff_err(xk, targets)
+    eg = eff_err(xg, targets[sel])
+    # Every lane converges (the best-merit-iterate guard in the kernel
+    # keeps fixed-trip post-convergence iterations from corrupting
+    # converged lanes; regression for the [0, 0, x2] zeroing bug).
+    assert np.max(ek) < 1e-3, np.sort(ek)[-8:]
+    assert np.max(eg) < 1e-3, np.sort(eg)[-4:]
