@@ -60,6 +60,7 @@ from .ops.pallas_ik import (
     fused_ik_solve_batch,
     fused_solve_batch,
     fused_solve_multi_start,
+    fused_solve_proximal,
     fused_solve_refined,
     fused_spatial_ik_solve_batch,
 )

@@ -471,6 +471,7 @@ def scalar_chain_ik_builder(
     target_dim: int = 2,
     with_joint_limits: bool = True,
     joint_limit: float = 3.14159265,
+    prox_weight: float = 0.0,
 ):
     """The IK problem of an ARBITRARY ActuatorChain as a scalar-style
     ``problem_builder`` for ``family_from_problem`` (ops/fused_auto.py):
@@ -482,10 +483,21 @@ def scalar_chain_ik_builder(
     ``target_dim=2`` mirrors ``make_ik_problem`` (soft y cost, x equality);
     ``target_dim=3`` mirrors ``make_spatial_ik_problem`` (soft (y, z) cost,
     x equality). ``data = target`` of that length.
+
+    ``prox_weight > 0`` appends the damped-least-squares proximal cost
+    ``sqrt(prox_weight) * (x - x_ref)`` with ``x_ref`` carried as P extra
+    data rows (``data = concat(target, x_ref)``). On REDUNDANT chains
+    (more DOF than task constraints) the unregularized Gauss-Newton
+    landscape has constrained dead-ends that trap ~2% of warm starts (both
+    solver tiers); the proximal term makes the subproblem well-posed. The
+    standard serving recipe is proximal CONTINUATION: solve with
+    ``prox_weight`` on, then re-solve with it off, warm-started from stage
+    one (tests/test_fused_auto.py pins this on a 4-DOF chain).
     """
     assert target_dim in (2, 3)
     P = chain.total_active
     idx = list(range(P))
+    sqrt_w = float(prox_weight) ** 0.5
 
     def builder(data):
         def soft_res(p):
@@ -498,6 +510,16 @@ def scalar_chain_ik_builder(
             _, t = scalar_chain_fk(chain, p)
             return jnp.stack([t[0] - data[0]])
 
+        costs = [make_residual(idx, soft_res, target_dim - 1)]
+        if prox_weight > 0.0:
+
+            def prox_res(p):
+                return jnp.stack(
+                    [sqrt_w * (p[i] - data[target_dim + i]) for i in range(P)]
+                )
+
+            costs.append(make_residual(idx, prox_res, P))
+
         ineq = ()
         if with_joint_limits:
             ineq = tuple(
@@ -507,7 +529,7 @@ def scalar_chain_ik_builder(
             )
         return Problem(
             dimension=P,
-            costs=(make_residual(idx, soft_res, target_dim - 1),),
+            costs=tuple(costs),
             equality_constraints=(make_residual(idx, x_eq, 1),),
             inequality_constraints=ineq,
         )

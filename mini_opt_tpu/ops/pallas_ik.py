@@ -884,6 +884,39 @@ def fused_solve_refined(
     return x.at[worst].set(replacement.astype(x.dtype))
 
 
+def fused_solve_proximal(
+    family: FusedFamily,
+    data: jax.Array,  # (B, data_rows - n): the family's payload WITHOUT x_ref
+    x0: jax.Array,  # (B, n)
+    stages: int = 4,
+    **kernel_kwargs,
+):
+    """Proximal-point continuation for REDUNDANT families.
+
+    On chains with more DOF than task constraints, the Gauss-Newton
+    landscape has constrained dead-ends that trap a few percent of warm
+    starts in BOTH solver tiers (LM damping decays along the null
+    direction, the step explodes where the linear model is flat, and the
+    line search can only crawl). The textbook cure is the proximal-point
+    method: add a damped-least-squares term ``sqrt(w) * (x - x_ref)``
+    (``scalar_chain_ik_builder(..., prox_weight=w)``), solve, RE-CENTER
+    ``x_ref`` at the result, repeat — each subproblem is well-posed, and
+    the regularization bias shrinks geometrically with the stage count
+    (measured on a 4-DOF/3-task chain, w=0.05: max effector error
+    1.6e-2 -> 4.9e-3 -> 1.6e-3 -> 5e-4 over 4 stages, 100% convergence
+    where the unregularized kernel leaves 7% at dead-ends;
+    tests/test_fused_auto.py).
+
+    ``family`` must carry ``x_ref`` as its LAST ``n`` data rows (the
+    ``prox_weight`` builders do). All stages run the same compiled kernel.
+    Returns (B, n)."""
+    x = x0
+    for _ in range(stages):
+        d = jnp.concatenate([data, x], axis=1)
+        x = fused_solve_batch(family, d, x, **kernel_kwargs)
+    return x
+
+
 def fused_solve_multi_start(
     family: FusedFamily,
     data: jax.Array,  # (B, data_rows)

@@ -538,3 +538,68 @@ def test_scalar_chain_family_arbitrary_mask_kernel_vs_general():
     # converged lanes; regression for the [0, 0, x2] zeroing bug).
     assert np.max(ek) < 1e-3, np.sort(ek)[-8:]
     assert np.max(eg) < 1e-3, np.sort(eg)[-4:]
+
+
+def test_proximal_continuation_rescues_redundant_chain():
+    """A REDUNDANT chain (4 DOF, 3-D task: z-rot, x+y-rot, prismatic) traps
+    ~7% of warm starts at constrained dead-ends in the plain solver (both
+    tiers -- the landscape, not the kernel). fused_solve_proximal's
+    proximal-point continuation (prox_weight=0.05, 4 stages) converges
+    every instance; the bias shrinks geometrically (measured max effector
+    error 1.6e-2 -> 4.9e-3 -> 1.6e-3 -> 5.0e-4)."""
+    from mini_opt_tpu import fused_solve_proximal
+    from mini_opt_tpu.models.chains import ActuatorChain, ActuatorLink, Pose
+    from mini_opt_tpu.models.ik import scalar_chain_fk, scalar_chain_ik_builder
+    from mini_opt_tpu.utils import so3 as _so3
+
+    masks = [(0, 0, 1, 0, 0, 0), (1, 1, 0, 0, 0, 0),
+             (0, 0, 0, 1, 0, 0), (0, 0, 0, 0, 0, 0)]
+    qi = _so3.quat_identity(jnp.float32)
+    base_t = [jnp.zeros(3, jnp.float32),
+              jnp.asarray([0.4, 0, 0], jnp.float32),
+              jnp.asarray([0.3, 0, 0.1], jnp.float32),
+              jnp.asarray([0.4, 0, 0], jnp.float32)]
+    chain = ActuatorChain(links=tuple(
+        ActuatorLink.create(Pose(qi, t), m) for t, m in zip(base_t, masks)
+    ))
+    B = 1024
+    rng = np.random.default_rng(9)
+    x_true = np.column_stack(
+        [rng.uniform(-0.6, 0.6, B), rng.uniform(0.15, 1.1, (B, 3))]
+    ).astype(np.float32)
+    targets = np.asarray(
+        jax.vmap(lambda x: jnp.stack(scalar_chain_fk(chain, x)[1]))(
+            jnp.asarray(x_true)
+        ), np.float32,
+    )
+    x0 = np.clip(
+        x_true + rng.uniform(-0.1, 0.1, (B, 4)).astype(np.float32),
+        [-10.0, 0.02, 0.02, 0.02], [10.0, 3.1, 3.1, 3.1],
+    ).astype(np.float32)
+
+    def eff_err(x):
+        e = jax.vmap(lambda xi: jnp.stack(scalar_chain_fk(chain, xi)[1]))(
+            jnp.asarray(x)
+        )
+        return np.abs(np.asarray(e) - targets).max(axis=1)
+
+    kw = dict(max_iterations=10, qp_iterations=3, ls_iterations=1,
+              barrier="mpc")
+    # Plain solver: dead-ends (this chain is WHY the proximal path exists).
+    f0 = family_from_problem(
+        scalar_chain_ik_builder(chain, target_dim=3), data_rows=3
+    )
+    e_plain = eff_err(np.asarray(
+        fused_solve_batch(f0, jnp.asarray(targets), jnp.asarray(x0), **kw)
+    ))
+    assert np.mean(e_plain < 1e-3) < 0.99  # the failure being cured
+
+    f1 = family_from_problem(
+        scalar_chain_ik_builder(chain, target_dim=3, prox_weight=0.05),
+        data_rows=3 + 4,
+    )
+    xs = fused_solve_proximal(
+        f1, jnp.asarray(targets), jnp.asarray(x0), stages=4, **kw
+    )
+    e_prox = eff_err(np.asarray(xs))
+    assert np.max(e_prox) < 1e-3, np.sort(e_prox)[-6:]
