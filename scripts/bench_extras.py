@@ -126,6 +126,77 @@ def spatial_bench(B=8192, n=3):
     )
 
 
+def auto_chain_bench(B=8192):
+    """A chain family NO kernel was ever handwritten for (z-rot,
+    y-rot-with-euler-offsets, prismatic-x, tilted flange), compiled to a
+    fused whole-solver kernel straight from its ActuatorChain via
+    scalar_chain_ik_builder + family_from_problem — measures whether the
+    compiler's output runs at handwritten-kernel speed."""
+    from mini_opt_tpu import family_from_problem
+    from mini_opt_tpu.models.chains import ActuatorChain, ActuatorLink, Pose
+    from mini_opt_tpu.models.ik import scalar_chain_fk, scalar_chain_ik_builder
+    from mini_opt_tpu.ops.pallas_ik import fused_solve_batch
+    from mini_opt_tpu.utils import so3
+
+    qi = so3.quat_identity(jnp.float32)
+    q_off = so3.so3_from_euler_angles_xyz(jnp.asarray([0.2, 0.3, 0.1], jnp.float32)).q
+    q_tilt = so3.so3_from_euler_angles_xyz(jnp.asarray([0.0, 0.3, 0.0], jnp.float32)).q
+    chain = ActuatorChain(links=(
+        ActuatorLink.create(Pose(qi, jnp.zeros(3, jnp.float32)), (0, 0, 1, 0, 0, 0)),
+        ActuatorLink.create(
+            Pose(q_off, jnp.asarray([0.4, 0, 0], jnp.float32)), (0, 1, 0, 0, 0, 0)
+        ),
+        ActuatorLink.create(
+            Pose(qi, jnp.asarray([0.3, 0, 0.1], jnp.float32)), (0, 0, 0, 1, 0, 0)
+        ),
+        ActuatorLink.create(
+            Pose(q_tilt, jnp.asarray([0.4, 0, 0], jnp.float32)), (0, 0, 0, 0, 0, 0)
+        ),
+    ))
+    rng = np.random.default_rng(0)
+    x_true = np.column_stack(
+        [rng.uniform(-0.6, 0.6, B), rng.uniform(0.15, 1.1, (B, 2))]
+    ).astype(np.float32)
+    fkv = jax.vmap(lambda x: jnp.stack(scalar_chain_fk(chain, x)[1]))
+    targets = np.asarray(fkv(jnp.asarray(x_true)), np.float32)
+    x0 = np.clip(
+        x_true + rng.uniform(-0.1, 0.1, (B, 3)).astype(np.float32),
+        [-10.0, 0.02, 0.02], [10.0, 3.1, 3.1],
+    ).astype(np.float32)
+    fam = family_from_problem(scalar_chain_ik_builder(chain, target_dim=3),
+                              data_rows=3)
+    t32 = jnp.asarray(targets)
+
+    def solve(x):
+        return fused_solve_batch(
+            fam, t32, x, max_iterations=6, qp_iterations=2, ls_iterations=1,
+            barrier="mpc",
+        )
+
+    x32 = jnp.asarray(x0)
+    t0 = time.time()
+    out = solve(x32)
+    out.block_until_ready()
+    log(f"auto_chain compile+run {time.time()-t0:.1f}s")
+    per_batch = chained_time(solve, x32, K=129)
+    err = jnp.max(jnp.abs(fkv(out) - t32), axis=1)
+    parity = float(np.asarray(jnp.mean((err < 1e-3).astype(jnp.float32))))
+    print(
+        json.dumps(
+            {
+                "metric": "auto_compiled_chain_ik_solves_per_s_per_chip",
+                "value": round(B / per_batch, 1),
+                "unit": "solves/s",
+                "batch": B,
+                "n_joints": 3,
+                "family": "z-rot / y-rot+euler-offset / prismatic-x",
+                "parity": round(parity, 4),
+            }
+        ),
+        flush=True,
+    )
+
+
 def pose_graph_bench(n_poses=1200):
     sys.path.insert(0, "/root/repo/tests")
     from test_pose_graph import _circle_graph
@@ -178,6 +249,48 @@ def pose_graph_bench(n_poses=1200):
                 "f_final": round(float(res.errors.f), 4),
                 "drift_before": round(drift0, 2),
                 "drift_after": round(driftf, 3),
+                "dtype": "float32",
+            }
+        ),
+        flush=True,
+    )
+
+    # Spanning-chain tree preconditioner: same pipeline at the CG budgets the
+    # f64 regression tests pinned as equivalent (chordal 1200 -> 200, polish
+    # 300 -> 100; tests/test_tree_prec.py). Measures whether the factor's
+    # sequential scan + log-depth substitutions beat the saved Hvp sweeps
+    # on-chip.
+    @jax.jit
+    def pipeline_tree(x00):
+        xc = chordal_initialization(
+            n_poses, edges, meas32, w, anchor_pose=x00, cg_iterations=200,
+            preconditioner="tree",
+        )
+        return solve_pose_graph_large(
+            n_poses, edges, meas32, w, xc, params=p, cg_iterations=100,
+            preconditioner="tree",
+        )
+
+    t0 = time.time()
+    rt = pipeline_tree(anchor)
+    np.asarray(rt.x)
+    compile_t = time.time() - t0
+    t0 = time.time()
+    rt2 = pipeline_tree(anchor + 1e-6)
+    np.asarray(rt2.x)
+    warm_t = time.time() - t0
+    xft = np.asarray(rt.x).reshape(n_poses, 3)
+    print(
+        json.dumps(
+            {
+                "metric": "pose_graph_1200_tree_prec_solve_s_on_chip",
+                "value": round(warm_t, 2),
+                "unit": "s",
+                "method": "chordal(tree,cg=200)+3gn_polish(tree,cg=100)",
+                "compile_s": round(compile_t, 1),
+                "f_final": round(float(rt.errors.f), 4),
+                "drift_after": round(float(np.abs(xft - gt)[:, :2].max()), 3),
+                "vs_jacobi_budget_s": round(warm_s, 2),
                 "dtype": "float32",
             }
         ),
@@ -238,6 +351,46 @@ def pose_graph3_bench(n_poses=400):
                 "drift_before": round(drift0, 2),
                 "drift_after": round(driftf, 3),
                 "gauge_residual": float(np.abs(xf[0]).max()),
+                "dtype": "float32",
+            }
+        ),
+        flush=True,
+    )
+
+    # SE(3) tree-preconditioner variant (soft anchor: the tree factor wants
+    # the gauge prior inside its block 0). Budgets from the f64 regression
+    # gates (tests/test_tree_prec.py): chordal 300 -> 80, polish 150 -> 50.
+    @jax.jit
+    def pipeline_tree(a0):
+        xc = chordal_initialization3(
+            n_poses, edges, meas32, w, anchor_pose=a0, cg_iterations=80,
+            preconditioner="tree",
+        )
+        return solve_pose_graph3_large(
+            n_poses, edges, meas32, w, xc, params=p, cg_iterations=50,
+            preconditioner="tree",
+        )
+
+    t0 = time.time()
+    rt = pipeline_tree(anchor)
+    np.asarray(rt.x)
+    compile_t = time.time() - t0
+    t0 = time.time()
+    rt2 = pipeline_tree(anchor + 1e-6)
+    np.asarray(rt2.x)
+    warm_t = time.time() - t0
+    xft = np.asarray(rt.x).reshape(n_poses, 6)
+    print(
+        json.dumps(
+            {
+                "metric": "pose_graph3_se3_400_tree_prec_solve_s_on_chip",
+                "value": round(warm_t, 2),
+                "unit": "s",
+                "method": "chordal3(tree,cg=80)+3gn_polish(tree,cg=50)",
+                "compile_s": round(compile_t, 1),
+                "f_final": round(float(rt.errors.f), 4),
+                "drift_after": round(float(np.abs(xft - gt)[:, :3].max()), 3),
+                "vs_plain_budget_s": round(warm_s, 2),
                 "dtype": "float32",
             }
         ),
@@ -394,11 +547,103 @@ def bundle_adjustment_bench(C=16, L=2048):
     )
 
 
+def bundle_adjustment_sparse_bench(C=64, L=8192, k=4):
+    """Sparse-visibility BA on-chip: each landmark seen by k of the C
+    cameras (realistic large-scene visibility). The sparse exact-Schur
+    preconditioner never materializes the (C, L, 6, 3) coupling W — the
+    dense factory at this size would need ~75 GB for W's einsums."""
+    import dataclasses
+
+    from mini_opt_tpu.models.bundle_adjustment import (
+        default_ba_params,
+        make_ba_problem,
+        make_ba_retraction,
+        make_ba_schur_preconditioner_sparse,
+        make_synthetic_scene,
+    )
+    from mini_opt_tpu.nonlinear import nls_solve
+
+    obs, uv, x_true, scale_ref = make_synthetic_scene(
+        C, L, pixel_noise=1e-3, cameras_per_landmark=k
+    )
+    rng = np.random.default_rng(2)
+    x0 = np.asarray(x_true).copy()
+    x0[6 : 6 * C] += rng.normal(0, 0.01, 6 * (C - 1))
+    x0[6 * C :] += rng.normal(0, 0.03, len(x0) - 6 * C)
+    uv32 = jnp.asarray(uv, jnp.float32)
+    x032 = jnp.asarray(x0, jnp.float32)
+    params = dataclasses.replace(
+        default_ba_params(jnp.float32, max_iterations=20),
+        absolute_exit_tol=1e-8,
+        relative_exit_tol=1e-6,
+        qp_solver="cg",
+        cg_iterations=2,
+    )
+    prob = make_ba_problem(
+        C, L, obs, uv32, scale_ref=scale_ref, anchor_ref=x032[0:6]
+    )
+    prec_fn = make_ba_schur_preconditioner_sparse(C, L, obs, uv32)
+    retr = make_ba_retraction(C)
+
+    @jax.jit
+    def run_jit(x00):
+        return nls_solve(
+            prob, params, x00, retraction=retr, cg_preconditioner=prec_fn
+        )
+
+    t0 = time.time()
+    r = run_jit(x032)
+    jax.block_until_ready(r.x)
+    compile_s = time.time() - t0
+    t0 = time.time()
+    r = run_jit(x032)
+    f_final = float(np.asarray(r.errors.f))  # readback closes the timing
+    solve_s = time.time() - t0
+    lm_err = float(
+        np.max(np.abs(np.asarray(r.x[6 * C :]) - np.asarray(x_true[6 * C :])))
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "bundle_adjustment_sparse_schur_solve_s_on_chip",
+                "value": round(solve_s, 2),
+                "unit": "s",
+                "compile_s": round(compile_s, 1),
+                "cameras": C,
+                "landmarks": L,
+                "cameras_per_landmark": k,
+                "observations": int(obs.shape[0]),
+                "variables": 6 * C + 3 * L,
+                "f_final": round(f_final, 5),
+                "max_landmark_err": round(lm_err, 5),
+                "dtype": "float32",
+            }
+        ),
+        flush=True,
+    )
+
+
 if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--only", nargs="*", default=None,
+        help="subset of bench names (spatial, pose_graph, pose_graph3, "
+        "long_chain, ba, ba_sparse)",
+    )
+    a = ap.parse_args()
+    benches = {
+        "spatial": spatial_bench,
+        "auto_chain": auto_chain_bench,
+        "pose_graph": pose_graph_bench,
+        "pose_graph3": pose_graph3_bench,
+        "long_chain": lambda: long_chain_bench(L=512),
+        "ba": bundle_adjustment_bench,
+        "ba_sparse": bundle_adjustment_sparse_bench,
+    }
     log(f"backend={jax.default_backend()}")
     warm_tunnel()
-    spatial_bench()
-    pose_graph_bench()
-    pose_graph3_bench()
-    long_chain_bench(L=512)
-    bundle_adjustment_bench()
+    for name, fn in benches.items():
+        if a.only is None or name in a.only:
+            fn()
