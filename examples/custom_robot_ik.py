@@ -129,6 +129,54 @@ def main():
     assert ek.max() < 1e-3 and eg.max() < 1e-3
     print("both tiers agree: one chain description, one kernel, all robots.")
 
+    # ---- redundant arm: proximal-point continuation ----------------------
+    # Add a second revolute axis to the shoulder: now 4 DOF for a 3-D task.
+    # Redundant chains have constrained dead-ends that trap a few percent
+    # of warm starts in ANY plain Gauss-Newton solver; the damped-least-
+    # squares proximal term + re-centering (fused_solve_proximal) is the
+    # standard serving cure.
+    from mini_opt_tpu import family_from_problem, fused_solve_proximal
+
+    qi = so3.quat_identity(jnp.float32)
+    arm = ActuatorChain(links=(
+        robot.links[0],
+        ActuatorLink.create(
+            Pose(qi, jnp.asarray([0.4, 0.0, 0.0], jnp.float32)),
+            (1, 1, 0, 0, 0, 0),  # x AND y revolute: the redundant DOF
+        ),
+        robot.links[2],
+        robot.links[3],
+    ))
+    p4 = arm.total_active
+    q_true4 = np.column_stack(
+        [rng.uniform(-0.6, 0.6, B), rng.uniform(0.15, 1.1, (B, 3))]
+    ).astype(np.float32)
+    t4 = np.asarray(
+        jax.vmap(lambda q: jnp.stack(scalar_chain_fk(arm, q)[1]))(
+            jnp.asarray(q_true4)
+        ), np.float32,
+    )
+    q04 = np.clip(
+        q_true4 + rng.uniform(-0.1, 0.1, (B, p4)).astype(np.float32),
+        [-10.0, 0.02, 0.02, 0.02], [10.0, 3.1, 3.1, 3.1],
+    ).astype(np.float32)
+    fam = family_from_problem(
+        scalar_chain_ik_builder(arm, target_dim=3, prox_weight=0.05),
+        data_rows=3 + p4,
+    )
+    q4 = np.asarray(fused_solve_proximal(
+        fam, jnp.asarray(t4), jnp.asarray(q04), stages=4,
+        max_iterations=10, qp_iterations=3, ls_iterations=1, barrier="mpc",
+    ))
+    e4 = np.abs(np.asarray(
+        jax.vmap(lambda q: jnp.stack(scalar_chain_fk(arm, q)[1]))(
+            jnp.asarray(q4)
+        )
+    ) - t4).max(axis=1)
+    print(f"redundant arm: {B} robots via proximal continuation, "
+          f"err max {e4.max():.2e} (converged {np.mean(e4 < 1e-3) * 100:.1f}%)")
+    assert e4.max() < 1e-3
+
 
 if __name__ == "__main__":
     main()
