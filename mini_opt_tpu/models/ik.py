@@ -490,16 +490,28 @@ def scalar_chain_ik_builder(
     (more DOF than task constraints) the unregularized Gauss-Newton
     landscape has constrained dead-ends that trap ~2% of warm starts (both
     solver tiers); the proximal term makes the subproblem well-posed. The
-    standard serving recipe is proximal CONTINUATION: solve with
-    ``prox_weight`` on, then re-solve with it off, warm-started from stage
-    one (tests/test_fused_auto.py pins this on a 4-DOF chain).
+    serving recipe is proximal-POINT continuation: keep the term on and
+    RE-CENTER ``x_ref`` at each stage's result (``fused_solve_proximal``) —
+    the regularization bias shrinks geometrically with the stage count
+    (tests/test_fused_auto.py pins this on a 4-DOF chain).
     """
     assert target_dim in (2, 3)
     P = chain.total_active
     idx = list(range(P))
     sqrt_w = float(prox_weight) ** 0.5
+    expected_rows = target_dim + (P if prox_weight > 0.0 else 0)
 
     def builder(data):
+        # Static out-of-bounds indices are silently CLAMPED by jnp on the
+        # general path, so a missing x_ref block would read the last target
+        # row instead of failing -- check the data length loudly.
+        if len(data) < expected_rows:
+            raise ValueError(
+                f"builder expects {expected_rows} data rows "
+                f"({target_dim} target"
+                + (f" + {P} x_ref (prox_weight > 0)" if prox_weight > 0 else "")
+                + f"), got {len(data)}"
+            )
         def soft_res(p):
             _, t = scalar_chain_fk(chain, p)
             if target_dim == 2:

@@ -170,7 +170,8 @@ def make_tree_preconditioner(
     idx = jnp.asarray(np.asarray(_edge_indices(edges_ij), dtype=np.int32))
     anchor_block = (anchor_weight * anchor_weight) * jnp.eye(3)
     return make_chain_tree_preconditioner(
-        _edge_residual, idx, data, n_poses, 3, anchor_block=anchor_block
+        _edge_residual, idx, data, n_poses, 3, anchor_block=anchor_block,
+        block_pairs=np.asarray(edges_ij, np.int64),
     )
 
 
@@ -472,6 +473,7 @@ def chordal_initialization(
             n_poses,
             2,
             anchor_block=(anchor_weight * anchor_weight) * jnp.eye(2, dtype=dtype),
+            block_pairs=np.asarray(edges, np.int64),
         )
 
     r0 = jnp.tile(jnp.asarray([1.0, 0.0], dtype), n_poses)

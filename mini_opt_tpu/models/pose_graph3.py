@@ -157,7 +157,8 @@ def make_tree_preconditioner3(
     idx = jnp.asarray(np.asarray(_edge_indices3(edges_ij), dtype=np.int32))
     anchor_block = (anchor_weight * anchor_weight) * jnp.eye(6)
     return make_chain_tree_preconditioner(
-        _edge_residual3, idx, data, n_poses, 6, anchor_block=anchor_block
+        _edge_residual3, idx, data, n_poses, 6, anchor_block=anchor_block,
+        block_pairs=np.asarray(edges_ij, np.int64),
     )
 
 
@@ -446,6 +447,7 @@ def chordal_initialization3(
             dof,
             anchor_block=(anchor_weight * anchor_weight)
             * jnp.eye(dof, dtype=dtype),
+            block_pairs=np.asarray(edges, np.int64),
         )
 
     m0 = jnp.tile(jnp.eye(3, dtype=dtype).reshape(-1), n_poses)

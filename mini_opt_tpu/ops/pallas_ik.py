@@ -294,6 +294,9 @@ def _make_kernel(
 ):
     assert line_search in ("armijo", "polynomial")
     assert barrier in ("complementarity", "mpc")
+    # The final write-out reads iteration-loop state (f_pre, accepted, the
+    # best-merit tracker), so a zero-trip kernel cannot be generated.
+    assert max_iterations >= 1, "fused kernels need max_iterations >= 1"
     n = family.n
     m = family.m_eq
     # Bounded sides as static (slack-index, var-index, bound) lists.
@@ -681,16 +684,20 @@ def fused_solve_batch(
     ls_iterations: int = 2,
     line_search: str = "armijo",  # or "polynomial"
     barrier: str = "mpc",  # or "complementarity"
-    # True additionally returns the per-outer-iteration (f, |eq|) history,
-    # shape (B, max_iterations, 2) -- the errors_initial trajectory, for
-    # state-level parity checks against nls_solve's recorded history.
+    # True additionally returns the per-outer-iteration history, shape
+    # (B, max_iterations, 7 + n): channels [f, eq, penalty, lam, dd,
+    # accepted, alpha, dx_0..dx_{n-1}]. Channels 0-1 are the
+    # errors_initial trajectory (state-level parity checks against
+    # nls_solve's recorded history); 2+ are solver internals for kernel
+    # forensics.
     debug_history: bool = False,
 ):
     """Solve B instances of a DSL-defined family with one fused kernel.
 
     ``family`` must be a stable (module-level / cached) ``FusedFamily``
     instance -- it is a static jit argument hashed by identity. Returns
-    (B, n), or ((B, n), (B, max_iterations, 2)) with ``debug_history``.
+    (B, n), or ((B, n), (B, max_iterations, 7 + n)) with ``debug_history``
+    (channel layout above).
     """
     return _fused_solve(
         family, data, x0, max_iterations, qp_iterations, ls_iterations,
@@ -727,7 +734,8 @@ def fused_ik_solve_batch(
     debug_history: bool = False,
 ):
     """Solve B planar n-link IK instances with the fused kernel.
-    Returns (B, n), or ((B, n), (B, max_iterations, 2)) with debug_history."""
+    Returns (B, n), or ((B, n), (B, max_iterations, 7 + n)) with
+    debug_history (channel layout: see fused_solve_batch)."""
     family = planar_family(x0.shape[1], link_len)
     return _fused_solve(
         family, targets, x0, max_iterations, qp_iterations, ls_iterations,
@@ -910,6 +918,12 @@ def fused_solve_proximal(
     ``family`` must carry ``x_ref`` as its LAST ``n`` data rows (the
     ``prox_weight`` builders do). All stages run the same compiled kernel.
     Returns (B, n)."""
+    if kernel_kwargs.get("debug_history"):
+        raise ValueError(
+            "fused_solve_proximal chains stage outputs into stage inputs; "
+            "debug_history's (x, history) tuple cannot be chained -- call "
+            "fused_solve_batch per stage yourself to collect histories"
+        )
     x = x0
     for _ in range(stages):
         d = jnp.concatenate([data, x], axis=1)

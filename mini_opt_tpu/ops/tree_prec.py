@@ -30,8 +30,10 @@ factor/apply pair:
 The preconditioner matrix is the block-tridiagonal PART of the full
 Gauss-Newton Hessian: chain edges contribute their full 2x2-block outer
 products, off-chain (loop-closure) edges contribute their two diagonal
-blocks only. This dominates plain (scalar) Jacobi — it is exact on
-loop-free graphs.
+blocks only. This dominates plain (scalar) Jacobi — it is exact on path
+graphs (chains), in any labeling once ``spanning_chain_order`` has run; on
+branching trees only the DFS first-child runs are captured in full, the
+remaining tree edges diagonally.
 
 No reference analog: the reference is dense-only (README.md:35-38) and
 solves N<=12 problems; preconditioning structure is a pure scale-out
@@ -269,6 +271,7 @@ def make_chain_tree_preconditioner(
     anchor_block: jax.Array | None = None,  # (d, d) added to block 0
     floor: float = 1e-12,
     order: np.ndarray | str | None = "auto",
+    block_pairs: np.ndarray | None = None,  # (E, 2) host block endpoints
 ):
     """Generic ``cg_preconditioner`` factory over one two-block-per-row edge
     set (SE(2)/SE(3) pose graphs share it, as do the chordal relaxation
@@ -283,13 +286,24 @@ def make_chain_tree_preconditioner(
     chain is already consecutive skip the permutation entirely; ``None``
     forces the raw index order; an explicit (N,) permutation array uses
     that. The permutation indices are compile-time constants, so the gathers
-    they introduce are static (no traced-index scatters — see CLAUDE.md)."""
+    they introduce are static (no traced-index scatters — see CLAUDE.md).
+    Under an enclosing ``jit`` trace ``idx`` slices stage to tracers
+    (omnistaging), so pass the host-side ``block_pairs`` (E, 2) explicitly
+    there — the pose-graph factories do."""
     if isinstance(order, str):
         assert order == "auto", order
-        bp = np.stack(
-            [np.asarray(idx[:, 0]) // dof, np.asarray(idx[:, dof]) // dof],
-            axis=1,
-        )
+        if block_pairs is not None:
+            bp = np.asarray(block_pairs, dtype=np.int64)
+        elif isinstance(idx, jax.core.Tracer):
+            raise ValueError(
+                "order='auto' inside a jit trace needs the concrete "
+                "block_pairs (or an explicit order / order=None)"
+            )
+        else:
+            idx_np = np.asarray(idx)
+            bp = np.stack(
+                [idx_np[:, 0] // dof, idx_np[:, dof] // dof], axis=1
+            )
         order_np = spanning_chain_order(bp, n_blocks)
         if np.array_equal(order_np, np.arange(n_blocks, dtype=np.int32)):
             order_np = None

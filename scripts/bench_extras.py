@@ -629,8 +629,8 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--only", nargs="*", default=None,
-        help="subset of bench names (spatial, pose_graph, pose_graph3, "
-        "long_chain, ba, ba_sparse)",
+        help="subset of bench names (spatial, auto_chain, pose_graph, "
+        "pose_graph3, long_chain, ba, ba_sparse)",
     )
     a = ap.parse_args()
     benches = {

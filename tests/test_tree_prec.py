@@ -240,11 +240,12 @@ def test_spanning_chain_order_unit():
 
 
 def test_auto_order_exact_on_scrambled_tree_graph():
-    """Oracle: on a loop-free pose graph with SCRAMBLED labels (spanning
+    """Oracle: on a PATH-graph pose graph with SCRAMBLED labels (spanning
     chain nowhere consecutive), ``order="auto"`` recovers the chain and the
     preconditioner solve equals the dense solve of the FULL damped Hessian
-    (exactness on trees — the property the consecutive-order factor has on
-    sequential SLAM layouts, now label-independent)."""
+    (exactness on path graphs — the property the consecutive-order factor
+    has on sequential SLAM layouts, now label-independent; branching trees
+    are covered only along DFS first-child runs)."""
     from mini_opt_tpu.models.pose_graph import (
         _edge_data,
         _edge_indices,
