@@ -659,3 +659,31 @@ def test_scalar_chain_spatial_matches_handwritten_kernel():
     ea, eh = eff_err(xa), eff_err(xh)
     assert np.mean(ea < 1e-3) > 0.995, np.sort(ea)[-8:]
     assert abs(int((ea >= 1e-3).sum()) - int((eh >= 1e-3).sum())) <= 3
+
+
+def test_nan_lane_is_contained_and_returns_last_good_iterate():
+    """A poisoned lane (NaN target) must not contaminate its register
+    neighbors, and the best-merit guard must hand back its last good
+    iterate (the start) instead of NaN garbage."""
+    targets, x0 = _ik_instances(1024, seed=5)
+    t = np.asarray(targets).copy()
+    t[100] = np.nan  # poison one lane
+    builder = scalar_planar_ik_builder(2)
+    fam = family_from_problem(
+        builder, data_rows=2, retract=lambda th: [_mod_pi(t) for t in th]
+    )
+    xk = np.asarray(fused_solve_batch(
+        fam, jnp.asarray(t), x0,
+        max_iterations=8, qp_iterations=3, ls_iterations=1, barrier="mpc",
+    ))
+    # Poisoned lane: finite output == its start (no accepted step ever).
+    assert np.isfinite(xk[100]).all()
+    np.testing.assert_allclose(xk[100], np.asarray(x0)[100], atol=1e-6)
+    # Every other lane still converges.
+    L = 0.4
+    ok = np.ones(1024, bool); ok[100] = False
+    phi1, phi2 = xk[ok, 0], xk[ok, 0] + xk[ok, 1]
+    px = L * (np.cos(phi1) + np.cos(phi2))
+    py = L * (np.sin(phi1) + np.sin(phi2))
+    err = np.maximum(np.abs(px - t[ok, 0]), np.abs(py - t[ok, 1]))
+    assert np.max(err) < 1e-3, np.max(err)
