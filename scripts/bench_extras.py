@@ -298,6 +298,72 @@ def pose_graph_bench(n_poses=1200):
     )
 
 
+def pose_graph_scale_bench(n_poses=10000):
+    """Scale point: a 10k-pose SE(2) graph (30k variables, ~11k edges)
+    solved matrix-free on one chip — ~80x beyond what the reference's dense
+    (N, N) Hessian could represent (README.md:35-38 is dense-only; 30k^2
+    doubles = 7.2 GB). Chordal init + GN polish, both under the
+    spanning-chain tree preconditioner. Budgets pinned against an f64
+    high-budget solve of the same graph (cg 3000/800, 6 GN): optimum
+    f = 0.15001, drift 3.39 — the f32 budgets below reproduce both to 4
+    digits (measured on CPU)."""
+    sys.path.insert(0, "/root/repo/tests")
+    from test_pose_graph import _circle_graph
+
+    from mini_opt_tpu.models.pose_graph import (
+        chordal_initialization,
+        default_pose_graph_params,
+        solve_pose_graph_large,
+    )
+
+    gt, edges, meas, x0 = _circle_graph(n_poses, seed=7, noise=0.01,
+                                        loop_every=10)
+    w = jnp.ones((len(edges),), jnp.float32)
+    meas32 = jnp.asarray(meas, jnp.float32)
+    anchor = jnp.asarray(x0[0], jnp.float32)
+    p = default_pose_graph_params(jnp.float32, max_iterations=3)
+
+    @jax.jit
+    def pipeline(a0):
+        xc = chordal_initialization(
+            n_poses, edges, meas32, w, anchor_pose=a0, cg_iterations=1200,
+            preconditioner="tree",
+        )
+        return solve_pose_graph_large(
+            n_poses, edges, meas32, w, xc, params=p, cg_iterations=400,
+            preconditioner="tree",
+        )
+
+    t0 = time.time()
+    res = pipeline(anchor)
+    np.asarray(res.x)
+    compile_s = time.time() - t0
+    t0 = time.time()
+    res2 = pipeline(anchor + 1e-6)
+    np.asarray(res2.x)
+    warm_s = time.time() - t0
+    xf = np.asarray(res.x).reshape(n_poses, 3)
+    print(
+        json.dumps(
+            {
+                "metric": f"pose_graph_{n_poses}_solve_s_on_chip",
+                "value": round(warm_s, 2),
+                "unit": "s",
+                "method": "chordal(tree)+3gn_polish(tree), matrix-free",
+                "compile_s": round(compile_s, 1),
+                "n_poses": n_poses,
+                "variables": 3 * n_poses,
+                "edges": int(len(edges)),
+                "f_final": round(float(res.errors.f), 4),
+                "drift_before": round(float(np.abs(x0 - gt)[:, :2].max()), 2),
+                "drift_after": round(float(np.abs(xf - gt)[:, :2].max()), 3),
+                "dtype": "float32",
+            }
+        ),
+        flush=True,
+    )
+
+
 def pose_graph3_bench(n_poses=400):
     """SE(3) family on-chip: 6-DoF helix graph, matrix-free, exact gauge."""
     sys.path.insert(0, "/root/repo/tests")
@@ -630,12 +696,13 @@ if __name__ == "__main__":
     ap.add_argument(
         "--only", nargs="*", default=None,
         help="subset of bench names (spatial, auto_chain, pose_graph, "
-        "pose_graph3, long_chain, ba, ba_sparse)",
+        "pose_graph_scale, pose_graph3, long_chain, ba, ba_sparse)",
     )
     a = ap.parse_args()
     benches = {
         "spatial": spatial_bench,
         "auto_chain": auto_chain_bench,
+        "pose_graph_scale": pose_graph_scale_bench,
         "pose_graph": pose_graph_bench,
         "pose_graph3": pose_graph3_bench,
         "long_chain": lambda: long_chain_bench(L=512),
