@@ -294,6 +294,7 @@ def solve_pose_graph_large_sharded(
     cg_iterations: int = 100,
     axis: str = "mp",
     anchor_weight: float = 100.0,
+    preconditioner: str = "jacobi",  # "jacobi" | "tree"
 ) -> NLSResult:
     """Edge-partitioned distributed large-N path.
 
@@ -305,6 +306,12 @@ def solve_pose_graph_large_sharded(
     while x and the CG iterates stay replicated. The anchor prior is applied
     on device 0 only, so the global problem is exactly the single-device
     one -- iterates match ``solve_pose_graph_large`` to solver tolerance.
+
+    ``preconditioner="tree"`` upgrades Jacobi to the spanning-chain
+    block-tridiagonal preconditioner, assembled DISTRIBUTED: each device
+    contributes its edge shard's (N, 3, 3) tridiagonal blocks, psum'd
+    before the replicated O(N) factorization (ops/tree_prec.py
+    ``axis_name``).
     """
     import dataclasses
     from functools import partial
@@ -366,13 +373,27 @@ def solve_pose_graph_large_sharded(
             d = edge_jtj_diag(_edge_residual, xx, idx_local, data_local)
             return d.at[:3].add(on0 * anchor_weight * anchor_weight)
 
+        prec_fn = None
+        if preconditioner == "tree":
+            from ..ops.tree_prec import make_chain_tree_preconditioner
+
+            prec_fn = make_chain_tree_preconditioner(
+                _edge_residual, idx_local, data_local, n_poses, 3,
+                anchor_block=(anchor_weight * anchor_weight)
+                * jnp.eye(3, dtype=x.dtype),
+                block_pairs=edges,  # GLOBAL edge set: ordering must agree
+                axis_name=axis,
+            )
+
         return nls_solve(
             problem,
             params,
             x,
             retraction=pose_graph_retraction,
             axis_name=axis,
-            cg_diag_preconditioner=diag_fn,
+            cg_diag_preconditioner=None if prec_fn is not None else diag_fn,
+            cg_preconditioner=prec_fn,
+            distributed_cg_preconditioner=prec_fn is not None,
         )
 
     return run(x0, jnp.asarray(idx), jnp.asarray(data, x0.dtype))

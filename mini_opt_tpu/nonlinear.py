@@ -930,6 +930,7 @@ def nls_solve(
     axis_name: Optional[str] = None,
     cg_diag_preconditioner: Optional[Callable] = None,
     cg_preconditioner: Optional[Callable] = None,
+    distributed_cg_preconditioner: bool = False,
 ) -> NLSResult:
     """Solve the constrained NLS problem (nonlinear.cc:75-157) as one pure,
     jittable, vmappable function.
@@ -953,15 +954,32 @@ def nls_solve(
         FACTORY ``(x, lam) -> (apply: r -> M^-1 r)`` (e.g. block-Jacobi over
         camera/landmark blocks, models/bundle_adjustment.py). Overrides
         ``cg_diag_preconditioner``; the factory owns damping of its blocks.
-        Single-device only (an opaque apply cannot be psum-reduced).
+        With ``axis_name``, the factory runs inside the shard_map program
+        and MUST produce a replicated-consistent apply: assemble its
+        operator from psum-reduced quantities (see
+        ops/tree_prec.py::make_chain_tree_preconditioner ``axis_name``) —
+        its apply itself is not psum-reduced, so a device-local apply would
+        silently desynchronize the replicated CG iterates. Set
+        ``distributed_cg_preconditioner=True`` to assert you did this.
+      distributed_cg_preconditioner: opt-in acknowledgment that
+        ``cg_preconditioner`` is replicated-consistent under ``axis_name``
+        (guards against accidentally passing a single-device factory into a
+        distributed solve).
     """
     from .assertions import validate_problem
 
     validate_problem(problem)
-    if cg_preconditioner is not None and axis_name is not None:
+    if (
+        cg_preconditioner is not None
+        and axis_name is not None
+        and not distributed_cg_preconditioner
+    ):
         raise ValueError(
-            "cg_preconditioner is single-device (its apply cannot be "
-            "psum-reduced); use cg_diag_preconditioner with axis_name"
+            "cg_preconditioner's apply is not psum-reduced: under axis_name "
+            "the factory must assemble from psum'd quantities so the apply "
+            "is replicated-consistent. If it does, pass "
+            "distributed_cg_preconditioner=True; otherwise use "
+            "cg_diag_preconditioner (psum'd internally)"
         )
     x0 = jnp.asarray(x0)
     dtype = x0.dtype

@@ -272,6 +272,7 @@ def make_chain_tree_preconditioner(
     floor: float = 1e-12,
     order: np.ndarray | str | None = "auto",
     block_pairs: np.ndarray | None = None,  # (E, 2) host block endpoints
+    axis_name: str | None = None,
 ):
     """Generic ``cg_preconditioner`` factory over one two-block-per-row edge
     set (SE(2)/SE(3) pose graphs share it, as do the chordal relaxation
@@ -289,7 +290,14 @@ def make_chain_tree_preconditioner(
     they introduce are static (no traced-index scatters — see CLAUDE.md).
     Under an enclosing ``jit`` trace ``idx`` slices stage to tracers
     (omnistaging), so pass the host-side ``block_pairs`` (E, 2) explicitly
-    there — the pose-graph factories do."""
+    there — the pose-graph factories do.
+
+    ``axis_name`` makes the factory DISTRIBUTED: ``idx``/``data`` are the
+    device-local edge shard, and the (N, d, d) tridiagonal blocks are
+    psum-reduced over the mesh axis before the (replicated, O(N)-cheap)
+    factorization — matching the edge-partitioned matrix-free solvers,
+    where x and the CG iterates are replicated. ``block_pairs`` must then
+    be the GLOBAL edge set so every device agrees on the ordering."""
     if isinstance(order, str):
         assert order == "auto", order
         if block_pairs is not None:
@@ -334,6 +342,9 @@ def make_chain_tree_preconditioner(
         Hd, Hu = chain_block_hessian(
             residual_fn, x, idx, data, n_blocks, dof, block_map=block_map
         )
+        if axis_name is not None:
+            Hd = jax.lax.psum(Hd, axis_name)
+            Hu = jax.lax.psum(Hu, axis_name)
         if anchor_block is not None:
             Hd = Hd.at[anchor_pos].add(anchor_block.astype(x.dtype))
         Hd = Hd + (lam + jnp.asarray(floor, x.dtype)) * eye

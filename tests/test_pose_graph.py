@@ -331,3 +331,42 @@ def test_chordal_initialization_short_polish_matches_long_descent():
     drift_c = np.abs(xf - gt)[:, :2].max()
     drift_l = np.abs(xl - gt)[:, :2].max()
     assert drift_c <= drift_l + 0.1, (drift_c, drift_l)
+
+
+def test_sharded_tree_preconditioner_matches_single_device():
+    """Distributed tree preconditioner: the (N, 3, 3) tridiagonal blocks are
+    assembled from each device's edge shard and psum'd before the replicated
+    factorization -- the preconditioned solve must reproduce the
+    single-device tree-preconditioned path on the same graph."""
+    from mini_opt_tpu.models.pose_graph import (
+        solve_pose_graph_large,
+        solve_pose_graph_large_sharded,
+    )
+    from mini_opt_tpu.parallel.batch import make_mesh
+
+    assert len(jax.devices()) >= 8
+    mesh = make_mesh({"mp": 8})
+    n = 90
+    gt, edges, meas, x0 = _circle_graph(n, seed=2, noise=0.02, loop_every=30)
+    w = jnp.ones((len(edges),))
+    r1 = solve_pose_graph_large(
+        n, edges, jnp.asarray(meas), w, jnp.asarray(x0.ravel()),
+        cg_iterations=30, preconditioner="tree",
+    )
+    r8 = solve_pose_graph_large_sharded(
+        mesh, n, edges, jnp.asarray(meas), w, jnp.asarray(x0.ravel()),
+        cg_iterations=30, preconditioner="tree",
+    )
+    assert int(r8.termination_state) == int(r1.termination_state)
+    assert int(r8.num_iterations) == int(r1.num_iterations)
+    np.testing.assert_allclose(
+        float(r8.errors.f), float(r1.errors.f), rtol=1e-5
+    )
+    np.testing.assert_allclose(np.asarray(r8.x), np.asarray(r1.x), atol=1e-3)
+    # The small budget actually depends on the preconditioner: plain Jacobi
+    # at cg=30 stalls visibly worse on this graph.
+    r_jac = solve_pose_graph_large(
+        n, edges, jnp.asarray(meas), w, jnp.asarray(x0.ravel()),
+        cg_iterations=30,
+    )
+    assert float(r_jac.errors.f) > float(r8.errors.f) * 1.01
