@@ -271,13 +271,16 @@ def solve_pose_graph3_large_sharded(
     cg_iterations: int = 100,
     axis: str = "mp",
     anchor_weight: float = 100.0,
+    preconditioner: str = "jacobi",  # "jacobi" | "tree"
 ) -> NLSResult:
     """Edge-partitioned distributed SE(3) path (same design as the SE(2)
     variant, pose_graph.py:solve_pose_graph_large_sharded): the edge set is
     split across ``mesh`` axis ``axis`` (zero-weight padding rows when not
     divisible), each device holds a local BlockResidual shard, and gradient /
     Hessian-vector products / cost / Jacobi diagonal psum-reduce while x and
-    the CG iterates stay replicated. Anchor prior on device 0 only."""
+    the CG iterates stay replicated. Anchor prior on device 0 only.
+    ``preconditioner="tree"``: distributed spanning-chain block-tridiagonal
+    preconditioner (psum'd (N, 6, 6) assembly, replicated factor)."""
     import dataclasses
     from functools import partial
 
@@ -339,13 +342,27 @@ def solve_pose_graph3_large_sharded(
             d = edge_jtj_diag(_edge_residual3, xx, idx_local, data_local)
             return d.at[:6].add(on0 * anchor_weight * anchor_weight)
 
+        prec_fn = None
+        if preconditioner == "tree":
+            from ..ops.tree_prec import make_chain_tree_preconditioner
+
+            prec_fn = make_chain_tree_preconditioner(
+                _edge_residual3, idx_local, data_local, n_poses, 6,
+                anchor_block=(anchor_weight * anchor_weight)
+                * jnp.eye(6, dtype=x.dtype),
+                block_pairs=edges,  # GLOBAL edge set: ordering must agree
+                axis_name=axis,
+            )
+
         return nls_solve(
             problem,
             params,
             x,
             retraction=pose_graph3_retraction,
             axis_name=axis,
-            cg_diag_preconditioner=diag_fn,
+            cg_diag_preconditioner=None if prec_fn is not None else diag_fn,
+            cg_preconditioner=prec_fn,
+            distributed_cg_preconditioner=prec_fn is not None,
         )
 
     return run(x0, jnp.asarray(idx), jnp.asarray(data, x0.dtype))

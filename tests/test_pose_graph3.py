@@ -194,3 +194,34 @@ def test_chordal3_short_polish_matches_long_descent():
         float(r.errors.f),
         float(r_long.errors.f),
     )
+
+
+def test_sharded_tree_preconditioner_matches_single_device3():
+    """SE(3) twin of the distributed tree-preconditioner gate: psum'd
+    (N, 6, 6) tridiagonal assembly reproduces the single-device
+    tree-preconditioned trajectory."""
+    from mini_opt_tpu.models.pose_graph3 import (
+        solve_pose_graph3_large,
+        solve_pose_graph3_large_sharded,
+    )
+    from mini_opt_tpu.parallel.batch import make_mesh
+
+    assert len(jax.devices()) >= 8
+    mesh = make_mesh({"mp": 8})
+    n = 40
+    gt, edges, meas, x0 = _helix_graph(n, seed=3, noise=0.01, loop_every=10)
+    w = jnp.ones((len(edges),))
+    r1 = solve_pose_graph3_large(
+        n, edges, jnp.asarray(meas), w, jnp.asarray(x0.ravel()),
+        cg_iterations=20, preconditioner="tree",
+    )
+    r8 = solve_pose_graph3_large_sharded(
+        mesh, n, edges, jnp.asarray(meas), w, jnp.asarray(x0.ravel()),
+        cg_iterations=20, preconditioner="tree",
+    )
+    assert int(r8.termination_state) == int(r1.termination_state)
+    assert int(r8.num_iterations) == int(r1.num_iterations)
+    np.testing.assert_allclose(
+        float(r8.errors.f), float(r1.errors.f), rtol=1e-5
+    )
+    np.testing.assert_allclose(np.asarray(r8.x), np.asarray(r1.x), atol=1e-3)
