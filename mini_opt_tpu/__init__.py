@@ -12,6 +12,7 @@ problem instances per chip and shard across TPU pod slices.
 from .assertions import MiniOptError, validate_problem
 from .implicit import make_implicit_solver
 from .models.ik import (
+    fused_chain_ik_solve,
     make_ik_problem,
     make_planar_chain,
     make_spatial_chain,

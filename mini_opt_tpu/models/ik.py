@@ -549,6 +549,69 @@ def scalar_chain_ik_builder(
     return builder
 
 
+_CHAIN_BUILDER_CACHE: dict = {}
+
+
+def fused_chain_ik_solve(
+    chain: ActuatorChain,
+    targets: jax.Array,  # (B, 2) or (B, 3)
+    x0: jax.Array,  # (B, P)
+    params: Optional[NLSParams] = None,
+    with_joint_limits: bool = True,
+    joint_limit: float = 3.14159265,
+    prox_weight: float = 0.0,
+    prox_stages: int = 4,
+):
+    """One-call fused-kernel IK for ANY ActuatorChain.
+
+    Builds (and caches, per chain object) the scalar-style IK problem via
+    ``scalar_chain_ik_builder``, compiles it to a whole-solver Pallas
+    kernel, and solves all B instances. ``targets.shape[1]`` selects the
+    planar (2) or spatial (3) cost structure. ``prox_weight > 0`` runs
+    ``prox_stages`` re-centered proximal stages (the redundant-chain cure;
+    see ``fused_solve_proximal``). Defaults to the Mehrotra serving budget
+    (10/3/1); pass ``params`` to override budgets (``fused_nls_solve_batch``
+    semantics: fixed trips, tolerance knobs ignored).
+
+    Reuse the SAME chain object across calls — the kernel cache is keyed on
+    it (a rebuilt chain recompiles).
+    """
+    import dataclasses
+
+    from ..ops.fused_auto import fused_nls_solve_batch
+    from ..structs import BarrierStrategy
+
+    target_dim = int(targets.shape[1])
+    key = (
+        id(chain), target_dim, with_joint_limits, float(joint_limit),
+        float(prox_weight),
+    )
+    if key not in _CHAIN_BUILDER_CACHE:
+        _CHAIN_BUILDER_CACHE[key] = (
+            chain,  # strong ref: keeps id() valid for the cache lifetime
+            scalar_chain_ik_builder(
+                chain, target_dim=target_dim,
+                with_joint_limits=with_joint_limits,
+                joint_limit=joint_limit, prox_weight=prox_weight,
+            ),
+        )
+    builder = _CHAIN_BUILDER_CACHE[key][1]
+    if params is None:
+        params = dataclasses.replace(
+            default_ik_params(x0.dtype, max_iterations=10, max_qp_iterations=3),
+            max_line_search_iterations=1,
+            qp_barrier_strategy=BarrierStrategy.PREDICTOR_CORRECTOR,
+            early_exit=False,
+        )
+    if prox_weight <= 0.0:
+        return fused_nls_solve_batch(builder, targets, x0, params)
+    x = x0
+    for _ in range(prox_stages):
+        d = jnp.concatenate([targets, x], axis=1)
+        x = fused_nls_solve_batch(builder, d, x, params)
+    return x
+
+
 def make_spatial_refine_fn(
     n_active: int = 3,
     link_length: float = 0.4,
