@@ -726,3 +726,50 @@ def test_fused_chain_ik_solve_one_call():
     n_before = len(_CHAIN_BUILDER_CACHE)
     fused_chain_ik_solve(chain, jnp.asarray(tg), jnp.asarray(x0))
     assert len(_CHAIN_BUILDER_CACHE) == n_before  # no rebuild on reuse
+
+
+def test_six_dof_arm_one_call():
+    """A realistic 6-DOF industrial-arm layout (z-y-y-z-y-z axes + tool
+    offset) through the one-call compiler path: 1024 warm-started instances
+    all reach the 3-D target (n=6 exercises the 7x7 unrolled condensed-KKT
+    LDLT inside the kernel). Note: THIS redundant layout is benign for
+    plain Gauss-Newton (100% at 8e-6 measured) -- the 4-DOF x+y-euler
+    chain's dead-ends are a property of that layout, not of redundancy."""
+    from mini_opt_tpu import fused_chain_ik_solve
+    from mini_opt_tpu.models.chains import ActuatorChain, ActuatorLink, Pose
+    from mini_opt_tpu.models.ik import scalar_chain_fk
+    from mini_opt_tpu.utils import so3 as _so3
+
+    masks = [(0, 0, 1, 0, 0, 0), (0, 1, 0, 0, 0, 0), (0, 1, 0, 0, 0, 0),
+             (0, 0, 1, 0, 0, 0), (0, 1, 0, 0, 0, 0), (0, 0, 1, 0, 0, 0),
+             (0, 0, 0, 0, 0, 0)]
+    qi = _so3.quat_identity(jnp.float32)
+    ts = [(0, 0, 0.3), (0.1, 0, 0), (0.45, 0, 0), (0.4, 0, 0),
+          (0, 0, 0.1), (0.1, 0, 0), (0.12, 0, 0)]
+    chain = ActuatorChain(links=tuple(
+        ActuatorLink.create(Pose(qi, jnp.asarray(t, jnp.float32)), m)
+        for t, m in zip(ts, masks)))
+    P = chain.total_active
+    assert P == 6
+    B = 1024
+    rng = np.random.default_rng(1)
+    x_true = np.column_stack(
+        [rng.uniform(-0.6, 0.6, B)]
+        + [rng.uniform(0.15, 1.1, B) for _ in range(P - 1)]
+    ).astype(np.float32)
+    tg = np.asarray(
+        jax.vmap(lambda x: jnp.stack(scalar_chain_fk(chain, x)[1]))(
+            jnp.asarray(x_true)
+        ), np.float32,
+    )
+    x0 = np.clip(
+        x_true + rng.uniform(-0.1, 0.1, (B, P)).astype(np.float32),
+        [-10.0] + [0.02] * (P - 1), [10.0] + [3.1] * (P - 1),
+    ).astype(np.float32)
+    x = fused_chain_ik_solve(chain, jnp.asarray(tg), jnp.asarray(x0))
+    e = np.abs(
+        np.asarray(
+            jax.vmap(lambda q: jnp.stack(scalar_chain_fk(chain, q)[1]))(x)
+        ) - tg
+    ).max(1)
+    assert np.max(e) < 1e-3, np.sort(e)[-4:]
