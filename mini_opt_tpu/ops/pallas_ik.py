@@ -25,6 +25,15 @@ Built-in families: the planar Z-rotation chain (the reference IK problem,
 /root/reference/test/nonlinear_test.cc:828-960 -- cost on effector y, equality
 on effector x, [0, pi] limits on joints 1..n-1) and the alternating-axis 3-D
 spatial chain (models/ik.py::make_spatial_chain is the general-solver twin).
+Arbitrary chains need no handwritten family at all: ANY ActuatorChain
+(multi-axis euler masks, prismatic joints, fixed offsets) compiles through
+models/ik.py::scalar_chain_ik_builder + ops/fused_auto.py (one call:
+models/ik.py::fused_chain_ik_solve).
+
+Fixed-trip robustness: kernels return the BEST-merit iterate ever visited
+(not the final one) and clamp the Armijo slack term to <= 0 -- see the
+best-merit guard in _make_kernel for why post-convergence f32 inner-QP
+iterations demand this.
 
 Semantics mirror nls_solve's fixed-trip configuration (same mu schedule,
 tolerances, penalty update, Armijo constants; qp.cc:153-201 barrier math);
