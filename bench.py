@@ -230,9 +230,39 @@ def main():
     ap.add_argument("--parity-timeout", type=float, default=900.0)
     ap.add_argument("--native-baseline", action="store_true",
                     help="also time the C++ CPU runtime on the same instances")
+    ap.add_argument("--backend-timeout", type=float, default=600.0,
+                    help="seconds to wait for TPU backend init before "
+                         "emitting an error JSON line instead of hanging "
+                         "(the axon tunnel can be down entirely; CLAUDE.md)")
     args = ap.parse_args()
 
     _enable_compile_cache()
+    # Backend init behind a watchdog: a downed tunnel HANGS jax.devices()
+    # for minutes before (sometimes) erroring UNAVAILABLE. The driver needs
+    # one JSON line either way.
+    _init = {}
+
+    def _init_backend():
+        try:
+            _init["devices"] = jax.devices()
+        except Exception as e:  # UNAVAILABLE etc.
+            _init["error"] = repr(e)
+
+    _t = threading.Thread(target=_init_backend, daemon=True)
+    _t.start()
+    _t.join(args.backend_timeout)
+    if "devices" not in _init:
+        err = _init.get(
+            "error", f"backend init did not complete in {args.backend_timeout}s"
+        )
+        print(json.dumps({
+            "metric": "batched_ik_solves_per_s_per_chip",
+            "value": 0,
+            "unit": "solves/s",
+            "vs_baseline": 0.0,
+            "error": f"TPU backend unavailable: {err}",
+        }), flush=True)
+        return
     # NOTE: do NOT issue a concurrent device->host warmup fetch here: a cold
     # tunnel fetch in flight stalls every other device operation (observed
     # 27ms/step instead of 0.1ms while one was pending). The parity readback
