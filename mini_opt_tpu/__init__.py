@@ -37,6 +37,13 @@ from .models.bundle_adjustment import (
     solve_bundle_adjustment,
     solve_bundle_adjustment_large,
 )
+from .models.mpc import (
+    CartPole,
+    make_cartpole_mpc_problem,
+    mpc_rollout,
+    mpc_rollout_batch,
+    solve_mpc,
+)
 from .models.pose_graph3 import (
     chordal_initialization3,
     make_pose_graph3_problem,

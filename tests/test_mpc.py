@@ -1,0 +1,129 @@
+"""MPC family: cart-pole direct-transcription trajectory optimization and
+the receding-horizon servo loop.
+
+This is the workload the reference library was written for (its problem
+statement, nonlinear.hpp:11-32, is a direct-transcription optimal-control
+problem: residual costs + nonlinear dynamics equality constraints + box
+actuation limits). Tests follow the reference idioms: numerical-Jacobian
+oracles for hand-assembled residuals (nonlinear_test.cc:21-39) and
+many-start convergence sweeps with termination-state predicates.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mini_opt_tpu import termination_state_indicates_satisfied_tol
+from mini_opt_tpu.models import mpc
+from mini_opt_tpu.utils.numerical import numerical_jacobian
+
+CP = mpc.CartPole()
+
+
+def _simulate(cp, x0, us, dt):
+    """Roll the plant forward under a control sequence."""
+    xs = [x0]
+    for u in us:
+        xs.append(mpc.rk4_step(cp, xs[-1], u, dt))
+    return jnp.stack(xs[1:])
+
+
+def test_defect_residual_jacobian_vs_numeric():
+    """Every dynamics-defect residual's jacfwd Jacobian matches a numerical
+    oracle (the reference's TestResidualFunctionDerivative pattern)."""
+    T, dt = 5, 0.05
+    x0 = jnp.array([0.1, -0.2, 0.4, 0.3])
+    problem = mpc.make_cartpole_mpc_problem(CP, x0, T, dt)
+    rng = np.random.default_rng(0)
+    z = jnp.asarray(rng.normal(size=mpc.mpc_dimension(T)) * 0.3)
+    for res in problem.equality_constraints:
+        xl = res.gather(z)
+        _, jac = res.error_and_jacobian(z)
+        jac_num = numerical_jacobian(res.fn, xl)
+        np.testing.assert_allclose(jac, jac_num, atol=1e-6)
+
+
+def test_single_solve_dynamics_and_bounds():
+    """Stabilization solve: dynamics defects at f64 tolerance, the returned
+    trajectory IS the plant rollout of the returned controls, and actuation
+    bounds hold (the saturating instance keeps them active)."""
+    T, dt, u_max = 20, 0.05, 10.0
+    x0 = jnp.array([0.0, 0.0, 0.35, 0.0])
+    res = mpc.solve_mpc(CP, x0, T, dt, u_max=u_max)
+    assert bool(termination_state_indicates_satisfied_tol(res.termination_state))
+    assert float(res.errors.equality) < 1e-9
+
+    us, X = mpc.split_z(res.x, T)
+    np.testing.assert_allclose(_simulate(CP, x0, us, dt), X, atol=1e-8)
+    assert float(jnp.max(jnp.abs(us))) <= u_max + 1e-7
+    # This instance demands saturation: the bound is genuinely active.
+    assert float(jnp.max(jnp.abs(us))) > u_max - 1e-3
+    # The horizon ends near upright.
+    assert abs(float(X[-1, 2])) < 0.05
+
+
+def test_track_limit_constrains_position():
+    """With p_max the cart stays on the track; without it the same instance
+    travels beyond the limit (the constraint is doing real work)."""
+    T, dt, p_max = 20, 0.05, 0.45
+    x0 = jnp.array([0.0, 0.0, 0.35, 0.0])
+    free = mpc.solve_mpc(CP, x0, T, dt)
+    lim = mpc.solve_mpc(CP, x0, T, dt, p_max=p_max)
+    assert bool(termination_state_indicates_satisfied_tol(lim.termination_state))
+    _, X_free = mpc.split_z(free.x, T)
+    _, X_lim = mpc.split_z(lim.x, T)
+    assert float(jnp.max(jnp.abs(X_free[:, 0]))) > p_max  # unconstrained exceeds
+    assert float(jnp.max(jnp.abs(X_lim[:, 0]))) <= p_max + 1e-7
+    assert float(lim.errors.equality) < 1e-9
+
+
+def test_shift_warm_start_semantics():
+    """u shifts left (last repeated); states shift left; the new terminal
+    state is one integration step from the last shifted pair."""
+    T, dt = 6, 0.05
+    rng = np.random.default_rng(1)
+    z = jnp.asarray(rng.normal(size=mpc.mpc_dimension(T)))
+    z2 = mpc.shift_warm_start(CP, z, T, dt)
+    u, X = mpc.split_z(z, T)
+    u2, X2 = mpc.split_z(z2, T)
+    np.testing.assert_allclose(u2[:-1], u[1:])
+    np.testing.assert_allclose(u2[-1], u[-1])
+    np.testing.assert_allclose(X2[:-1], X[1:])
+    np.testing.assert_allclose(X2[-1], mpc.rk4_step(CP, X[-1], u2[-1], dt))
+
+
+def test_rollout_stabilizes_and_rejects_disturbance():
+    """Jitted receding-horizon loop: the pole reaches upright, a mid-run
+    impulse visibly perturbs it, the loop re-stabilizes, and actuation
+    bounds hold throughout."""
+    n_steps, T, dt = 40, 20, 0.05
+    x0 = jnp.array([0.0, 0.0, 0.25, 0.0])
+    dist = jnp.zeros((n_steps,)).at[20].set(6.0)  # impulse force on the plant
+
+    roll = jax.jit(
+        lambda x, d: mpc.mpc_rollout(CP, x, n_steps, T, dt, disturbance=d)
+    )
+    states, us, merits, terms = roll(x0, dist)
+    # Stabilized before the impulse...
+    assert abs(float(states[20, 2])) < 0.05
+    # ...the impulse measurably deflects the pole...
+    assert abs(float(states[22, 2] - states[20, 2])) > 0.015
+    # ...and the loop re-stabilizes.
+    assert abs(float(states[-1, 2])) < 0.05
+    assert float(jnp.max(jnp.abs(us))) <= 10.0 + 1e-6
+    assert states.shape == (n_steps + 1, mpc.NX) and us.shape == (n_steps,)
+
+
+def test_rollout_batch_matches_single():
+    """vmapped fleet == per-plant rollouts (batching changes nothing)."""
+    n_steps, T, dt = 12, 10, 0.05
+    x_init = jnp.array(
+        [[0.0, 0.0, 0.3, 0.0], [0.2, -0.1, -0.45, 0.2]]
+    )
+    bs, bu, bm, bt = mpc.mpc_rollout_batch(CP, x_init, n_steps, T, dt)
+    assert bs.shape == (2, n_steps + 1, mpc.NX)
+    for b in range(2):
+        s, u, m, t = mpc.mpc_rollout(CP, x_init[b], n_steps, T, dt)
+        np.testing.assert_allclose(bs[b], s, atol=1e-9)
+        np.testing.assert_allclose(bu[b], u, atol=1e-9)
+        np.testing.assert_array_equal(bt[b], t)
