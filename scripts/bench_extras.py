@@ -467,6 +467,80 @@ def pose_graph3_bench(n_poses=400):
 
 
 
+def mpc_bench(B=256, n_steps_chain=17, horizon=20, dt=0.05):
+    """MPC family on-chip: a fleet of B cart-pole plants under jitted
+    receding-horizon control (solve -> apply u_0 -> step plant -> shift warm
+    start, models/mpc.py). Each control period solves a dim-100 problem (20
+    controls + 80 states, 80 dynamics-defect equality rows, 40 actuation
+    bounds) at the fixed-trip serving budget. The rollout scan is inherently
+    chained (each period consumes the previous period's plant state and warm
+    start), so per-period time is the K-vs-1-step difference (bench.py
+    methodology; block_until_ready is unreliable through the tunnel)."""
+    import functools as _ft
+
+    from mini_opt_tpu.models import mpc
+
+    cp = mpc.CartPole()
+    rng = np.random.default_rng(0)
+    x_init = jnp.asarray(
+        np.column_stack(
+            [
+                rng.uniform(-0.2, 0.2, B),
+                rng.uniform(-0.2, 0.2, B),
+                rng.uniform(-0.35, 0.35, B),
+                rng.uniform(-0.2, 0.2, B),
+            ]
+        ),
+        jnp.float32,
+    )
+
+    @_ft.partial(jax.jit, static_argnames=("k",))
+    def fleet(x0, k):
+        return mpc.mpc_rollout_batch(cp, x0, k, horizon, dt)
+
+    t0 = time.time()
+    s1 = np.asarray(fleet(x_init, 1)[0])
+    log(f"mpc fleet k=1 compile+run {time.time()-t0:.1f}s")
+    t0 = time.time()
+    sK = np.asarray(fleet(x_init, n_steps_chain)[0])
+    log(f"mpc fleet k={n_steps_chain} compile+run {time.time()-t0:.1f}s")
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(fleet(x_init, 1)[0])
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        np.asarray(fleet(x_init, n_steps_chain)[0])
+        tk = time.perf_counter() - t0
+        times.append((tk - t1) / (n_steps_chain - 1))
+    per_period = float(np.median(times))
+
+    # Control quality on a longer horizon: the whole fleet must stabilize.
+    states, us, _, _ = fleet(x_init, 30)
+    theta_final = np.abs(np.asarray(states)[:, -1, 2])
+    stabilized = float(np.mean(theta_final < 0.05))
+    print(
+        json.dumps(
+            {
+                "metric": "mpc_control_solves_per_s_per_chip",
+                "value": round(B / per_period, 1),
+                "unit": "solves/s",
+                "fleet": B,
+                "horizon": horizon,
+                "problem_dim": mpc.mpc_dimension(horizon),
+                "period_ms": round(per_period * 1e3, 3),
+                "control_rate_hz_per_plant": round(1.0 / per_period, 1),
+                "stabilized_frac": round(stabilized, 4),
+                "u_max_violation": float(
+                    max(0.0, np.abs(np.asarray(us)).max() - 10.0)
+                ),
+                "dtype": "float32",
+            }
+        ),
+        flush=True,
+    )
+
+
 def long_chain_bench(L=512, B=1024):
     """Long-axis scaling (SURVEY.md §5): batched forward passes over an
     L-link chain, lax.scan (O(L) depth) vs lax.associative_scan (O(log L)
@@ -696,7 +770,7 @@ if __name__ == "__main__":
     ap.add_argument(
         "--only", nargs="*", default=None,
         help="subset of bench names (spatial, auto_chain, pose_graph, "
-        "pose_graph_scale, pose_graph3, long_chain, ba, ba_sparse)",
+        "pose_graph_scale, pose_graph3, long_chain, ba, ba_sparse, mpc)",
     )
     a = ap.parse_args()
     benches = {
@@ -708,6 +782,7 @@ if __name__ == "__main__":
         "long_chain": lambda: long_chain_bench(L=512),
         "ba": bundle_adjustment_bench,
         "ba_sparse": bundle_adjustment_sparse_bench,
+        "mpc": mpc_bench,
     }
     log(f"backend={jax.default_backend()}")
     warm_tunnel()
