@@ -318,6 +318,106 @@ def mpc_rollout(
     return states, us, merits, terms
 
 
+# ---------------------------------------------------------------------------
+# Differentiable MPC: the solve as an implicit policy.
+# ---------------------------------------------------------------------------
+
+
+def linearized_dynamics(
+    cp: CartPole, x_op: jax.Array, u_op: jax.Array, dt: float
+) -> Tuple[jax.Array, jax.Array]:
+    """(A, B) of the DISCRETE dynamics x+ = rk4(x, u) at an operating point."""
+    A = jax.jacfwd(lambda x: rk4_step(cp, x, u_op, dt))(x_op)
+    B = jax.jacfwd(lambda u: rk4_step(cp, x_op, u, dt))(jnp.asarray(u_op))
+    return A, B.reshape(NX, NU)
+
+
+def finite_horizon_lqr_gain(
+    cp: CartPole,
+    horizon: int,
+    dt: float,
+    q: Tuple[float, float, float, float] = (1.0, 0.1, 10.0, 0.1),
+    q_terminal: Tuple[float, float, float, float] = (10.0, 1.0, 100.0, 1.0),
+    r_u: float = 0.01,
+) -> jax.Array:
+    """First-period feedback gain K_0 of the finite-horizon LQR matching the
+    MPC transcription at the upright equilibrium: u_0* = -K_0 @ x_0 for the
+    problem min sum_{t=1}^{T-1} x_t'Qx_t + x_T'Q_T x_T + sum_t r u_t^2 with
+    x+ = A x + B u (the rk4 dynamics linearized at the origin).
+
+    The uniform 0.5 factor of the least-squares form cancels from the argmin,
+    so K matches the 0.5*||r||^2 convention of the transcription. Used as an
+    independent oracle for the implicit-differentiation feedback gain
+    (du_0/dx_0 of the MPC solve at the equilibrium must equal -K_0)."""
+    A, B = linearized_dynamics(
+        cp, jnp.zeros((NX,)), jnp.zeros(()), dt
+    )
+    Q = jnp.diag(jnp.asarray(q, A.dtype))
+    R = jnp.asarray([[r_u]], A.dtype)
+    P = jnp.diag(jnp.asarray(q_terminal, A.dtype))
+    K = None
+    for t in range(horizon - 1, -1, -1):
+        K = jnp.linalg.solve(R + B.T @ P @ B, B.T @ P @ A)  # (NU, NX)
+        Qt = Q if t >= 1 else jnp.zeros_like(Q)
+        P = Qt + A.T @ P @ (A - B @ K)
+    return K
+
+
+def make_implicit_mpc_solver(
+    cp: CartPole,
+    horizon: int,
+    dt: float,
+    params: Optional[NLSParams] = None,
+    active_tol: float = 1.0e-6,
+    **problem_kwargs,
+):
+    """``solve(x_plant, z0) -> z*`` differentiable in the PLANT STATE through
+    the KKT conditions at the solution (implicit.py machinery: exact at a
+    converged point, one linear solve in the backward pass regardless of the
+    forward iteration count, active-set handling for saturated actuation).
+
+    This makes the MPC policy ``u_0(x_plant)`` a differentiable function:
+    ``jax.jacrev`` of it is the local feedback gain, and losses on closed-loop
+    behavior can be trained through the controller (the "differentiable MPC"
+    pattern, cf. Amos et al. 2018 -- here obtained from the framework's
+    generic implicit-diff layer rather than a bespoke LQR backward pass)."""
+    from ..implicit import make_implicit_solver
+
+    if params is None:
+        params = default_mpc_params(jnp.float64)
+
+    def problem_fn(x_plant):
+        return make_cartpole_mpc_problem(
+            cp, x_plant, horizon, dt, **problem_kwargs
+        )
+
+    return make_implicit_solver(problem_fn, params, active_tol=active_tol)
+
+
+def mpc_feedback_gain(
+    cp: CartPole,
+    x_op: jax.Array,  # (NX,) plant state to linearize the policy at
+    horizon: int,
+    dt: float,
+    params: Optional[NLSParams] = None,
+    **problem_kwargs,
+) -> jax.Array:
+    """du_0/dx_plant of the MPC policy at ``x_op``, shape (NX,): the local
+    feedback gain the receding-horizon controller realizes. At the upright
+    equilibrium this equals -K_0 of :func:`finite_horizon_lqr_gain`; away
+    from it (or with active actuation limits) it is the exact derivative of
+    the branch the solver landed on."""
+    solve = make_implicit_mpc_solver(
+        cp, horizon, dt, params=params, **problem_kwargs
+    )
+    z0 = initial_guess(cp, x_op, horizon, dt)
+
+    def u0(x):
+        return solve(x, z0)[u_index(0)]
+
+    return jax.jacrev(u0)(x_op)
+
+
 def mpc_rollout_batch(
     cp: CartPole,
     x_init: jax.Array,  # (B, NX)

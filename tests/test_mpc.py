@@ -114,6 +114,58 @@ def test_rollout_stabilizes_and_rejects_disturbance():
     assert states.shape == (n_steps + 1, mpc.NX) and us.shape == (n_steps,)
 
 
+def test_implicit_feedback_gain_matches_lqr():
+    """Differentiable MPC oracle: at the upright equilibrium the implicit
+    du_0/dx_plant of the MPC solve equals the finite-horizon LQR gain -K_0
+    computed by an independent Riccati recursion on the linearized plant
+    (the transcription's KKT system at z*=0 IS that LQR problem)."""
+    T, dt = 10, 0.05
+    gain = mpc.mpc_feedback_gain(CP, jnp.zeros((mpc.NX,)), T, dt)
+    K0 = mpc.finite_horizon_lqr_gain(CP, T, dt)
+    np.testing.assert_allclose(gain, -K0[0], rtol=1e-6, atol=1e-8)
+
+
+def test_implicit_gradient_matches_unrolled():
+    """Away from the equilibrium (interior, no saturation): the implicit
+    gradient of a scalar loss on the policy output matches differentiating
+    through the unrolled fixed-trip solve."""
+    import dataclasses as _dc
+
+    T, dt = 8, 0.05
+    x_op = jnp.array([0.05, -0.02, 0.1, 0.03])
+    params = mpc.default_mpc_params(jnp.float64, early_exit=False)
+    solve = mpc.make_implicit_mpc_solver(CP, T, dt, params=params)
+    z0 = mpc.initial_guess(CP, x_op, T, dt)
+
+    def loss_implicit(x):
+        return solve(x, z0)[mpc.u_index(0)] ** 2
+
+    def loss_unrolled(x):
+        problem = mpc.make_cartpole_mpc_problem(CP, x, T, dt)
+        res = mpc.nls_solve(problem, params, z0)
+        return res.x[mpc.u_index(0)] ** 2
+
+    gi = jax.grad(loss_implicit)(x_op)
+    gu = jax.grad(loss_unrolled)(x_op)
+    np.testing.assert_allclose(gi, gu, rtol=1e-5, atol=1e-8)
+
+
+def test_implicit_gradient_with_saturated_actuation():
+    """With u_0 pinned at the actuation bound, the policy is locally constant
+    in the plant state: the active-set implicit gradient is ~0 and agrees
+    with the unrolled derivative."""
+    T, dt, u_max = 12, 0.05, 3.0
+    x_op = jnp.array([0.0, 0.0, 0.35, 0.0])  # demands |u0| = u_max
+    params = mpc.default_mpc_params(jnp.float64, early_exit=False)
+    solve = mpc.make_implicit_mpc_solver(CP, T, dt, params=params, u_max=u_max)
+    z0 = mpc.initial_guess(CP, x_op, T, dt)
+    z_star = solve(x_op, z0)
+    assert abs(abs(float(z_star[0])) - u_max) < 1e-6  # genuinely saturated
+
+    g = jax.jacrev(lambda x: solve(x, z0)[mpc.u_index(0)])(x_op)
+    np.testing.assert_allclose(g, jnp.zeros((mpc.NX,)), atol=1e-7)
+
+
 def test_rollout_batch_matches_single():
     """vmapped fleet == per-plant rollouts (batching changes nothing)."""
     n_steps, T, dt = 12, 10, 0.05
