@@ -186,16 +186,34 @@ def make_cartpole_mpc_problem(
     )
 
 
+def riccati_kkt_solver(horizon: int) -> str:
+    """KKT-solver name for the structured Riccati backend at this horizon.
+
+    The MPC transcription's condensed interior-point system is an LQR saddle
+    system; the Riccati backend (ops/riccati.py) eliminates it in T stages of
+    (NX+NU)-sized algebra instead of the dense backends' O(dim) sequential
+    factorization -- the structured fast path for this family. Pass the
+    returned name as ``NLSParams.kkt_solver`` (``default_mpc_params(horizon=
+    ...)`` does it for you)."""
+    from ..ops.riccati import solver_name
+
+    return solver_name(horizon, NX, NU)
+
+
 def default_mpc_params(
     dtype=jnp.float32,
     max_iterations: int = 8,
     max_qp_iterations: int = 8,
     early_exit: bool = True,
+    horizon: Optional[int] = None,
 ) -> NLSParams:
     """Solver configuration for the MPC family. f64 gets verification-grade
     tolerances; f32 the serving ladder. ``early_exit=False`` is the
-    fixed-trip configuration for scans/batches (mpc_rollout forces it)."""
+    fixed-trip configuration for scans/batches (mpc_rollout forces it).
+    Passing ``horizon`` selects the structured Riccati KKT backend (exact
+    same solutions, T small stages instead of one dense factorization)."""
     f32 = dtype == jnp.float32
+    kkt = riccati_kkt_solver(horizon) if horizon else recommended_kkt_solver()
     return NLSParams(
         max_iterations=max_iterations,
         max_qp_iterations=max_qp_iterations,
@@ -211,7 +229,7 @@ def default_mpc_params(
         min_lambda=1e-12,
         lambda_failure_init=1e-3,
         early_exit=early_exit,
-        kkt_solver=recommended_kkt_solver(),
+        kkt_solver=kkt,
     )
 
 

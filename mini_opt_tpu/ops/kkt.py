@@ -31,6 +31,12 @@ import jax.numpy as jnp
 SOLVERS = ("lu", "ldlt", "ldlt_ir", "pallas_ldlt")
 
 
+def is_valid_solver(name: str) -> bool:
+    """Fixed names plus the parameterized structured backends
+    (``"riccati:T:NX:NU"``, see ops/riccati.py)."""
+    return name in SOLVERS or name.startswith("riccati:")
+
+
 # ---------------------------------------------------------------------------
 # LU (generic fallback / oracle).
 # ---------------------------------------------------------------------------
@@ -161,6 +167,10 @@ def kkt_factorize(H: jax.Array, solver: str):
         from . import pallas_ldlt
 
         return pallas_ldlt.factorize(H)
+    if solver.startswith("riccati:"):
+        from . import riccati
+
+        return riccati.riccati_factorize(H, *riccati.parse(solver))
     raise ValueError(f"unknown kkt solver: {solver!r}")
 
 
@@ -175,4 +185,8 @@ def kkt_solve(fact, rhs: jax.Array, solver: str) -> jax.Array:
         from . import pallas_ldlt
 
         return pallas_ldlt.solve(fact, rhs)
+    if solver.startswith("riccati:"):
+        from . import riccati
+
+        return riccati.riccati_solve(fact, rhs, *riccati.parse(solver))
     raise ValueError(f"unknown kkt solver: {solver!r}")

@@ -191,7 +191,7 @@ class QPInteriorPointParams:
         assert 0 < self.sigma <= 1.0
         assert self.termination_kkt_tol > 0
         assert self.max_iterations > 0
-        assert self.kkt_solver in kkt_ops.SOLVERS
+        assert kkt_ops.is_valid_solver(self.kkt_solver), self.kkt_solver
 
 
 class _IPState(NamedTuple):

@@ -467,7 +467,7 @@ def pose_graph3_bench(n_poses=400):
 
 
 
-def mpc_bench(B=256, n_steps_chain=17, horizon=20, dt=0.05):
+def mpc_bench(B=256, n_steps_chain=17, horizon=20, dt=0.05, structured=False):
     """MPC family on-chip: a fleet of B cart-pole plants under jitted
     receding-horizon control (solve -> apply u_0 -> step plant -> shift warm
     start, models/mpc.py). Each control period solves a dim-100 problem (20
@@ -494,9 +494,13 @@ def mpc_bench(B=256, n_steps_chain=17, horizon=20, dt=0.05):
         jnp.float32,
     )
 
+    params = mpc.default_mpc_params(
+        jnp.float32, early_exit=False, horizon=horizon if structured else None
+    )
+
     @_ft.partial(jax.jit, static_argnames=("k",))
     def fleet(x0, k):
-        return mpc.mpc_rollout_batch(cp, x0, k, horizon, dt)
+        return mpc.mpc_rollout_batch(cp, x0, k, horizon, dt, params=params)
 
     t0 = time.time()
     s1 = np.asarray(fleet(x_init, 1)[0])
@@ -523,6 +527,7 @@ def mpc_bench(B=256, n_steps_chain=17, horizon=20, dt=0.05):
         json.dumps(
             {
                 "metric": "mpc_control_solves_per_s_per_chip",
+                "kkt_solver": params.kkt_solver,
                 "value": round(B / per_period, 1),
                 "unit": "solves/s",
                 "fleet": B,
@@ -783,6 +788,7 @@ if __name__ == "__main__":
         "ba": bundle_adjustment_bench,
         "ba_sparse": bundle_adjustment_sparse_bench,
         "mpc": mpc_bench,
+        "mpc_riccati": lambda: mpc_bench(structured=True),
     }
     log(f"backend={jax.default_backend()}")
     warm_tunnel()
