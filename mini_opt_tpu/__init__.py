@@ -11,6 +11,7 @@ problem instances per chip and shard across TPU pod slices.
 
 from .assertions import MiniOptError, validate_problem
 from .implicit import make_implicit_solver
+from .ineq import NonlinearInequalityProblem, with_nonlinear_inequalities
 from .models.ik import (
     fused_chain_ik_solve,
     make_ik_problem,

@@ -161,6 +161,16 @@ class NLSParams:
     # Identical results in exact arithmetic; extra (discarded) Jacobian work
     # per losing probe, which is free on TPU where the path is launch-bound.
     fuse_probe_linearize: bool = False
+    # Inner-QP initial-guess override. None = the reference's structure-driven
+    # choice (SOLVE_EQUALITY_CONSTRAINED iff equality constraints exist,
+    # nonlinear.cc:226-239). Slack-reformulated nonlinear inequalities
+    # (ineq.py) need NAIVE: the equality-constrained guess clamps slacks onto
+    # their bound, the s=max(1e-9,.) heuristic (qp.cc:470-481) then sets
+    # Sigma=z/s=1e18, and since slackened equality rows are often linearly
+    # dependent in the base columns (independent only through the slack
+    # identity block, now weighted 1e-18), the condensed KKT system is
+    # EXACTLY singular in f64 -> FAILED_FACTORIZATION.
+    qp_initial_guess_method: Optional[InitialGuessMethod] = None
 
     def __post_init__(self):
         # Eager validation mirroring CheckParams (nonlinear.cc:49-73).
@@ -191,6 +201,10 @@ class NLSParams:
             "fuse_probe_linearize requires parallel_line_search"
         )
         assert not (self.fuse_probe_linearize and self.qp_solver == "cg")
+        assert self.qp_initial_guess_method != InitialGuessMethod.USER_PROVIDED, (
+            "the NLS driver owns the inner-QP state; USER_PROVIDED warm "
+            "starts enter through x0 of nls_solve itself"
+        )
         assert not (self.qp_solver == "pallas_fused" and self.record_history), (
             "qp_solver='pallas_fused' runs the whole inner loop in one kernel "
             "and materializes no per-QP-iteration telemetry; set "
@@ -1010,9 +1024,13 @@ def nls_solve(
         barrier_strategy=params.qp_barrier_strategy,
         initialize_mu_with_complementarity=False,
         initial_guess_method=(
-            InitialGuessMethod.SOLVE_EQUALITY_CONSTRAINED
-            if has_eq
-            else InitialGuessMethod.NAIVE
+            params.qp_initial_guess_method
+            if params.qp_initial_guess_method is not None
+            else (
+                InitialGuessMethod.SOLVE_EQUALITY_CONSTRAINED
+                if has_eq
+                else InitialGuessMethod.NAIVE
+            )
         ),
         kkt_solver=params.kkt_solver,
         record_history=params.record_history,
