@@ -179,3 +179,57 @@ def test_rollout_batch_matches_single():
         np.testing.assert_allclose(bs[b], s, atol=1e-9)
         np.testing.assert_allclose(bu[b], u, atol=1e-9)
         np.testing.assert_array_equal(bt[b], t)
+
+
+def test_nonlinear_state_constraint_tip_wall():
+    """Nonlinear state constraints compose with the MPC transcription through
+    the slack lift (ineq.py): keep the pole TIP x-position p + l sin(theta)
+    behind a wall the unconstrained swing crosses. The optimal trajectory
+    rides the wall (active constraint) while the dynamics defects stay exact
+    -- a constraint class the reference cannot express at all."""
+    import dataclasses
+
+    from mini_opt_tpu import InitialGuessMethod, make_residual
+    from mini_opt_tpu.ineq import with_nonlinear_inequalities
+    from mini_opt_tpu.nonlinear import nls_solve
+
+    T, dt = 10, 0.06
+    x0 = jnp.array([0.0, 0.8, 0.3, 0.0])
+    base = mpc.make_cartpole_mpc_problem(CP, x0, T, dt)
+    params = mpc.default_mpc_params(jnp.float64, max_iterations=20)
+    z0 = mpc.initial_guess(CP, x0, T, dt)
+
+    def tips(z):
+        xs = jnp.stack(
+            [z[jnp.array(mpc.x_indices(T, t))] for t in range(1, T + 1)]
+        )
+        return xs[:, 0] + CP.length * jnp.sin(xs[:, 2])
+
+    res0 = nls_solve(base, params, z0)
+    assert bool(termination_state_indicates_satisfied_tol(res0.termination_state))
+    wall = float(jnp.max(tips(res0.x))) - 0.05  # 5 cm inside the free swing
+
+    gs = tuple(
+        make_residual(
+            mpc.x_indices(T, t),
+            lambda xl, w=wall, length=CP.length: jnp.array(
+                [w - (xl[0] + length * jnp.sin(xl[2]))]
+            ),
+            1,
+        )
+        for t in range(1, T + 1)
+    )
+    aug = with_nonlinear_inequalities(base, gs)
+    params_n = dataclasses.replace(
+        params,
+        qp_initial_guess_method=InitialGuessMethod.NAIVE,
+        max_iterations=30,
+    )
+    res = jax.jit(lambda z: nls_solve(aug.problem, params_n, z))(
+        aug.initial_guess(z0)
+    )
+    assert bool(termination_state_indicates_satisfied_tol(res.termination_state))
+    g = np.asarray(aug.constraint_values(res.x))
+    assert g.min() >= -1.0e-8          # wall never crossed
+    assert g.min() < 1.0e-6            # ... and genuinely active (rides it)
+    assert float(res.errors.equality) < 1.0e-10  # dynamics defects exact
