@@ -19,8 +19,10 @@ equality row ``g_i(x) - s_i = 0`` carries the same Lagrange multiplier as the
 original inequality (KKT: ``grad f = sum_i lambda_i grad g_i`` with
 ``lambda_i >= 0``), recoverable from the augmented QP's ``y`` block.
 
-Solver configuration: pass ``NLSParams(qp_initial_guess_method=
-InitialGuessMethod.NAIVE)``. The reference's structure-driven
+Solver configuration: ``nls_solve`` accepts the
+:class:`NonlinearInequalityProblem` wrapper directly and forces
+``qp_initial_guess_method=NAIVE`` (also available explicitly via
+``.params(base)``). The reference's structure-driven
 SOLVE_EQUALITY_CONSTRAINED warm start clamps slacks exactly onto their bound
 whenever the equality-only step violates ``s >= 0``; the ``s = max(1e-9, .)``
 heuristic (qp.cc:470-481) then weights the slack identity block of ``A_eq``
@@ -37,9 +39,10 @@ from typing import Callable, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from .nonlinear import Problem
+from .nonlinear import NLSParams, Problem
 from .qp import Var
 from .residual import Residual
+from .structs import InitialGuessMethod
 
 
 def _slackened(g: Residual, slack_index: Tuple[int, ...]) -> Residual:
@@ -115,9 +118,34 @@ class NonlinearInequalityProblem:
 
     def constraint_values(self, x_aug: jax.Array) -> jax.Array:
         """Stacked ``g(x)`` at an augmented iterate (not the slacks: the true
-        constraint values at the extracted base point)."""
+        constraint values at the extracted base point). Batched inputs
+        ``(B, n_aug)`` map over the leading axis (``Residual.error_vector``
+        gathers along axis 0, so a raw batched call would gather batch rows
+        instead of variables)."""
+        if jnp.ndim(x_aug) > 1:
+            return jax.vmap(self.constraint_values)(x_aug)
         x = self.extract(x_aug)
         return jnp.concatenate([g.error_vector(x) for g in self.inequalities])
+
+    def params(self, base: Optional[NLSParams] = None) -> NLSParams:
+        """A solver configuration safe for this augmented problem.
+
+        Forces ``qp_initial_guess_method=NAIVE``: the structure-driven
+        SOLVE_EQUALITY_CONSTRAINED warm start clamps slacks exactly onto
+        their bound, which makes the condensed KKT matrix singular whenever
+        slackened rows are dependent in the base columns (see module
+        docstring). ``nls_solve`` applies the same override automatically
+        when handed this wrapper directly.
+        """
+        base = base if base is not None else NLSParams()
+        if base.qp_initial_guess_method == InitialGuessMethod.SOLVE_EQUALITY_CONSTRAINED:
+            raise ValueError(
+                "SOLVE_EQUALITY_CONSTRAINED warm starts are singular on "
+                "slack-lifted problems; use NAIVE (the default here)"
+            )
+        return dataclasses.replace(
+            base, qp_initial_guess_method=InitialGuessMethod.NAIVE
+        )
 
 
 def with_nonlinear_inequalities(
@@ -140,6 +168,14 @@ def with_nonlinear_inequalities(
     """
     ineqs = tuple(inequalities)
     n = problem.dimension
+    for k, g in enumerate(ineqs):
+        if max(g.index) >= n:
+            raise ValueError(
+                f"inequality residual {k} references variable "
+                f"{max(g.index)} but the base problem has dimension {n}; "
+                "indices in [n, n+slack_dim) would alias another "
+                "constraint's slack column"
+            )
     offset = n
     eqs = list(problem.equality_constraints)
     box = list(problem.inequality_constraints)

@@ -982,6 +982,13 @@ def nls_solve(
     """
     from .assertions import validate_problem
 
+    if hasattr(problem, "base_dimension") and hasattr(problem, "inequalities"):
+        # A NonlinearInequalityProblem wrapper (ineq.py): unwrap and force the
+        # slack-safe QP warm start so default usage cannot silently pick the
+        # singular SOLVE_EQUALITY_CONSTRAINED guess (see ineq.py docstring).
+        params = problem.params(params)
+        problem = problem.problem
+
     validate_problem(problem)
     if (
         cg_preconditioner is not None

@@ -206,6 +206,61 @@ def test_elbow_keep_out_ik():
     assert g < 0.05  # ... and genuinely near-active (the obstacle bound it)
 
 
+def test_wrapper_accepted_by_nls_solve_with_default_params():
+    """nls_solve takes the NonlinearInequalityProblem itself and forces the
+    slack-safe NAIVE warm start: with DEFAULT params this multi-block
+    projection previously picked SOLVE_EQUALITY_CONSTRAINED, hit the singular
+    condensed KKT, and returned x0 unchanged (QP_INDEFINITE)."""
+    cost = make_residual((0, 1), lambda xl: xl - jnp.array([-2.0, -2.0]), dim=2)
+    g_box = make_residual((0, 1), lambda xl: xl + 1.0, dim=2)
+    g_sum = make_residual((0, 1), lambda xl: jnp.array([xl[0] + xl[1] + 1.5]), dim=1)
+    base = Problem(dimension=2, costs=(cost,))
+    aug = with_nonlinear_inequalities(base, (g_box, g_sum))
+    params = NLSParams(
+        max_iterations=40, max_qp_iterations=10, max_line_search_iterations=5
+    )  # guess method deliberately left at the structure-driven default
+    res = jax.jit(lambda x: nls_solve(aug, params, x))(
+        aug.initial_guess(jnp.array([0.0, 0.0]))
+    )
+    np.testing.assert_allclose(
+        np.asarray(aug.extract(res.x)), [-0.75, -0.75], atol=1.0e-6
+    )
+
+
+def test_params_override_and_explicit_conflict_rejected():
+    import pytest
+
+    aug = with_nonlinear_inequalities(BASE, (disk(1.0),))
+    p = aug.params(NLSParams(max_iterations=7))
+    assert p.qp_initial_guess_method == InitialGuessMethod.NAIVE
+    assert p.max_iterations == 7
+    assert aug.params().qp_initial_guess_method == InitialGuessMethod.NAIVE
+    with pytest.raises(ValueError, match="singular"):
+        aug.params(
+            NLSParams(
+                qp_initial_guess_method=InitialGuessMethod.SOLVE_EQUALITY_CONSTRAINED
+            )
+        )
+
+
+def test_out_of_range_inequality_index_rejected():
+    import pytest
+
+    g_bad = make_residual((0, 2), lambda xl: jnp.array([xl[0] + xl[1]]), dim=1)
+    with pytest.raises(ValueError, match="dimension 2"):
+        with_nonlinear_inequalities(BASE, (g_bad,))
+
+
+def test_constraint_values_batched():
+    aug = with_nonlinear_inequalities(BASE, (disk(1.0),))
+    xs = jnp.array([[0.5, -0.5], [0.9, 0.1]])
+    x_aug = jax.vmap(aug.initial_guess)(xs)
+    g = aug.constraint_values(x_aug)
+    assert g.shape == (2, 1)
+    expected = 1.0 - jnp.sum(xs * xs, axis=1)
+    np.testing.assert_allclose(np.asarray(g[:, 0]), np.asarray(expected), atol=1e-12)
+
+
 def test_wrap_retraction():
     aug = with_nonlinear_inequalities(BASE, (disk(1.0),))
     calls = []
