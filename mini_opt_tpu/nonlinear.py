@@ -58,6 +58,7 @@ from .structs import (
     QPTerminationState,
     StepSizeSelectionResult,
 )
+from .utils.tracing import annotate, traced_phase
 
 Retraction = Callable[[jax.Array, jax.Array, jax.Array], jax.Array]
 CostTerm = Union[Residual, BlockResidual]
@@ -280,6 +281,7 @@ def _damp(qp: QP, lam) -> QP:
     )
 
 
+@traced_phase("LinearizeAndFillQP")
 def linearize_and_fill_qp(
     problem: Problem, x: jax.Array, lam, axis_name: Optional[str] = None
 ) -> Tuple[QP, Errors]:
@@ -297,6 +299,7 @@ def linearize_and_fill_qp(
     return _damp(qp, lam), errors
 
 
+@traced_phase("EvaluateNonlinearErrors")
 def evaluate_nonlinear_errors(
     problem: Problem, x: jax.Array, axis_name: Optional[str] = None
 ) -> Errors:
@@ -408,6 +411,7 @@ def _box_bounds(problem: Problem, dtype):
     return lo, hi
 
 
+@traced_phase("ComputeStepDirection")
 def _cg_step_direction(
     problem: Problem, x, lam, params: "NLSParams", diag_fn, axis_name=None,
     bounds=None, prec_fn=None,
@@ -557,6 +561,7 @@ def compute_second_order_correction(
     return -jnp.linalg.pinv(qp.A_eq) @ g
 
 
+@traced_phase("ComputeQPCostDerivative")
 def compute_qp_cost_derivative(qp: QP, dx: jax.Array) -> DirectionalDerivatives:
     """Directional derivative of cost + L1 equality merit along dx
     (nonlinear.cc:457-482)."""
@@ -758,6 +763,7 @@ def _select_step_size_parallel(
     return status, candidate, final_errors, steps
 
 
+@traced_phase("SelectStepSize")
 def select_step_size(
     problem: Problem,
     params: NLSParams,
@@ -935,6 +941,7 @@ def _uses_null_space(problem: Problem) -> bool:
     )
 
 
+@traced_phase("Solve")
 def nls_solve(
     problem: Problem,
     params: NLSParams,
@@ -1080,7 +1087,8 @@ def nls_solve(
         if use_cg:
             pass
         elif use_ns:
-            ns = qp_null_space_solve(qp)
+            with annotate("ComputeStepDirection"):
+                ns = qp_null_space_solve(qp)
             dx = ns.x
             # Any NS failure (non-PD reduced Hessian, inconsistent degenerate
             # constraints) terminates the outer loop via the QP_INDEFINITE
@@ -1105,7 +1113,8 @@ def nls_solve(
                 else "complementarity",
                 has_eq,
             )
-            dx, y_qp = fused(qp.G, qp.c, qp.A_eq, qp.b_eq, qp.ineq_a, qp.ineq_b)
+            with annotate("ComputeStepDirection"):
+                dx, y_qp = fused(qp.G, qp.c, qp.A_eq, qp.b_eq, qp.ineq_a, qp.ineq_b)
             qp_indefinite = ~jnp.all(jnp.isfinite(dx))
             dx = jnp.where(qp_indefinite, jnp.zeros_like(dx), dx)
             qp_term = jnp.where(
@@ -1118,7 +1127,8 @@ def nls_solve(
             qp_hist_row = None
             lagrange_l_inf = jnp.max(jnp.abs(y_qp)) if has_eq else None
         else:
-            ipres = qp_ip_solve(qp, qp_params)
+            with annotate("ComputeStepDirection"):
+                ipres = qp_ip_solve(qp, qp_params)
             dx = ipres.x
             # The reference throws FailedFactorization here; we terminate
             # with QP_INDEFINITE status instead (jit-safe).

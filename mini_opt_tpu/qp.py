@@ -42,6 +42,7 @@ from .structs import (
     QPTerminationState,
     _pytree_dataclass,
 )
+from .utils.tracing import traced_phase
 
 
 # ---------------------------------------------------------------------------
@@ -454,6 +455,7 @@ class _IPCarry(NamedTuple):
     history: QPIterationHistory
 
 
+@traced_phase("QPInteriorPointSolve")
 def qp_ip_solve(
     qp: QP,
     params: QPInteriorPointParams = QPInteriorPointParams(),
@@ -676,6 +678,7 @@ def build_full_kkt_system(qp: QP, x, s, y, z):
 # ---------------------------------------------------------------------------
 
 
+@traced_phase("QPNullSpaceSolve")
 def qp_null_space_solve(qp: QP) -> QPNullSpaceResult:
     """Equality-constrained QP via the null-space method (qp.cc:657-729),
     rank-aware.

@@ -17,6 +17,7 @@ reference gates the same functionality behind a compile flag
 from __future__ import annotations
 
 import contextlib
+import functools
 import json
 import os
 import threading
@@ -87,6 +88,24 @@ def annotate(name: str) -> Iterator[None]:
     with scoped_trace(name):
         with jax.named_scope(name):
             yield
+
+
+def traced_phase(name: str):
+    """Decorator form of :func:`annotate` — the analog of the reference's
+    ``MINI_OPT_FUNCTION_TRACE()`` at the top of each solver phase
+    (nonlinear.cc:77,173,218,280,355,459). Under ``jit`` the host timer
+    records the trace-time cost once and the ``named_scope`` label survives
+    into the jaxpr/HLO so device profiles attribute ops to the phase."""
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapper(*args, **kwargs):
+            with annotate(name):
+                return fn(*args, **kwargs)
+
+        return wrapper
+
+    return deco
 
 
 @contextlib.contextmanager

@@ -75,6 +75,62 @@ def test_trace_collector(tmp_path):
     assert os.path.getsize(path) > 0
 
 
+def test_solver_emits_phase_trace_events():
+    """The solver itself is instrumented (nonlinear.cc:77,173,218,280,355,459
+    wrap the six phases in scoped timers): a solve emits the phase events to
+    the collector with no user wrapping, and the named_scope labels survive
+    into the jaxpr so device profiles attribute ops to phases."""
+    import jax
+
+    from mini_opt_tpu import NLSParams, Problem, make_residual, nls_solve
+    from mini_opt_tpu.utils.tracing import trace_collector
+
+    rosen = make_residual(
+        (0, 1),
+        lambda xy: jnp.stack([1.0 - xy[0], 10.0 * (xy[1] - xy[0] * xy[0])]),
+        dim=2,
+    )
+    problem = Problem(dimension=2, costs=(rosen,))
+    params = NLSParams(max_iterations=5, max_qp_iterations=5)
+
+    trace_collector.clear()
+    res = nls_solve(problem, params, jnp.array([-1.0, 2.0]))
+    assert bool(jnp.all(jnp.isfinite(res.x)))  # convergence not the point here
+    doc = json.loads(trace_collector.get_trace_json())
+    names = {e["name"] for e in doc["traceEvents"]}
+    for phase in (
+        "Solve",
+        "LinearizeAndFillQP",
+        "ComputeStepDirection",
+        "SelectStepSize",
+        "EvaluateNonlinearErrors",
+        "ComputeQPCostDerivative",
+        "QPInteriorPointSolve",
+    ):
+        assert phase in names, f"missing phase event {phase}: {sorted(names)}"
+
+    # Under jit the phases are traced once; events still land.
+    trace_collector.clear()
+    jax.jit(lambda x: nls_solve(problem, params, x))(jnp.array([-1.0, 2.0]))
+    names = {
+        e["name"]
+        for e in json.loads(trace_collector.get_trace_json())["traceEvents"]
+    }
+    assert "LinearizeAndFillQP" in names and "SelectStepSize" in names
+
+    # named_scope labels survive lowering into HLO location metadata (the
+    # attribution device profiles use); jaxpr's default printer hides the
+    # name stack, so check the lowered text with debug info.
+    hlo_text = (
+        jax.jit(lambda x: nls_solve(problem, params, x))
+        .lower(jnp.array([-1.0, 2.0]))
+        .as_text(debug_info=True)
+    )
+    assert "LinearizeAndFillQP" in hlo_text
+    assert "QPInteriorPointSolve" in hlo_text
+    assert "SelectStepSize" in hlo_text
+
+
 def test_warm_start_round_trip(tmp_path):
     from mini_opt_tpu import (
         QP,
