@@ -72,6 +72,7 @@ from .ops.pallas_ik import (
     fused_solve_proximal,
     fused_solve_refined,
     fused_spatial_ik_solve_batch,
+    fused_termination_status,
 )
 from .ops.pallas_qp import make_fused_qp_solver
 from .qp import (

@@ -504,7 +504,7 @@ def _make_kernel(
             mu = 0.1 * (comp / ncon)
         return x, y
 
-    def kernel(tgt_ref, x0_ref, out_ref, *hist_refs):
+    def kernel(tgt_ref, x0_ref, out_ref, stat_ref, *hist_refs):
         # Blocks are (vars, 1, 8, 128): each per-variable tile fills all
         # 8 sublanes x 128 lanes of a VPU register (a (1, BB) row layout
         # would waste 7/8 of each vector op). ONE layout for both the
@@ -668,6 +668,12 @@ def _make_kernel(
         better = f_fin + penalty * eq_fin < f_best + penalty * eq_best
         for i in range(n):
             out_ref[i, 0] = jnp.where(better, th[i], th_best[i])
+        # Per-lane terminal state (structs.hpp:233-248 contract for the
+        # serving tier): the (f, |eq|_1) of the RETURNED iterate, already in
+        # registers -- the host derives an int32 status at the family's gate
+        # (fused_termination_status) without a second evaluation pass.
+        stat_ref[0, 0] = jnp.where(better, f_fin, f_best)
+        stat_ref[1, 0] = jnp.where(better, eq_fin, eq_best)
 
     return kernel
 
@@ -682,6 +688,7 @@ def _make_kernel(
         "line_search",
         "barrier",
         "debug_history",
+        "return_state",
     ),
 )
 def fused_solve_batch(
@@ -700,17 +707,22 @@ def fused_solve_batch(
     # nls_solve's recorded history); 2+ are solver internals for kernel
     # forensics.
     debug_history: bool = False,
+    # True additionally returns per-lane terminal state (B, 2): columns
+    # (f, |eq|_1) at the returned iterate, already computed in kernel
+    # registers. Feed to fused_termination_status for an int32 status
+    # (the serving-tier analog of the structs.hpp:233-248 contract).
+    return_state: bool = False,
 ):
     """Solve B instances of a DSL-defined family with one fused kernel.
 
     ``family`` must be a stable (module-level / cached) ``FusedFamily``
     instance -- it is a static jit argument hashed by identity. Returns
-    (B, n), or ((B, n), (B, max_iterations, 7 + n)) with ``debug_history``
-    (channel layout above).
+    (B, n); with ``return_state`` ((B, n), (B, 2)); ``debug_history``
+    appends (B, max_iterations, 7 + n) (channel layout above).
     """
     return _fused_solve(
         family, data, x0, max_iterations, qp_iterations, ls_iterations,
-        line_search, barrier, debug_history,
+        line_search, barrier, debug_history, return_state,
     )
 
 
@@ -724,6 +736,7 @@ def fused_solve_batch(
         "line_search",
         "barrier",
         "debug_history",
+        "return_state",
     ),
 )
 def fused_ik_solve_batch(
@@ -741,14 +754,14 @@ def fused_ik_solve_batch(
     # tests/test_pallas_ik.py).
     barrier: str = "mpc",  # or "complementarity"
     debug_history: bool = False,
+    return_state: bool = False,
 ):
     """Solve B planar n-link IK instances with the fused kernel.
-    Returns (B, n), or ((B, n), (B, max_iterations, 7 + n)) with
-    debug_history (channel layout: see fused_solve_batch)."""
+    Returns (B, n); optional extras as in fused_solve_batch."""
     family = planar_family(x0.shape[1], link_len)
     return _fused_solve(
         family, targets, x0, max_iterations, qp_iterations, ls_iterations,
-        line_search, barrier, debug_history,
+        line_search, barrier, debug_history, return_state,
     )
 
 
@@ -762,6 +775,7 @@ def fused_ik_solve_batch(
         "line_search",
         "barrier",
         "debug_history",
+        "return_state",
     ),
 )
 def fused_spatial_ik_solve_batch(
@@ -774,19 +788,20 @@ def fused_spatial_ik_solve_batch(
     line_search: str = "armijo",
     barrier: str = "mpc",
     debug_history: bool = False,
+    return_state: bool = False,
 ):
     """Solve B spatial (alternating z/y axis) n-link IK instances with the
-    fused kernel -- the non-planar family. Returns (B, n) (+history)."""
+    fused kernel -- the non-planar family. Returns (B, n) (+extras)."""
     family = spatial_family(x0.shape[1], link_len)
     return _fused_solve(
         family, targets, x0, max_iterations, qp_iterations, ls_iterations,
-        line_search, barrier, debug_history,
+        line_search, barrier, debug_history, return_state,
     )
 
 
 def _fused_solve(
     family, targets, x0, max_iterations, qp_iterations, ls_iterations,
-    line_search, barrier, debug_history,
+    line_search, barrier, debug_history, return_state=False,
 ):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -811,9 +826,15 @@ def _fused_solve(
         return jnp.moveaxis(p, 0, -1).reshape(arr.shape[1], grid, 8, 128)
 
     out_specs = [
-        pl.BlockSpec((n, 1, 8, 128), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM)
+        pl.BlockSpec((n, 1, 8, 128), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM),
+        # per-lane terminal (f, |eq|_1) registers -- always emitted (two
+        # vector stores per tile; free next to the solve itself)
+        pl.BlockSpec((2, 1, 8, 128), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM),
     ]
-    out_shapes = [jax.ShapeDtypeStruct((n, grid, 8, 128), targets.dtype)]
+    out_shapes = [
+        jax.ShapeDtypeStruct((n, grid, 8, 128), targets.dtype),
+        jax.ShapeDtypeStruct((2, grid, 8, 128), targets.dtype),
+    ]
     n_dbg = 7 + n  # _DEBUG_CHANNELS: f, eq, penalty, lam, dd, accepted, alpha, dx_i
     if debug_history:
         out_specs.append(
@@ -843,17 +864,55 @@ def _fused_solve(
                 (n, 1, 8, 128), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
             ),
         ],
-        out_specs=out_specs if debug_history else out_specs[0],
-        out_shape=out_shapes if debug_history else out_shapes[0],
+        out_specs=out_specs,
+        out_shape=out_shapes,
         interpret=_interpret(),
     )(pack(targets, 0.5), pack(x0, 0.3))
     if debug_history:
-        out, hist = res
-        x = jnp.moveaxis(out.reshape(n, b_pad), -1, 0)[:B]
-        # (iters, 2, grid, 8, 128) -> (B, iters, 2)
+        out, stat, hist = res
+    else:
+        out, stat = res
+    x = jnp.moveaxis(out.reshape(n, b_pad), -1, 0)[:B]
+    outs = [x]
+    if return_state:
+        # (2, grid, 8, 128) -> (B, 2): columns are (f, |eq|_1) at the
+        # returned iterate.
+        outs.append(jnp.moveaxis(stat.reshape(2, b_pad), -1, 0)[:B])
+    if debug_history:
+        # (iters, n_dbg, grid, 8, 128) -> (B, iters, n_dbg)
         h = jnp.moveaxis(hist.reshape(max_iterations, n_dbg, b_pad), -1, 0)[:B]
-        return x, h
-    return jnp.moveaxis(res.reshape(n, b_pad), -1, 0)[:B]
+        outs.append(h)
+    return tuple(outs) if len(outs) > 1 else x
+
+
+def fused_termination_status(
+    state: jax.Array,  # (B, 2): (f, |eq|_1) from return_state=True
+    f_tol: float = 1.0e-6,
+    eq_tol: float = 1.0e-5,
+) -> jax.Array:
+    """Derive an int32 per-lane NLSTerminationState from the fused kernel's
+    emitted terminal (f, |eq|_1) registers -- the serving-tier analog of the
+    reference's typed-outcome contract (structs.hpp:233-248). A lane is
+    SATISFIED_ABSOLUTE_TOL at the family's gate (cost and equality both under
+    tolerance), MAX_ITERATIONS when finite but unconverged (the fixed-trip
+    budget ran out -- e.g. a trapped redundant-chain lane), and MAX_LAMBDA
+    for non-finite lanes (the kernel's best-merit guard keeps the returned
+    iterate itself finite; non-finite state means the lane never produced a
+    valid merit, the in-kernel analog of the LM restore machine failing)."""
+    from ..structs import NLSTerminationState
+
+    f, eq = state[..., 0], state[..., 1]
+    finite = jnp.isfinite(f) & jnp.isfinite(eq)
+    converged = finite & (f <= f_tol) & (eq <= eq_tol)
+    return jnp.where(
+        converged,
+        jnp.int32(NLSTerminationState.SATISFIED_ABSOLUTE_TOL),
+        jnp.where(
+            finite,
+            jnp.int32(NLSTerminationState.MAX_ITERATIONS),
+            jnp.int32(NLSTerminationState.MAX_LAMBDA),
+        ),
+    )
 
 
 def fused_solve_refined(
@@ -879,7 +938,11 @@ def fused_solve_refined(
     Requires x64 enabled; otherwise the refinement silently runs in f32 and
     can only match the kernel. Returns (B, n) in x0's dtype."""
     n = family.n
-    x = fused_solve_batch(family, data, x0, **kernel_kwargs)
+    # The kernel emits per-lane terminal (f, |eq|_1) for free -- the
+    # worst-lane selection needs no re-evaluation pass.
+    x, state = fused_solve_batch(
+        family, data, x0, return_state=True, **kernel_kwargs
+    )
 
     def merit_of(xs, ds):
         f, eq = family.errors(
@@ -888,7 +951,7 @@ def fused_solve_refined(
         )
         return f + eq_penalty * eq
 
-    merit = merit_of(x, data)
+    merit = state[:, 0] + eq_penalty * state[:, 1]
     _, worst = jax.lax.top_k(merit, refine_k)
     d64 = data[worst].astype(jnp.float64)
     xr = refine_fn(d64, x0[worst].astype(jnp.float64))

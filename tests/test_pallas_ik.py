@@ -232,6 +232,67 @@ def test_fused_kernel_state_parity_vs_general_solver():
         assert np.quantile(dx, 0.9) < 1e-3, f"{barrier}: x drift {np.sort(dx)[-8:]}"
 
 
+@np.errstate(all="ignore")
+def test_fused_kernel_per_lane_status():
+    """Serving-tier typed-outcome contract (structs.hpp:233-248): the kernel
+    emits each lane's terminal (f, |eq|_1) registers; fused_termination_status
+    derives an int32 status that must agree with the general path's outcome
+    at the same gate on a mixed converging/trapped batch."""
+    from mini_opt_tpu.ops.pallas_ik import fused_termination_status
+    from mini_opt_tpu.structs import BarrierStrategy, NLSTerminationState
+
+    B = 64
+    targets, x0 = _instances(B, seed=11)
+    # Half the batch: unreachable targets (|t| > total reach 0.8) -- those
+    # lanes cannot satisfy the hard x-equality and must report unconverged.
+    rng = np.random.default_rng(12)
+    targets[B // 2 :, 0] = rng.uniform(1.1, 1.5, B // 2)
+    targets[B // 2 :, 1] = rng.uniform(0.1, 0.4, B // 2)
+
+    x, state = fused_ik_solve_batch(
+        jnp.asarray(targets, jnp.float32),
+        jnp.asarray(x0, jnp.float32),
+        return_state=True,
+    )
+    assert state.shape == (B, 2)
+
+    # The emitted registers ARE the family errors at the returned iterate.
+    chain = make_planar_chain(2, dtype=jnp.float64)
+    eff = np.asarray(
+        jax.vmap(lambda t: chain.update(t).translation[:2])(
+            jnp.asarray(np.asarray(x), jnp.float64)
+        )
+    )
+    f_re = 0.5 * (eff[:, 1] - targets[:, 1]) ** 2
+    eq_re = np.abs(eff[:, 0] - targets[:, 0])
+    st = np.asarray(state)
+    scale = 1.0 + np.maximum(f_re, eq_re)
+    assert (np.abs(st[:, 0] - f_re) / scale < 1e-4).all()
+    assert (np.abs(st[:, 1] - eq_re) / scale < 1e-4).all()
+
+    status = np.asarray(fused_termination_status(state, f_tol=1e-5, eq_tol=1e-3))
+    sat = status == int(NLSTerminationState.SATISFIED_ABSOLUTE_TOL)
+    maxit = status == int(NLSTerminationState.MAX_ITERATIONS)
+    assert (sat | maxit).all()  # every lane finite on this batch
+
+    # General path on identical instances, judged at the SAME gate.
+    res = _general_solver_history(targets, x0, BarrierStrategy.PREDICTOR_CORRECTOR)
+    eff_g = np.asarray(
+        jax.vmap(lambda t: chain.update(t).translation[:2])(
+            jnp.asarray(np.asarray(res.x), jnp.float64)
+        )
+    )
+    sat_g = (0.5 * (eff_g[:, 1] - targets[:, 1]) ** 2 < 1e-5) & (
+        np.abs(eff_g[:, 0] - targets[:, 0]) < 1e-3
+    )
+    assert (sat == sat_g).all(), (
+        f"status disagreement on lanes {np.nonzero(sat != sat_g)[0]}"
+    )
+    # And the construction worked: reachable lanes converged, trapped didn't.
+    assert sat[: B // 2].mean() >= 0.95
+    assert not sat[B // 2 :].any()
+
+
 def _spatial_instances(B, n=3, seed=0):
     from mini_opt_tpu.models.ik import make_spatial_chain
 
