@@ -51,7 +51,13 @@ def validate_problem(problem) -> None:
     for res in list(problem.costs) + list(problem.equality_constraints):
         idx = getattr(res, "index", None)
         if idx is None:
-            continue
+            # BlockResidual: validate static (tuple) index rows; traced
+            # index arrays are checked structurally at trace time only.
+            block_idx = getattr(res, "indices", None)
+            if isinstance(block_idx, tuple):
+                idx = [i for row_ in block_idx for i in row_]
+            else:
+                continue
         for i in idx:
             f_assert_ge(i, 0, "Residual index must be non-negative")
             f_assert_lt(

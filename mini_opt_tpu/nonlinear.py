@@ -39,6 +39,7 @@ from .residual import (
     Residual,
     accumulate_hessian,
     accumulate_hessian_block,
+    constraint_rows,
     fill_jacobian_rows,
 )
 from .structs import (
@@ -79,7 +80,9 @@ class Problem:
 
     @property
     def total_eq_dim(self) -> int:
-        return sum(c.dim for c in self.equality_constraints)
+        from .residual import constraint_rows as _rows
+
+        return sum(_rows(c) for c in self.equality_constraints)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -246,7 +249,7 @@ def _linearize_raw(
     row = 0
     for eq in problem.equality_constraints:
         A_eq, b_eq = fill_jacobian_rows(A_eq, b_eq, eq, x, row)
-        row += eq.dim
+        row += constraint_rows(eq)
     eq_l1 = jnp.sum(jnp.abs(b_eq)) if k_total > 0 else jnp.zeros((), dtype)
 
     m = len(problem.inequality_constraints)
@@ -317,7 +320,10 @@ def evaluate_nonlinear_errors(
         f = jax.lax.psum(f, axis_name)
     eq = jnp.zeros((), dtype)
     for eq_c in problem.equality_constraints:
-        eq = eq + jnp.sum(jnp.abs(eq_c.error_vector(x)))
+        if isinstance(eq_c, BlockResidual):
+            eq = eq + jnp.sum(jnp.abs(eq_c.error_vectors(x)))
+        else:
+            eq = eq + jnp.sum(jnp.abs(eq_c.error_vector(x)))
     return Errors(f=f, equality=eq)
 
 
@@ -333,8 +339,14 @@ def _stacked_residual(problem: Problem, x: jax.Array) -> jax.Array:
 
 
 def _stacked_equality(problem: Problem, x: jax.Array) -> jax.Array:
-    """All equality-constraint residuals as one flat vector."""
-    parts = [c_.error_vector(x) for c_ in problem.equality_constraints]
+    """All equality-constraint residuals as one flat vector (block-major for
+    BlockResidual, matching fill_jacobian_rows' row order)."""
+    parts = [
+        c_.error_vectors(x).ravel()
+        if isinstance(c_, BlockResidual)
+        else c_.error_vector(x)
+        for c_ in problem.equality_constraints
+    ]
     return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
 
 
@@ -556,7 +568,12 @@ def compute_second_order_correction(
     Utility-level like the reference (not wired into the driver); jittable.
     """
     g = jnp.concatenate(
-        [eq.error_vector(x_updated) for eq in problem.equality_constraints]
+        [
+            eq.error_vectors(x_updated).ravel()
+            if isinstance(eq, BlockResidual)
+            else eq.error_vector(x_updated)
+            for eq in problem.equality_constraints
+        ]
     )
     return -jnp.linalg.pinv(qp.A_eq) @ g
 

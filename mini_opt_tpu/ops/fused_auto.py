@@ -45,7 +45,7 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 
-from ..residual import Residual
+from ..residual import BlockResidual, Residual
 from .pallas_ik import FusedFamily
 
 
@@ -58,12 +58,23 @@ def _probe_structure(problem_builder, data_rows):
     n = probe.dimension
     for group in (probe.costs, probe.equality_constraints):
         for r in group:
-            if not isinstance(r, Residual):
-                raise TypeError(
-                    "family_from_problem supports plain Residual costs only "
-                    f"(got {type(r).__name__}); BlockResidual families are "
-                    "large-N problems -- use the CG path for those."
-                )
+            if isinstance(r, Residual):
+                continue
+            if isinstance(r, BlockResidual):
+                # Small homogeneous blocks (MPC tracking rows, pose-graph
+                # edges at small N) unroll into per-block register code; the
+                # block count and index rows must be static Python.
+                if not isinstance(r.indices, tuple):
+                    raise TypeError(
+                        "family_from_problem needs STATIC BlockResidual "
+                        "indices (nested tuples); traced index arrays are "
+                        "the sharded large-N case -- use the CG path."
+                    )
+                continue
+            raise TypeError(
+                "family_from_problem supports Residual and static-index "
+                f"BlockResidual costs (got {type(r).__name__})."
+            )
     lower = [None] * n
     upper = [None] * n
     for con in probe.inequality_constraints:
@@ -77,7 +88,10 @@ def _probe_structure(problem_builder, data_rows):
             lower[v] = bound if lower[v] is None else max(lower[v], bound)
         else:
             upper[v] = bound if upper[v] is None else min(upper[v], bound)
-    m_eq = sum(c.dim for c in probe.equality_constraints)
+    m_eq = sum(
+        c.dim * (c.num_blocks if isinstance(c, BlockResidual) else 1)
+        for c in probe.equality_constraints
+    )
     return probe, n, tuple(lower), tuple(upper), m_eq
 
 
@@ -113,28 +127,48 @@ def family_from_problem(
     """
     _, n, lower, upper, m_eq = _probe_structure(problem_builder, data_rows)
 
-    def _eval_block(res, x_regs, with_jac):
-        """Evaluate one Residual block on registers.
+    def _eval_one(fn, dim, idx, x_regs, with_jac):
+        """Evaluate one residual block ``fn(xl) -> (dim,)`` on registers.
 
         Returns (rows, cols) where rows[k] is output-row register k and
         cols[a][k] is d rows[k] / d local-param a (None without jac)."""
-        p = len(res.index)
-        xl = jnp.stack([x_regs[i] for i in res.index])  # (P, 8, 128)
+        p = len(idx)
+        xl = jnp.stack([x_regs[i] for i in idx])  # (P, 8, 128)
         if not with_jac:
-            r = res.fn(xl)
-            return [r[k] for k in range(res.dim)], None
+            r = fn(xl)
+            return [r[k] for k in range(dim)], None
         one = jnp.ones_like(x_regs[0])
         zero = jnp.zeros_like(x_regs[0])
         rows = None
         cols = []
         for tangent in _basis_tangents(p, one, zero):
-            r, dr = jax.jvp(res.fn, (xl,), (tangent,))
+            r, dr = jax.jvp(fn, (xl,), (tangent,))
             if rows is None:
-                rows = [r[k] for k in range(res.dim)]
-            cols.append([dr[k] for k in range(res.dim)])
+                rows = [r[k] for k in range(dim)]
+            cols.append([dr[k] for k in range(dim)])
         if rows is None:  # P == 0 cannot happen for a valid Residual
-            rows = [res.fn(xl)[k] for k in range(res.dim)]
+            rows = [fn(xl)[k] for k in range(dim)]
         return rows, cols
+
+    def _iter_blocks(res, x_regs, with_jac):
+        """Yield (global_idx, rows, cols) per block: one for a plain
+        Residual, ``num_blocks`` for a static-index BlockResidual (each
+        unrolled to register code with its own data row bound)."""
+        if isinstance(res, BlockResidual):
+            for b in range(res.num_blocks):
+                idx = tuple(res.indices[b])
+                if res.data is None:
+                    fn = lambda xl, _fn=res.fn: _fn(
+                        xl, jnp.zeros((0,), xl.dtype)
+                    )
+                else:
+                    drow = res.data[b]
+                    fn = lambda xl, _fn=res.fn, _d=drow: _fn(xl, _d)
+                yield idx, *_eval_one(fn, res.dim, idx, x_regs, with_jac)
+        else:
+            yield res.index, *_eval_one(
+                res.fn, res.dim, res.index, x_regs, with_jac
+            )
 
     def linearize(x_regs, data_regs):
         problem = problem_builder(jnp.stack(data_regs))
@@ -143,34 +177,34 @@ def family_from_problem(
         G = [[zero] * (i + 1) for i in range(n)]
         c = [zero] * n
         for cost in problem.costs:
-            rows, cols = _eval_block(cost, x_regs, with_jac=True)
-            for r in rows:
-                f = f + 0.5 * r * r
-            idx = cost.index
-            # J^T J into the global lower triangle, J^T r into the gradient
-            # (residual.hpp:204-224 scatter-add, as static register sums).
-            for a, ga in enumerate(idx):
-                for b, gb in enumerate(idx):
-                    if gb > ga:
-                        continue
-                    acc = G[ga][gb]
+            for idx, rows, cols in _iter_blocks(cost, x_regs, with_jac=True):
+                for r in rows:
+                    f = f + 0.5 * r * r
+                # J^T J into the global lower triangle, J^T r into the
+                # gradient (residual.hpp:204-224 scatter-add, as static
+                # register sums).
+                for a, ga in enumerate(idx):
+                    for b, gb in enumerate(idx):
+                        if gb > ga:
+                            continue
+                        acc = G[ga][gb]
+                        for k in range(cost.dim):
+                            acc = acc + cols[a][k] * cols[b][k]
+                        G[ga][gb] = acc
+                    acc = c[ga]
                     for k in range(cost.dim):
-                        acc = acc + cols[a][k] * cols[b][k]
-                    G[ga][gb] = acc
-                acc = c[ga]
-                for k in range(cost.dim):
-                    acc = acc + cols[a][k] * rows[k]
-                c[ga] = acc
+                        acc = acc + cols[a][k] * rows[k]
+                    c[ga] = acc
         r_eq = []
         J_eq = []
         for con in problem.equality_constraints:
-            rows, cols = _eval_block(con, x_regs, with_jac=True)
-            for k in range(con.dim):
-                r_eq.append(rows[k])
-                row = [zero] * n
-                for a, ga in enumerate(con.index):
-                    row[ga] = cols[a][k]
-                J_eq.append(row)
+            for idx, rows, cols in _iter_blocks(con, x_regs, with_jac=True):
+                for k in range(con.dim):
+                    r_eq.append(rows[k])
+                    row = [zero] * n
+                    for a, ga in enumerate(idx):
+                        row[ga] = cols[a][k]
+                    J_eq.append(row)
         return f, r_eq, J_eq, G, c
 
     def errors(x_regs, data_regs):
@@ -178,14 +212,14 @@ def family_from_problem(
         zero = jnp.zeros_like(x_regs[0])
         f = zero
         for cost in problem.costs:
-            rows, _ = _eval_block(cost, x_regs, with_jac=False)
-            for r in rows:
-                f = f + 0.5 * r * r
+            for _, rows, _ in _iter_blocks(cost, x_regs, with_jac=False):
+                for r in rows:
+                    f = f + 0.5 * r * r
         eq_l1 = zero
         for con in problem.equality_constraints:
-            rows, _ = _eval_block(con, x_regs, with_jac=False)
-            for r in rows:
-                eq_l1 = eq_l1 + jnp.abs(r)
+            for _, rows, _ in _iter_blocks(con, x_regs, with_jac=False):
+                for r in rows:
+                    eq_l1 = eq_l1 + jnp.abs(r)
         return f, eq_l1
 
     return FusedFamily(

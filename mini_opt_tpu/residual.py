@@ -178,12 +178,33 @@ def fill_jacobian_rows(
     A: jax.Array, b: jax.Array, res: Residual, x: jax.Array, row: int
 ) -> Tuple[jax.Array, jax.Array]:
     """UpdateJacobian analog (residual.hpp:229-250): writes this block's
-    linearization into rows [row, row+dim) of the global (A, b)."""
+    linearization into rows [row, row+dim) of the global (A, b). Accepts a
+    BlockResidual too: its ``num_blocks * dim`` rows land consecutively
+    (block-major), assembled by one one-hot einsum instead of a scatter."""
+    if isinstance(res, BlockResidual):
+        r, J = res.errors_and_jacobians(x)  # (B, R), (B, R, P)
+        idx = res._idx()  # (B, P)
+        n = A.shape[-1]
+        onehot = (
+            jnp.arange(n, dtype=idx.dtype)[None, None, :] == idx[:, :, None]
+        ).astype(A.dtype)  # (B, P, N)
+        rows = jnp.einsum("brp,bpn->brn", J, onehot)
+        k = res.num_blocks * res.dim
+        A = A.at[row : row + k, :].set(rows.reshape(k, n))
+        b = b.at[row : row + k].set(r.reshape(k))
+        return A, b
     r, J = res.error_and_jacobian(x)
     idx = jnp.array(res.index, dtype=jnp.int32)
     A = A.at[row : row + res.dim, idx].set(J)
     b = b.at[row : row + res.dim].set(r)
     return A, b
+
+
+def constraint_rows(res) -> int:
+    """Total equality rows contributed by a Residual or BlockResidual."""
+    if isinstance(res, BlockResidual):
+        return res.num_blocks * res.dim
+    return res.dim
 
 
 # ---------------------------------------------------------------------------

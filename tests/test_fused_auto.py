@@ -205,7 +205,9 @@ def test_validator_rejects_non_scalar_style_residual():
         check_family_against_problem(fam, bad_builder, data, x)
 
 
-def test_block_residual_rejected():
+def test_traced_index_block_residual_rejected():
+    """Traced index arrays are the sharded large-N case -- not compilable to
+    a static register kernel; the compiler must say so, not emit garbage."""
     from mini_opt_tpu.residual import BlockResidual
 
     def builder(data):
@@ -213,13 +215,133 @@ def test_block_residual_rejected():
             dimension=2,
             costs=(
                 BlockResidual(
-                    fn=lambda p, d: p, indices=((0, 1),), dim=2, data=None
+                    fn=lambda p, d: p,
+                    indices=jnp.asarray([[0, 1]], jnp.int32),
+                    dim=2,
+                    data=None,
                 ),
             ),
         )
 
-    with pytest.raises(TypeError):
+    with pytest.raises(TypeError, match="STATIC"):
         family_from_problem(builder, data_rows=1)
+
+
+def _block_chain_builder(data):
+    """An MPC-tracking-row-shaped family with BlockResidual costs AND
+    BlockResidual equalities: 4 variables, anchor cost on x0, three
+    homogeneous difference-tracking blocks x_{i+1} - x_i = d_i (one
+    BlockResidual, per-block data), two product equalities x0*x1 = v0,
+    x2*x3 = v1 (one BlockResidual), and a box bound. data rows:
+    [t, d0, d1, d2, v0, v1]."""
+    from mini_opt_tpu.residual import BlockResidual
+
+    diffs = jnp.stack([data[1], data[2], data[3]])[:, None]  # (3, 1)
+    prods = jnp.stack([data[4], data[5]])[:, None]  # (2, 1)
+    return Problem(
+        dimension=4,
+        costs=(
+            make_residual([0], lambda p: jnp.stack([p[0] - data[0]]), 1),
+            BlockResidual(
+                fn=lambda p, d: jnp.stack([p[1] - p[0] - d[0]]),
+                indices=((0, 1), (1, 2), (2, 3)),
+                dim=1,
+                data=diffs,
+            ),
+        ),
+        equality_constraints=(
+            BlockResidual(
+                fn=lambda p, d: jnp.stack([p[0] * p[1] - d[0]]),
+                indices=((0, 1), (2, 3)),
+                dim=1,
+                data=prods,
+            ),
+        ),
+        inequality_constraints=(Var(0) >= 0.1,),
+    )
+
+
+def _block_chain_instances(B, seed=5):
+    rng = np.random.default_rng(seed)
+    t = rng.uniform(0.6, 1.2, B)
+    d = rng.uniform(-0.2, 0.2, (B, 3))
+    v = rng.uniform(0.4, 1.1, (B, 2))
+    data = np.concatenate([t[:, None], d, v], axis=1)
+    x0 = np.column_stack(
+        [t, v[:, 0] / t, np.maximum(t + d[:, 1], 0.4), np.ones(B)]
+    )
+    x0[:, 3] = v[:, 1] / x0[:, 2]
+    return data, x0
+
+
+def test_block_residual_family_register_linearization():
+    """Level 1: the compiled register linearize/errors of a BlockResidual
+    family match the general path's assembly to machine epsilon (VERDICT
+    round-2 item 3: unrolling B homogeneous blocks over registers)."""
+    fam = family_from_problem(_block_chain_builder, data_rows=6)
+    assert fam.n == 4 and fam.m_eq == 2
+    assert fam.lower == (0.1, None, None, None)
+    data, x0 = _block_chain_instances(8)
+    worst = check_family_against_problem(
+        fam, _block_chain_builder, jnp.asarray(data), jnp.asarray(x0)
+    )
+    assert worst < 1e-12
+
+
+def test_block_residual_family_matches_nls_solve():
+    """Levels 2+3: the fused kernel compiled from the BlockResidual family
+    agrees with step-identical nls_solve and satisfies the constraints."""
+    from mini_opt_tpu.structs import BarrierStrategy
+
+    B = 512
+    data, x0 = _block_chain_instances(B, seed=6)
+    data = data.astype(np.float32)
+    x0 = x0.astype(np.float32)
+
+    fam = family_from_problem(_block_chain_builder, data_rows=6)
+    xf = np.asarray(
+        fused_solve_batch(
+            fam, jnp.asarray(data), jnp.asarray(x0),
+            max_iterations=12, qp_iterations=6, ls_iterations=2, barrier="mpc",
+        )
+    )
+
+    params = NLSParams(
+        max_iterations=12,
+        max_qp_iterations=6,
+        max_line_search_iterations=2,
+        line_search_strategy=LineSearchStrategy.ARMIJO_BACKTRACK,
+        armijo_search_tau=0.5,
+        equality_penalty_initial=0.01,
+        lambda_initial=0.001,
+        lambda_failure_init=0.001,
+        min_lambda=1e-9,
+        termination_kkt_tolerance=1e-12,
+        absolute_exit_tol=1e-30,
+        relative_exit_tol=0.0,
+        absolute_first_derivative_tol=0.0,
+        early_exit=False,
+        kkt_solver="ldlt",
+        qp_barrier_strategy=BarrierStrategy.PREDICTOR_CORRECTOR,
+    )
+
+    def solve_one(d, x):
+        return nls_solve(_block_chain_builder(d), params, x).x
+
+    xg = np.asarray(jax.jit(jax.vmap(solve_one))(jnp.asarray(data), jnp.asarray(x0)))
+    dx = np.max(np.abs(xf - xg), axis=1)
+    assert np.quantile(dx, 0.9) < 1e-3, np.sort(dx)[-8:]
+    # Feasibility of the fused result at most 2x the general path's.
+    viol_f = np.maximum(
+        np.abs(xf[:, 0] * xf[:, 1] - data[:, 4]),
+        np.abs(xf[:, 2] * xf[:, 3] - data[:, 5]),
+    )
+    viol_g = np.maximum(
+        np.abs(xg[:, 0] * xg[:, 1] - data[:, 4]),
+        np.abs(xg[:, 2] * xg[:, 3] - data[:, 5]),
+    )
+    assert np.max(viol_f) < max(2.0 * np.max(viol_g), 1e-3)
+    assert np.all(xf[:, 0] >= 0.1 - 1e-4)
 
 
 def test_fused_nls_solve_batch_api():
