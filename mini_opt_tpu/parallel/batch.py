@@ -130,6 +130,44 @@ def shard_solve_batch_2d(
     return run(x0_batch, data_batch, shard_data)
 
 
+def shard_fused_solve_batch(
+    mesh: Mesh,
+    family,
+    data: jax.Array,  # (B, family.data_rows)
+    x0: jax.Array,  # (B, family.n)
+    batch_axis: str = "dp",
+    **kernel_kwargs,
+):
+    """The SERVING tier sharded over ``mesh[batch_axis]``: each device runs
+    the fused whole-solver Pallas kernel (ops/pallas_ik.py) on its local
+    instance shard -- zero communication, linear scaling of the headline
+    fused-kernel throughput across chips. ``kernel_kwargs`` are forwarded to
+    :func:`fused_solve_batch` (budgets, barrier, ``return_state``, ...).
+
+    The batch need not divide the axis size evenly at the kernel level (each
+    shard pads itself to lane tiles), but it must divide it for shard_map's
+    ``P(batch_axis)`` partitioning.
+    """
+    from ..ops.pallas_ik import fused_solve_batch
+
+    spec = P(batch_axis)
+    n_out = 1 + bool(kernel_kwargs.get("return_state")) + bool(
+        kernel_kwargs.get("debug_history")
+    )
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        check_vma=False,
+        in_specs=(spec, spec),
+        out_specs=spec if n_out == 1 else (spec,) * n_out,
+    )
+    def run(d_local, x_local):
+        return fused_solve_batch(family, d_local, x_local, **kernel_kwargs)
+
+    return run(data, x0)
+
+
 def make_mesh(axis_sizes: dict, devices=None) -> Mesh:
     """Build a Mesh over the available devices, e.g. make_mesh({'dp': 4,
     'mp': 2})."""
