@@ -14,6 +14,14 @@ vector ``s`` and becomes
 so the augmented problem is exactly of the class ``nls_solve`` already
 handles -- no solver changes, full telemetry, vmap/shard compatible.
 
+Differentiability: the lift composes with ``implicit.make_implicit_solver``
+-- pass a ``problem_fn`` returning the AUGMENTED ``.problem`` and params from
+``.params(base)``; the active-set KKT system then contains the slackened
+equality row ``[grad g, -I]`` plus the active box row on the slack, which is
+nonsingular whenever ``grad g != 0`` (LICQ). Gradients match the unrolled
+``early_exit=False`` path with the keep-out active
+(tests/test_implicit.py::test_implicit_grad_obstacle_ik_matches_unrolled).
+
 Multiplier sign convention: at a solution with constraint ``i`` active, the
 equality row ``g_i(x) - s_i = 0`` carries the same Lagrange multiplier as the
 original inequality (KKT: ``grad f = sum_i lambda_i grad g_i`` with

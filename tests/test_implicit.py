@@ -195,3 +195,153 @@ def test_implicit_ik_joint_limit_matches_unrolled():
     np.testing.assert_allclose(np.asarray(J_imp), np.asarray(J_unr), atol=1e-4)
     # The constrained joint's row is pinned: zero sensitivity to the target.
     np.testing.assert_allclose(np.asarray(J_imp)[1], [0.0, 0.0], atol=1e-4)
+
+
+def test_implicit_grad_nonlinear_inequality_obstacle():
+    """Implicit diff COMPOSES with the slack-lifted nonlinear inequality
+    layer (ineq.py): projection onto the outside of a disk -- min ||x - p||^2
+    s.t. ||x||^2 >= 1 with p strictly inside. The keep-out is active, the
+    solution has the closed form x* = p / ||p||, and the implicit gradient
+    through the AUGMENTED (slack-lifted) problem must match both the closed
+    form and the unrolled fixed-trip gradient."""
+    from mini_opt_tpu.ineq import with_nonlinear_inequalities
+    from mini_opt_tpu.structs import InitialGuessMethod
+
+    def base_problem(p):
+        return Problem(
+            dimension=2, costs=(make_residual([0, 1], lambda v: v - p, 2),)
+        )
+
+    keep_out = make_residual([0, 1], lambda v: jnp.stack([v @ v - 1.0]), 1)
+
+    def problem_fn(p):
+        # make_implicit_solver needs the plain augmented Problem; the
+        # NAIVE-guess requirement travels through params (aug.params()).
+        return with_nonlinear_inequalities(base_problem(p), (keep_out,)).problem
+
+    aug0 = with_nonlinear_inequalities(base_problem(jnp.zeros(2)), (keep_out,))
+    params = aug0.params(
+        NLSParams(
+            max_iterations=60,
+            max_qp_iterations=10,
+            max_line_search_iterations=5,
+            absolute_exit_tol=1e-14,
+            relative_exit_tol=0.0,
+            absolute_first_derivative_tol=1e-12,
+            termination_kkt_tolerance=1e-10,
+        )
+    )
+    assert params.qp_initial_guess_method == InitialGuessMethod.NAIVE
+
+    p = jnp.asarray([0.3, 0.2])  # inside the disk -> constraint active
+    x0 = jnp.asarray([1.2, 0.4, 1e-2])  # (x, slack)
+
+    solve_imp = make_implicit_solver(problem_fn, params, active_tol=1e-5)
+    x_aug = solve_imp(p, x0)
+    u = p / jnp.linalg.norm(p)
+    np.testing.assert_allclose(np.asarray(x_aug[:2]), np.asarray(u), atol=1e-5)
+    assert abs(float(x_aug[2])) < 1e-6  # slack pinned at the active bound
+
+    J_imp = np.asarray(jax.jacrev(lambda d: solve_imp(d, x0)[:2])(p))
+    # Closed form: d(p/||p||)/dp = (I - u u^T) / ||p||.
+    nrm = float(jnp.linalg.norm(p))
+    J_exact = (np.eye(2) - np.outer(np.asarray(u), np.asarray(u))) / nrm
+    np.testing.assert_allclose(J_imp, J_exact, atol=1e-4)
+
+    unroll_params = dataclasses.replace(
+        params, record_history=False, early_exit=False
+    )
+    J_unr = np.asarray(
+        jax.jacrev(lambda d: nls_solve(problem_fn(d), unroll_params, x0).x[:2])(p)
+    )
+    np.testing.assert_allclose(J_imp, J_unr, atol=1e-4)
+
+
+def test_implicit_grad_obstacle_ik_matches_unrolled():
+    """Obstacle-IK (the VERDICT composition case): a redundant 3-link arm
+    holds the effector-x equality while a nonlinear elbow keep-out is ACTIVE;
+    the implicit gradient of the solution wrt the target matches the unrolled
+    early_exit=False gradient through the slack-lifted problem."""
+    from mini_opt_tpu import make_planar_chain
+    from mini_opt_tpu.ineq import with_nonlinear_inequalities
+    from mini_opt_tpu.models.ik import make_ik_problem, mod_pi_retraction
+
+    chain = make_planar_chain(n_active=3, link_length=0.4, dtype=jnp.float64)
+    elbow = make_planar_chain(n_active=2, link_length=0.4, dtype=jnp.float64)
+    x_ref = jnp.array([0.2, 0.2, 0.2])
+    target = jnp.asarray([0.9, 0.35])
+    prox = make_residual((0, 1, 2), lambda q: 0.05 * (q - x_ref), 3)
+
+    # Place the keep-out ON the unconstrained solve's elbow so it must bind
+    # (the test_ineq.py elbow construction).
+    base0 = make_ik_problem(chain, target, with_joint_limits=False)
+    res0 = nls_solve(
+        Problem(
+            dimension=3,
+            costs=base0.costs + (prox,),
+            equality_constraints=base0.equality_constraints,
+        ),
+        NLSParams(
+            max_iterations=60, max_qp_iterations=10, max_line_search_iterations=5
+        ),
+        x_ref,
+        retraction=mod_pi_retraction,
+    )
+    center = elbow.update(res0.x[:2]).translation[:2]
+    radius = 0.15
+
+    def keep_out(p2):
+        d = elbow.update(p2).translation[:2] - center
+        return jnp.stack([d @ d - radius * radius])
+
+    def problem_fn(target):
+        base = make_ik_problem(chain, target, with_joint_limits=False)
+        regularized = Problem(
+            dimension=3,
+            costs=base.costs + (prox,),
+            equality_constraints=base.equality_constraints,
+        )
+        return with_nonlinear_inequalities(
+            regularized, (make_residual((0, 1), keep_out, 1),)
+        ).problem
+
+    aug0 = with_nonlinear_inequalities(
+        Problem(dimension=3, costs=(prox,)), (make_residual((0, 1), keep_out, 1),)
+    )
+    params = aug0.params(
+        NLSParams(
+            max_iterations=60,
+            max_qp_iterations=10,
+            max_line_search_iterations=5,
+            absolute_exit_tol=1e-14,
+            relative_exit_tol=0.0,
+            termination_kkt_tolerance=1e-10,
+        )
+    )
+    retraction = aug0.wrap_retraction(mod_pi_retraction)
+    x0 = jnp.concatenate([x_ref, jnp.asarray([1e-2])])
+
+    solve_imp = make_implicit_solver(
+        problem_fn, params, retraction=retraction, active_tol=1e-5
+    )
+    x_aug = solve_imp(target, x0)
+    # The keep-out must actually bind for this geometry.
+    g = float(keep_out(x_aug[:2])[0])
+    assert abs(g) < 1e-6, f"keep-out not active: g={g}"
+
+    J_imp = np.asarray(jax.jacrev(lambda d: solve_imp(d, x0)[:3])(target))
+
+    unroll_params = dataclasses.replace(
+        params, record_history=False, early_exit=False
+    )
+    J_unr = np.asarray(
+        jax.jacrev(
+            lambda d: nls_solve(
+                problem_fn(d), unroll_params, x0, retraction=retraction
+            ).x[:3]
+        )(target)
+    )
+    # Implicit exactness is O(forward KKT residual); on this geometry both
+    # tiers agree to ~2e-4 relative (entries are O(2)).
+    np.testing.assert_allclose(J_imp, J_unr, rtol=1e-3, atol=1e-4)
+    assert np.abs(J_imp).max() > 1e-3  # non-degenerate sensitivity
