@@ -326,6 +326,113 @@ def run_cg_constrained(dtype, label):
     )
 
 
+def run_mpc(dtype, label, B=64, periods=30, horizon=20):
+    """MPC family on-chip (VERDICT round-2 item 8): a cart-pole fleet under
+    receding-horizon control with the Riccati-structured KKT backend; gate =
+    rollout stabilization fraction + actuation-bound satisfaction, plus the
+    rollout-loop solve rate (a LOWER bound: the rollout is inherently
+    sequential, timing includes the plant stepping)."""
+    from mini_opt_tpu.models import mpc
+
+    cp = mpc.CartPole()
+    rng = np.random.default_rng(0)
+    x_init = jnp.asarray(
+        np.column_stack(
+            [
+                rng.uniform(-0.2, 0.2, B),
+                rng.uniform(-0.2, 0.2, B),
+                rng.uniform(-0.35, 0.35, B),
+                rng.uniform(-0.2, 0.2, B),
+            ]
+        ),
+        dtype,
+    )
+    params = mpc.default_mpc_params(dtype, early_exit=False, horizon=horizon)
+
+    @jax.jit
+    def fleet(x0):
+        return mpc.mpc_rollout_batch(cp, x0, periods, horizon, 0.05, params=params)
+
+    t0 = time.time()
+    states, us, _, _ = fleet(x_init)
+    states, us = np.asarray(states), np.asarray(us)
+    compile_s = time.time() - t0
+    t0 = time.time()
+    states = np.asarray(fleet(x_init)[0])
+    warm_s = time.time() - t0
+    theta_final = np.abs(states[:, -1, 2])
+    emit(
+        experiment=f"mpc_riccati_{label}",
+        backend=jax.default_backend(),
+        dtype=str(jnp.dtype(dtype)),
+        fleet=B,
+        periods=periods,
+        horizon=horizon,
+        kkt_solver=params.kkt_solver,
+        stabilized_frac=float(np.mean(theta_final < 0.05)),
+        theta_final_max=float(theta_final.max()),
+        u_max_violation=float(max(0.0, np.abs(us).max() - 10.0)),
+        solve_rate_lower_bound_per_s=round(B * periods / warm_s, 1),
+        wall_s=round(compile_s + warm_s, 1),
+    )
+
+
+def run_obstacle(dtype, label, B=256):
+    """Slack-lifted nonlinear-inequality family on-chip: Rosenbrock on the
+    unit disk from B random feasible/infeasible starts; gates = constraint
+    satisfaction at f32 and distance to the classic optimum (0.7864, 0.6177).
+    Ref: an explicit reference NON-feature (README.md:35-38), ineq.py."""
+    from mini_opt_tpu import make_residual
+    from mini_opt_tpu.ineq import with_nonlinear_inequalities
+    from mini_opt_tpu.nonlinear import NLSParams, Problem, nls_solve
+
+    sb = np.sqrt(100.0)
+    rosen = make_residual(
+        (0, 1),
+        lambda xy: jnp.stack([1.0 - xy[0], sb * (xy[1] - xy[0] * xy[0])]),
+        dim=2,
+    )
+    disk = make_residual((0, 1), lambda v: jnp.stack([1.0 - v @ v]), 1)
+    aug = with_nonlinear_inequalities(
+        Problem(dimension=2, costs=(rosen,)), (disk,)
+    )
+    params = aug.params(
+        NLSParams(
+            max_iterations=40,
+            max_qp_iterations=10,
+            max_line_search_iterations=5,
+            record_history=False,
+            early_exit=False,
+            kkt_solver="ldlt",
+        )
+    )
+    rng = np.random.default_rng(3)
+    # Mix of interior, near-boundary, and infeasible starts.
+    starts = np.concatenate(
+        [
+            rng.uniform(-0.6, 0.6, (B // 2, 2)),
+            rng.uniform(-2.0, 2.0, (B - B // 2, 2)),
+        ]
+    ).astype(np.float32)
+    x0 = jax.vmap(aug.initial_guess)(jnp.asarray(starts, dtype))
+    t0 = time.time()
+    res = jax.jit(jax.vmap(lambda x: nls_solve(aug.problem, params, x)))(x0)
+    xs = np.asarray(aug.extract(res.x))
+    g = np.asarray(aug.constraint_values(res.x))[:, 0]
+    d_opt = np.max(np.abs(xs - np.array([0.78641516, 0.61769831])), axis=1)
+    emit(
+        experiment=f"obstacle_slack_{label}",
+        backend=jax.default_backend(),
+        dtype=str(jnp.dtype(dtype)),
+        starts=B,
+        constraint_satisfied_frac=float(np.mean(g >= -1e-4)),
+        g_min=float(g.min()),
+        at_optimum_5e4_frac=float(np.mean(d_opt < 5e-4)),
+        d_opt_p99=float(np.quantile(d_opt, 0.99)),
+        wall_s=round(time.time() - t0, 1),
+    )
+
+
 def main():
     import argparse
 
@@ -333,8 +440,8 @@ def main():
     ap.add_argument(
         "--only",
         default="all",
-        choices=["all", "qp", "nls", "cg"],
-        help="subset: qp sweeps / nls families / cg constraint paths",
+        choices=["all", "qp", "nls", "cg", "mpc", "obstacle"],
+        help="subset: qp sweeps / nls families / cg paths / mpc / obstacle",
     )
     args = ap.parse_args()
     log(f"backend={jax.default_backend()}")
@@ -365,6 +472,10 @@ def main():
         run_himmelblau(jnp.float32, "ldlt_ir", "f32_ir")
     if args.only in ("all", "cg"):
         run_cg_constrained(jnp.float64, "f64")
+    if args.only in ("all", "mpc"):
+        run_mpc(jnp.float32, "f32")
+    if args.only in ("all", "obstacle"):
+        run_obstacle(jnp.float32, "f32")
     return 0
 
 
