@@ -125,7 +125,11 @@ def make_cartpole_mpc_problem(
     """
     T = int(horizon)
     dim = mpc_dimension(T)
-    goal_arr = jnp.zeros(NX) if goal is None else goal
+    # All constants follow the plant state's dtype: under enabled x64, bare
+    # jnp.zeros / jnp.asarray(tuple-of-floats) would be f64 and silently
+    # promote an f32 solve (dtype-mismatched scan carries).
+    dtype = jnp.asarray(x0).dtype
+    goal_arr = jnp.zeros(NX, dtype) if goal is None else goal.astype(dtype)
 
     # -- dynamics defects: one Residual per step ----------------------------
     eqs = []
@@ -149,8 +153,8 @@ def make_cartpole_mpc_problem(
     # -- state tracking: one homogeneous BlockResidual over t = 1..T --------
     w = jnp.concatenate(
         [
-            jnp.tile(jnp.sqrt(jnp.asarray(q)), (T - 1, 1)),
-            jnp.sqrt(jnp.asarray(q_terminal))[None, :],
+            jnp.tile(jnp.sqrt(jnp.asarray(q, dtype)), (T - 1, 1)),
+            jnp.sqrt(jnp.asarray(q_terminal, dtype))[None, :],
         ]
     )  # (T, NX)
     data = jnp.concatenate([w, jnp.tile(goal_arr[None, :], (T, 1))], axis=1)
@@ -295,6 +299,7 @@ def mpc_rollout(
     dt: float,
     params: Optional[NLSParams] = None,
     disturbance: Optional[jax.Array] = None,  # (n_steps,) extra force on plant
+    warm_params: Optional[NLSParams] = None,
     **problem_kwargs,
 ):
     """Receding-horizon control for ``n_steps`` periods as one lax.scan.
@@ -304,6 +309,13 @@ def mpc_rollout(
     the plant (plus optional disturbance force), advance. Fixed-trip solver
     budgets (early_exit is forced off: a while_loop under scan+vmap would run
     max-trip anyway, and fixed trips keep the program shape static).
+
+    ``warm_params``: optional LEANER budget for periods 1..n-1. The cold
+    first period (furthest from a solution) runs with ``params`` outside the
+    scan; subsequent periods start from the shifted previous solution, which
+    is already near-optimal, so a much smaller fixed-trip budget holds the
+    same control quality at a fraction of the steady-state period time
+    (measured on-chip in scripts/bench_extras.py mpc_riccati_warm).
 
     Returns (states (n_steps+1, NX), controls (n_steps,), solve_merit
     (n_steps,), term_states (n_steps,) int32).
@@ -316,22 +328,43 @@ def mpc_rollout(
         jnp.zeros((n_steps,), x_init.dtype) if disturbance is None else disturbance
     )
 
-    def period(carry, d):
-        x_plant, z_warm = carry
+    def period(prm, x_plant, z_warm, d):
         problem = make_cartpole_mpc_problem(
             cp, x_plant, horizon, dt, **problem_kwargs
         )
-        res = nls_solve(problem, params, z_warm)
+        res = nls_solve(problem, prm, z_warm)
         u0 = res.x[0]
         x_next = rk4_step(cp, x_plant, u0 + d, dt)
         z_next = shift_warm_start(cp, res.x, horizon, dt)
         merit = res.errors.f + res.errors.equality
-        return (x_next, z_next), (u0, x_next, merit, res.termination_state)
+        return x_next, z_next, (u0, x_next, merit, res.termination_state)
 
     z0 = initial_guess(cp, x_init, horizon, dt)
-    (_, _), (us, xs, merits, terms) = jax.lax.scan(
-        period, (x_init, z0), dist, length=n_steps
-    )
+    if warm_params is None:
+        def body(carry, d):
+            x_next, z_next, out = period(params, carry[0], carry[1], d)
+            return (x_next, z_next), out
+
+        (_, _), (us, xs, merits, terms) = jax.lax.scan(
+            body, (x_init, z0), dist, length=n_steps
+        )
+    else:
+        if warm_params.early_exit:
+            warm_params = dataclasses.replace(warm_params, early_exit=False)
+        # Cold first period at the full budget, steady state at the lean one.
+        x1, z1, out0 = period(params, x_init, z0, dist[0])
+
+        def body(carry, d):
+            x_next, z_next, out = period(warm_params, carry[0], carry[1], d)
+            return (x_next, z_next), out
+
+        (_, _), (us_w, xs_w, merits_w, terms_w) = jax.lax.scan(
+            body, (x1, z1), dist[1:], length=n_steps - 1
+        )
+        us = jnp.concatenate([out0[0][None], us_w])
+        xs = jnp.concatenate([out0[1][None], xs_w])
+        merits = jnp.concatenate([out0[2][None], merits_w])
+        terms = jnp.concatenate([out0[3][None], terms_w])
     states = jnp.concatenate([x_init[None, :], xs])
     return states, us, merits, terms
 
@@ -443,6 +476,7 @@ def mpc_rollout_batch(
     horizon: int,
     dt: float,
     params: Optional[NLSParams] = None,
+    warm_params: Optional[NLSParams] = None,
     **problem_kwargs,
 ):
     """A fleet of independent plants, one jitted vmap."""
@@ -451,7 +485,8 @@ def mpc_rollout_batch(
 
     def one(x0):
         return mpc_rollout(
-            cp, x0, n_steps, horizon, dt, params=params, **problem_kwargs
+            cp, x0, n_steps, horizon, dt, params=params,
+            warm_params=warm_params, **problem_kwargs
         )
 
     return jax.vmap(one)(x_init)

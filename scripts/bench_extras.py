@@ -467,7 +467,17 @@ def pose_graph3_bench(n_poses=400):
 
 
 
-def mpc_bench(B=256, n_steps_chain=17, horizon=20, dt=0.05, structured=False):
+def mpc_bench(
+    B=256,
+    n_steps_chain=17,
+    horizon=20,
+    dt=0.05,
+    structured=False,
+    iters=None,
+    qp_iters=None,
+    ls_iters=None,
+    warm=None,  # (iters, qp_iters, ls_iters) lean budget for periods 1..n-1
+):
     """MPC family on-chip: a fleet of B cart-pole plants under jitted
     receding-horizon control (solve -> apply u_0 -> step plant -> shift warm
     start, models/mpc.py). Each control period solves a dim-100 problem (20
@@ -494,13 +504,31 @@ def mpc_bench(B=256, n_steps_chain=17, horizon=20, dt=0.05, structured=False):
         jnp.float32,
     )
 
+    import dataclasses as _dc
+
     params = mpc.default_mpc_params(
         jnp.float32, early_exit=False, horizon=horizon if structured else None
     )
+    if iters is not None:
+        params = _dc.replace(params, max_iterations=iters)
+    if qp_iters is not None:
+        params = _dc.replace(params, max_qp_iterations=qp_iters)
+    if ls_iters is not None:
+        params = _dc.replace(params, max_line_search_iterations=ls_iters)
+    warm_params = None
+    if warm is not None:
+        warm_params = _dc.replace(
+            params,
+            max_iterations=warm[0],
+            max_qp_iterations=warm[1],
+            max_line_search_iterations=warm[2],
+        )
 
     @_ft.partial(jax.jit, static_argnames=("k",))
     def fleet(x0, k):
-        return mpc.mpc_rollout_batch(cp, x0, k, horizon, dt, params=params)
+        return mpc.mpc_rollout_batch(
+            cp, x0, k, horizon, dt, params=params, warm_params=warm_params
+        )
 
     t0 = time.time()
     s1 = np.asarray(fleet(x_init, 1)[0])
@@ -528,6 +556,12 @@ def mpc_bench(B=256, n_steps_chain=17, horizon=20, dt=0.05, structured=False):
             {
                 "metric": "mpc_control_solves_per_s_per_chip",
                 "kkt_solver": params.kkt_solver,
+                "budget": [
+                    params.max_iterations,
+                    params.max_qp_iterations,
+                    params.max_line_search_iterations,
+                ],
+                "warm_budget": list(warm) if warm is not None else None,
                 "value": round(B / per_period, 1),
                 "unit": "solves/s",
                 "fleet": B,
@@ -789,6 +823,27 @@ if __name__ == "__main__":
         "ba_sparse": bundle_adjustment_sparse_bench,
         "mpc": mpc_bench,
         "mpc_riccati": lambda: mpc_bench(structured=True),
+        # Budget study (VERDICT round-2 item 1b): warm-started receding
+        # horizon needs far fewer fixed trips than the 8/8/6 default; the
+        # stabilized_frac + u_max_violation fields gate each point.
+        "mpc_riccati_553": lambda: mpc_bench(
+            structured=True, iters=5, qp_iters=5, ls_iters=3
+        ),
+        "mpc_riccati_443": lambda: mpc_bench(
+            structured=True, iters=4, qp_iters=4, ls_iters=3
+        ),
+        "mpc_riccati_342": lambda: mpc_bench(
+            structured=True, iters=3, qp_iters=4, ls_iters=2
+        ),
+        # Warm-budget rollout: full 8/8/6 on the cold first period, lean
+        # steady state (the chained-difference timing measures exactly the
+        # steady-state period).
+        "mpc_riccati_warm": lambda: mpc_bench(
+            structured=True, warm=(3, 3, 2)
+        ),
+        "mpc_riccati_warm221": lambda: mpc_bench(
+            structured=True, warm=(2, 2, 1)
+        ),
     }
     log(f"backend={jax.default_backend()}")
     warm_tunnel()

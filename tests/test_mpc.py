@@ -114,6 +114,35 @@ def test_rollout_stabilizes_and_rejects_disturbance():
     assert states.shape == (n_steps + 1, mpc.NX) and us.shape == (n_steps,)
 
 
+def test_rollout_warm_budget_matches_full_budget():
+    """Serving lever: the lean warm-start budget for periods 1..n-1 (cold
+    first period keeps the full budget) must hold the same control quality --
+    stabilization, bounds, and a trajectory close to the full-budget loop."""
+    import dataclasses
+
+    n_steps, T, dt = 30, 20, 0.05
+    x0 = jnp.array([0.1, 0.0, 0.3, 0.0])
+    params = mpc.default_mpc_params(x0.dtype, early_exit=False, horizon=T)
+    warm = dataclasses.replace(
+        params, max_iterations=3, max_qp_iterations=3,
+        max_line_search_iterations=2,
+    )
+    roll_full = jax.jit(lambda x: mpc.mpc_rollout(CP, x, n_steps, T, dt, params=params))
+    roll_warm = jax.jit(
+        lambda x: mpc.mpc_rollout(CP, x, n_steps, T, dt, params=params, warm_params=warm)
+    )
+    sf, uf, _, _ = roll_full(x0)
+    sw, uw, _, _ = roll_warm(x0)
+    assert abs(float(sw[-1, 2])) < 0.05  # stabilized
+    assert float(jnp.max(jnp.abs(uw))) <= 10.0 + 1e-5  # actuation bounds hold
+    # Trajectories stay close (same controller up to budget truncation).
+    assert float(jnp.max(jnp.abs(sw - sf))) < 0.05, float(
+        jnp.max(jnp.abs(sw - sf))
+    )
+    # The first (cold) period is identical by construction.
+    np.testing.assert_allclose(float(uw[0]), float(uf[0]), atol=1e-6)
+
+
 def test_implicit_feedback_gain_matches_lqr():
     """Differentiable MPC oracle: at the upright equilibrium the implicit
     du_0/dx_plant of the MPC solve equals the finite-horizon LQR gain -K_0
