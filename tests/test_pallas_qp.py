@@ -13,16 +13,10 @@ from mini_opt_tpu.ops.pallas_qp import make_fused_qp_solver
 from test_qp import random_pd_matrix
 
 
-@pytest.fixture(autouse=True, scope="module")
-def _fresh_jit_caches():
-    """The XLA *CPU* compiler has crashed (SIGSEGV/SIGABRT inside
-    backend_compile) compiling this module's interpret-mode fused-QP programs
-    when they are the ~80th compilation of a long-lived suite process --
-    while every standalone or partial run passes. Dropping the accumulated
-    jit executables before this module keeps the in-process compiler state
-    small. (Tracked in ROADMAP.md environment issues.)"""
-    jax.clear_caches()
-    yield
+# The per-module jax.clear_caches() mitigation for the long-lived-process
+# XLA-CPU compiler segfault now lives in conftest.py (round 3: the crash
+# reproduced OUTSIDE this module, at test_nonlinear, so the fixture was
+# promoted suite-wide).
 
 
 def _random_batch(B, n, k, m_vars, seed=0):
