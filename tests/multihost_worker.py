@@ -78,5 +78,37 @@ for shard in final.addressable_shards:
     err = np.abs(np.asarray(shard.data) - targets_np[idx]).max()
     max_err = max(max_err, float(err))
 
+# Second stage: the SERVING tier across hosts -- the fused whole-solver
+# Pallas kernel sharded over the same global dp mesh, with per-lane
+# termination state read back (round-3 serving-tier sharding).
+from mini_opt_tpu.ops.pallas_ik import fused_termination_status, planar_family
+from mini_opt_tpu.parallel.batch import shard_fused_solve_batch
+from mini_opt_tpu.structs import NLSTerminationState
+
+tf32 = jax.make_array_from_callback(
+    (B, 2),
+    sharding,
+    lambda idx: targets_np[idx].astype(np.float32),
+)
+x0f_np = np.stack([angle, np.full(B, 1.2)], axis=1).astype(np.float32)
+x0f = jax.make_array_from_callback((B, 2), sharding, lambda idx: x0f_np[idx])
+xs, state = jax.jit(
+    lambda t, x: shard_fused_solve_batch(
+        mesh, planar_family(2, 0.4), t, x, return_state=True
+    )
+)(tf32, x0f)
+status = fused_termination_status(state, f_tol=1e-5, eq_tol=1e-3)
+fused_ok = True
+for shard in status.addressable_shards:
+    ok = np.all(
+        np.asarray(shard.data) == int(NLSTerminationState.SATISFIED_ABSOLUTE_TOL)
+    )
+    fused_ok = fused_ok and bool(ok)
+
 with open(out_path, "w") as f:
-    f.write("OK" if max_err < 1e-3 else f"FAIL max_err={max_err}")
+    if max_err >= 1e-3:
+        f.write(f"FAIL max_err={max_err}")
+    elif not fused_ok:
+        f.write("FAIL fused lane unconverged")
+    else:
+        f.write("OK")
