@@ -895,3 +895,113 @@ def test_six_dof_arm_one_call():
         ) - tg
     ).max(1)
     assert np.max(e) < 1e-3, np.sort(e)[-4:]
+
+
+def _square_graph():
+    """4-pose unit-square SE(2) graph with a loop closure: each edge
+    measures (1, 0, pi/2) in its source frame."""
+    edges = ((0, 1), (1, 2), (2, 3), (3, 0))
+    meas = np.tile([1.0, 0.0, np.pi / 2], (4, 1))
+    truth = np.array(
+        [
+            [0.0, 0.0, 0.0],
+            [1.0, 0.0, np.pi / 2],
+            [1.0, 1.0, np.pi],
+            [0.0, 1.0, -np.pi / 2],
+        ]
+    )
+    return edges, meas, truth
+
+
+def test_fused_pose_graph_register_linearization():
+    """Second REAL family through the BlockResidual compiler path: a whole
+    small SE(2) pose graph (loop closure included) compiles to register code
+    matching the general path's assembly to machine epsilon."""
+    from mini_opt_tpu.models.pose_graph import scalar_pose_graph_builder
+
+    edges, meas, truth = _square_graph()
+    builder = scalar_pose_graph_builder(4, edges)
+    fam = family_from_problem(builder, data_rows=12)
+    assert fam.n == 12 and fam.m_eq == 0
+    assert all(lo is None for lo in fam.lower)
+    rng = np.random.default_rng(2)
+    B = 8
+    data = jnp.asarray(
+        np.tile(meas.ravel(), (B, 1)) + rng.normal(0, 0.02, (B, 12))
+    )
+    x = jnp.asarray(
+        np.tile(truth.ravel(), (B, 1)) + rng.normal(0, 0.1, (B, 12))
+    )
+    worst = check_family_against_problem(fam, builder, data, x)
+    assert worst < 1e-12
+
+
+def test_fused_pose_graph_matches_nls_solve():
+    """The fused SE(2) pose-graph kernel closes noisy square loops to the
+    same solutions as step-identical nls_solve (bulk agreement) and reaches
+    near-zero residual cost."""
+    from mini_opt_tpu.models.pose_graph import scalar_pose_graph_builder
+    from mini_opt_tpu.structs import BarrierStrategy
+
+    edges, meas, truth = _square_graph()
+    builder = scalar_pose_graph_builder(4, edges)
+    fam = family_from_problem(builder, data_rows=12)
+
+    B = 256
+    rng = np.random.default_rng(4)
+    data = (
+        np.tile(meas.ravel(), (B, 1)) + rng.normal(0, 0.02, (B, 12))
+    ).astype(np.float32)
+    x0 = (
+        np.tile(truth.ravel(), (B, 1)) + rng.normal(0, 0.15, (B, 12))
+    ).astype(np.float32)
+
+    # 6 outer iterations: unconstrained Gauss-Newton on a near-quadratic
+    # loop is converged well before that, and the unrolled dim-12 LDLT makes
+    # XLA-CPU compile time grow steeply with the iteration count (a 12-iter
+    # variant of this kernel compiled for >30 min / 20 GB in interpret mode).
+    xf = np.asarray(
+        fused_solve_batch(
+            fam, jnp.asarray(data), jnp.asarray(x0),
+            max_iterations=6, qp_iterations=1, ls_iterations=2, barrier="mpc",
+        )
+    )
+
+    params = NLSParams(
+        max_iterations=6,
+        max_qp_iterations=1,
+        max_line_search_iterations=2,
+        line_search_strategy=LineSearchStrategy.ARMIJO_BACKTRACK,
+        armijo_search_tau=0.5,
+        equality_penalty_initial=0.01,
+        lambda_initial=0.001,
+        lambda_failure_init=0.001,
+        min_lambda=1e-9,
+        termination_kkt_tolerance=1e-12,
+        absolute_exit_tol=1e-30,
+        relative_exit_tol=0.0,
+        absolute_first_derivative_tol=0.0,
+        early_exit=False,
+        kkt_solver="ldlt",
+        qp_barrier_strategy=BarrierStrategy.PREDICTOR_CORRECTOR,
+    )
+
+    def solve_one(d, x):
+        return nls_solve(builder(d), params, x).x
+
+    xg = np.asarray(jax.jit(jax.vmap(solve_one))(jnp.asarray(data), jnp.asarray(x0)))
+    dx = np.max(np.abs(xf - xg), axis=1)
+    assert np.quantile(dx, 0.9) < 1e-3, np.sort(dx)[-8:]
+
+    # Solution quality: residual cost near the noise floor on every lane.
+    def cost(xs, ds):
+        p = builder(jnp.asarray(ds, jnp.float64))
+        r = jnp.concatenate(
+            [
+                p.costs[0].error_vectors(jnp.asarray(xs, jnp.float64)).ravel(),
+                p.costs[1].error_vector(jnp.asarray(xs, jnp.float64)),
+            ]
+        )
+        return 0.5 * float(r @ r)
+    worst_cost = max(cost(xf[b], data[b]) for b in range(0, B, 16))
+    assert worst_cost < 5e-3, worst_cost
