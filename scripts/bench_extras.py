@@ -467,6 +467,75 @@ def pose_graph3_bench(n_poses=400):
 
 
 
+def fused_pose_graph_bench(B=8192):
+    """The fused SE(2) pose-graph family on-chip: B complete 4-pose
+    loop-closure graphs per call through the BlockResidual-compiled kernel
+    (round 3). Chained timing feeds each call's solution back as the next
+    warm start (identical fixed-trip work; the data stays constant)."""
+    from mini_opt_tpu import family_from_problem
+    from mini_opt_tpu.models.pose_graph import scalar_pose_graph_builder
+    from mini_opt_tpu.ops.pallas_ik import fused_solve_batch
+
+    edges = ((0, 1), (1, 2), (2, 3), (3, 0))
+    meas = np.tile([1.0, 0.0, np.pi / 2], (4, 1))
+    truth = np.array(
+        [
+            [0.0, 0.0, 0.0],
+            [1.0, 0.0, np.pi / 2],
+            [1.0, 1.0, np.pi],
+            [0.0, 1.0, -np.pi / 2],
+        ]
+    )
+    builder = scalar_pose_graph_builder(4, edges)
+    fam = family_from_problem(builder, data_rows=12)
+    rng = np.random.default_rng(0)
+    data = jnp.asarray(
+        (meas.ravel() + rng.normal(0, 0.02, (B, 12))).astype(np.float32)
+    )
+    x0 = jnp.asarray(
+        (truth.ravel() + rng.normal(0, 0.15, (B, 12))).astype(np.float32)
+    )
+
+    def solve(x):
+        return fused_solve_batch(
+            fam, data, x, max_iterations=6, qp_iterations=1, ls_iterations=2,
+            barrier="mpc",
+        )
+
+    t0 = time.time()
+    out = solve(x0)
+    out.block_until_ready()
+    log(f"fused_pose_graph compile+run {time.time()-t0:.1f}s")
+    # K large enough that the chain dwarfs the +-10ms tunnel transfer noise
+    # (a K=65 chain measured NEGATIVE time at this kernel's ~0.05 ms/batch;
+    # see CLAUDE.md round-2 notes -- K scales inversely with per-batch time).
+    per_batch = chained_time(solve, x0, K=2049)
+    # Quality: terminal cost at the noise floor for (nearly) every lane.
+    _, state = fused_solve_batch(
+        fam, data, x0, max_iterations=6, qp_iterations=1, ls_iterations=2,
+        barrier="mpc", return_state=True,
+    )
+    f_fin = np.asarray(state[:, 0])
+    print(
+        json.dumps(
+            {
+                "metric": "fused_pose_graph_solves_per_s_per_chip",
+                "value": round(B / per_batch, 1),
+                "unit": "graphs/s",
+                "batch": B,
+                "poses": 4,
+                "edges": len(edges),
+                "per_batch_ms": round(per_batch * 1e3, 3),
+                "cost_median": float(np.median(f_fin)),
+                "cost_p99": float(np.quantile(f_fin, 0.99)),
+                "converged_frac_1e2": float(np.mean(f_fin < 1e-2)),
+                "dtype": "float32",
+            }
+        ),
+        flush=True,
+    )
+
+
 def mpc_bench(
     B=256,
     n_steps_chain=17,
@@ -821,6 +890,7 @@ if __name__ == "__main__":
         "long_chain": lambda: long_chain_bench(L=512),
         "ba": bundle_adjustment_bench,
         "ba_sparse": bundle_adjustment_sparse_bench,
+        "fused_pose_graph": fused_pose_graph_bench,
         "mpc": mpc_bench,
         "mpc_riccati": lambda: mpc_bench(structured=True),
         # Budget study (VERDICT round-2 item 1b): warm-started receding
