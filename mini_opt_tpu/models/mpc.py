@@ -237,6 +237,35 @@ def default_mpc_params(
     )
 
 
+def serving_mpc_params(
+    dtype=jnp.float32,
+    horizon: int = 20,
+    warm: Tuple[int, int, int] = (2, 2, 1),
+):
+    """(params, warm_params) for production receding-horizon serving: the
+    full verification budget on the cold first period, a lean fixed-trip
+    budget at steady state (Riccati KKT backend in both).
+
+    Measured on-chip (256-plant cart-pole fleet, horizon 20, STATUS round-3
+    ladder; every point stabilized_frac 1.0): warm (2,2,1) -> 55,465 control
+    solves/s, (1,1,1) -> 181,138 (max transient state deviation vs the full
+    budget 0.21 / 0.33 respectively; trajectory closeness pinned at f64 by
+    tests/test_mpc.py). Pass both to ``mpc_rollout(_batch)``::
+
+        params, warm_params = serving_mpc_params()
+        mpc_rollout_batch(cp, x0, n, T, dt, params=params,
+                          warm_params=warm_params)
+    """
+    params = default_mpc_params(dtype, early_exit=False, horizon=horizon)
+    warm_params = dataclasses.replace(
+        params,
+        max_iterations=warm[0],
+        max_qp_iterations=warm[1],
+        max_line_search_iterations=warm[2],
+    )
+    return params, warm_params
+
+
 def initial_guess(
     cp: CartPole, x0: jax.Array, horizon: int, dt: float
 ) -> jax.Array:

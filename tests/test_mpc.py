@@ -114,6 +114,14 @@ def test_rollout_stabilizes_and_rejects_disturbance():
     assert states.shape == (n_steps + 1, mpc.NX) and us.shape == (n_steps,)
 
 
+def test_serving_params_pair():
+    params, warm = mpc.serving_mpc_params(jnp.float32, horizon=20, warm=(2, 2, 1))
+    assert params.kkt_solver == warm.kkt_solver == "riccati:20:4:1"
+    assert (warm.max_iterations, warm.max_qp_iterations,
+            warm.max_line_search_iterations) == (2, 2, 1)
+    assert not params.early_exit and not warm.early_exit
+
+
 def test_rollout_warm_budget_matches_full_budget():
     """Serving lever: the lean warm-start budget for periods 1..n-1 (cold
     first period keeps the full budget) must hold the same control quality --
