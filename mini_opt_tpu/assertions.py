@@ -51,11 +51,16 @@ def validate_problem(problem) -> None:
     for res in list(problem.costs) + list(problem.equality_constraints):
         idx = getattr(res, "index", None)
         if idx is None:
-            # BlockResidual: validate static (tuple) index rows; traced
-            # index arrays are checked structurally at trace time only.
+            # BlockResidual: validate static (tuple) index rows in bulk
+            # (large graphs carry 10^4+ rows; per-element asserts would
+            # dominate trace time). Traced index arrays are checked
+            # structurally at trace time only.
             block_idx = getattr(res, "indices", None)
-            if isinstance(block_idx, tuple):
-                idx = [i for row_ in block_idx for i in row_]
+            if isinstance(block_idx, tuple) and block_idx:
+                import numpy as _np
+
+                arr = _np.asarray(block_idx)
+                idx = [int(arr.min()), int(arr.max())]
             else:
                 continue
         for i in idx:
