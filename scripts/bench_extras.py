@@ -467,33 +467,35 @@ def pose_graph3_bench(n_poses=400):
 
 
 
-def fused_pose_graph_bench(B=8192):
-    """The fused SE(2) pose-graph family on-chip: B complete 4-pose
-    loop-closure graphs per call through the BlockResidual-compiled kernel
-    (round 3). Chained timing feeds each call's solution back as the next
-    warm start (identical fixed-trip work; the data stays constant)."""
+def fused_pose_graph_bench(B=8192, n_poses=4):
+    """The fused SE(2) pose-graph family on-chip: B complete n-pose
+    loop-closure ring graphs per call through the BlockResidual-compiled
+    kernel (round 3). Chained timing feeds each call's solution back as the
+    next warm start (identical fixed-trip work; the data stays constant).
+    n_poses scales the register count 3N and the unrolled LDLT O(N^3) --
+    the crossover study vs the general path (ROADMAP round-4)."""
     from mini_opt_tpu import family_from_problem
     from mini_opt_tpu.models.pose_graph import scalar_pose_graph_builder
     from mini_opt_tpu.ops.pallas_ik import fused_solve_batch
 
-    edges = ((0, 1), (1, 2), (2, 3), (3, 0))
-    meas = np.tile([1.0, 0.0, np.pi / 2], (4, 1))
-    truth = np.array(
-        [
-            [0.0, 0.0, 0.0],
-            [1.0, 0.0, np.pi / 2],
-            [1.0, 1.0, np.pi],
-            [0.0, 1.0, -np.pi / 2],
-        ]
-    )
-    builder = scalar_pose_graph_builder(4, edges)
-    fam = family_from_problem(builder, data_rows=12)
+    N = n_poses
+    edges = tuple((i, (i + 1) % N) for i in range(N))
+    turn = 2 * np.pi / N
+    meas = np.tile([1.0, 0.0, turn], (N, 1))  # regular N-gon, unit sides
+    th = np.arange(N) * turn
+    # Pose i sits at the partial polygon sum with heading i*turn.
+    pts = np.zeros((N, 2))
+    for i in range(1, N):
+        pts[i] = pts[i - 1] + [np.cos(th[i - 1]), np.sin(th[i - 1])]
+    truth = np.column_stack([pts, np.where(th > np.pi, th - 2 * np.pi, th)])
+    builder = scalar_pose_graph_builder(N, edges)
+    fam = family_from_problem(builder, data_rows=3 * N)
     rng = np.random.default_rng(0)
     data = jnp.asarray(
-        (meas.ravel() + rng.normal(0, 0.02, (B, 12))).astype(np.float32)
+        (meas.ravel() + rng.normal(0, 0.02, (B, 3 * N))).astype(np.float32)
     )
     x0 = jnp.asarray(
-        (truth.ravel() + rng.normal(0, 0.15, (B, 12))).astype(np.float32)
+        (truth.ravel() + rng.normal(0, 0.15, (B, 3 * N))).astype(np.float32)
     )
 
     def solve(x):
@@ -523,7 +525,7 @@ def fused_pose_graph_bench(B=8192):
                 "value": round(B / per_batch, 1),
                 "unit": "graphs/s",
                 "batch": B,
-                "poses": 4,
+                "poses": N,
                 "edges": len(edges),
                 "per_batch_ms": round(per_batch * 1e3, 3),
                 "cost_median": float(np.median(f_fin)),
@@ -891,6 +893,8 @@ if __name__ == "__main__":
         "ba": bundle_adjustment_bench,
         "ba_sparse": bundle_adjustment_sparse_bench,
         "fused_pose_graph": fused_pose_graph_bench,
+        "fused_pose_graph_6": lambda: fused_pose_graph_bench(n_poses=6),
+        "fused_pose_graph_8": lambda: fused_pose_graph_bench(n_poses=8),
         "mpc": mpc_bench,
         "mpc_riccati": lambda: mpc_bench(structured=True),
         # Budget study (VERDICT round-2 item 1b): warm-started receding
