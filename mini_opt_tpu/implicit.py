@@ -32,6 +32,16 @@ import jax
 import jax.numpy as jnp
 
 from .nonlinear import NLSParams, Problem, nls_solve
+from .residual import constraint_rows
+
+
+def _eq_rows(eq, x: jax.Array) -> jax.Array:
+    """Flattened residual rows of one equality constraint -- a BlockResidual
+    contributes constraint_rows(eq) rows via error_vectors (mirroring
+    nonlinear.py's stacked-equality assembly)."""
+    if hasattr(eq, "error_vectors"):
+        return eq.error_vectors(x).ravel()
+    return eq.error_vector(x)
 
 
 def _problem_value_and_constraints(problem: Problem, x: jax.Array):
@@ -45,7 +55,7 @@ def _problem_value_and_constraints(problem: Problem, x: jax.Array):
         f = f + 0.5 * jnp.sum(r * r)
     if problem.equality_constraints:
         g = jnp.concatenate(
-            [eq.error_vector(x) for eq in problem.equality_constraints]
+            [_eq_rows(eq, x) for eq in problem.equality_constraints]
         )
     else:
         g = jnp.zeros((0,), x.dtype)
@@ -114,7 +124,7 @@ def make_implicit_solver(
         """Least-squares multipliers (y, z) at the solution:
         minimize ||grad f + [Jg; A_act]^T [y; z]||."""
         problem = problem_fn(data)
-        k = sum(eq.dim for eq in problem.equality_constraints)
+        k = sum(constraint_rows(eq) for eq in problem.equality_constraints)
         m = len(problem.inequality_constraints)
         if k + m == 0:
             e = jnp.zeros((0,), x.dtype)

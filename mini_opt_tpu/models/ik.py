@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from ..nonlinear import NLSParams, Problem, nls_solve
-from ..qp import Var, recommended_kkt_solver
+from ..qp import Var
 from ..residual import BlockResidual, make_residual
 from ..structs import LineSearchStrategy, NLSResult
 from ..utils import so3
@@ -209,9 +209,10 @@ def default_ik_params(
         armijo_search_tau=0.5,
         lambda_initial=0.001,
         min_lambda=1e-9,
-        # ldlt on TPU (lu_factor's lowering crashes the TPU compiler when
-        # nested in solver loops; see CLAUDE.md), lu elsewhere.
-        kkt_solver=recommended_kkt_solver(),
+        # "auto" resolves at trace time: ldlt on TPU (lu_factor's lowering
+        # crashes the TPU compiler when nested in solver loops; CLAUDE.md),
+        # lu elsewhere.
+        kkt_solver="auto",
     )
 
 

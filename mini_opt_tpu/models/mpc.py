@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from ..nonlinear import NLSParams, Problem, nls_solve
-from ..qp import Var, recommended_kkt_solver
+from ..qp import Var
 from ..residual import BlockResidual, make_residual
 from ..structs import LineSearchStrategy, NLSResult
 
@@ -129,7 +129,7 @@ def make_cartpole_mpc_problem(
     # jnp.zeros / jnp.asarray(tuple-of-floats) would be f64 and silently
     # promote an f32 solve (dtype-mismatched scan carries).
     dtype = jnp.asarray(x0).dtype
-    goal_arr = jnp.zeros(NX, dtype) if goal is None else goal.astype(dtype)
+    goal_arr = jnp.zeros(NX, dtype) if goal is None else jnp.asarray(goal, dtype)
 
     # -- dynamics defects: one Residual per step ----------------------------
     eqs = []
@@ -217,7 +217,7 @@ def default_mpc_params(
     Passing ``horizon`` selects the structured Riccati KKT backend (exact
     same solutions, T small stages instead of one dense factorization)."""
     f32 = dtype == jnp.float32
-    kkt = riccati_kkt_solver(horizon) if horizon else recommended_kkt_solver()
+    kkt = riccati_kkt_solver(horizon) if horizon else "auto"
     return NLSParams(
         max_iterations=max_iterations,
         max_qp_iterations=max_qp_iterations,
@@ -351,7 +351,7 @@ def mpc_rollout(
     """
     if params is None:
         params = default_mpc_params(x_init.dtype, early_exit=False)
-    if params.early_exit:
+    if params.early_exit is not False:
         params = dataclasses.replace(params, early_exit=False)
     dist = (
         jnp.zeros((n_steps,), x_init.dtype) if disturbance is None else disturbance
@@ -378,7 +378,7 @@ def mpc_rollout(
             body, (x_init, z0), dist, length=n_steps
         )
     else:
-        if warm_params.early_exit:
+        if warm_params.early_exit is not False:
             warm_params = dataclasses.replace(warm_params, early_exit=False)
         # Cold first period at the full budget, steady state at the lean one.
         x1, z1, out0 = period(params, x_init, z0, dist[0])

@@ -33,6 +33,7 @@ from .qp import (
     bounded_loop,
     qp_ip_solve,
     qp_null_space_solve,
+    resolve_early_exit,
 )
 from .residual import (
     BlockResidual,
@@ -111,13 +112,22 @@ class NLSParams:
     max_lambda: float = 1.0
     min_lambda: float = 0.0
     armijo_c1: float = 1.0e-4
-    kkt_solver: str = "lu"
+    # Condensed-KKT factorization backend (ops/kkt.py). "auto" (default)
+    # resolves at trace time: ldlt on TPU (lu_factor's lowering crashes the
+    # TPU compiler when nested in solver loops; see CLAUDE.md), lu elsewhere
+    # -- so NLSParams() just works on the chip, matching the reference whose
+    # defaults need no hardware knowledge (nonlinear.hpp:64-124).
+    kkt_solver: str = "auto"
     # False drops all per-iteration telemetry buffers (throughput path);
     # incompatible with exit_callback.
     record_history: bool = True
     # False replaces every data-dependent while_loop (outer SQP, inner QP,
     # line search) with fixed-trip scans -- the batched-TPU configuration.
-    early_exit: bool = True
+    # None (default) = auto: fixed-trip on TPU (static loop structure
+    # compiles far faster, avoids an XLA-TPU memory-space-assignment crash,
+    # and under vmap a while_loop runs to the slowest lane anyway),
+    # while_loop elsewhere.
+    early_exit: Optional[bool] = None
     # Record min/max/abs-min eigenvalues of the QP hessian G per iteration
     # (nonlinear.hpp:122-123 / qp.cc:12-16). Requires record_history.
     log_qp_eigenvalues: bool = False
@@ -1010,8 +1020,17 @@ def nls_solve(
         # A NonlinearInequalityProblem wrapper (ineq.py): unwrap and force the
         # slack-safe QP warm start so default usage cannot silently pick the
         # singular SOLVE_EQUALITY_CONSTRAINED guess (see ineq.py docstring).
+        # A user retraction is written against the BASE problem; lift it to
+        # the augmented space (slacks update additively) -- applying an
+        # elementwise base retraction such as mod_pi to slack coordinates
+        # would wrap large slacks negative with no shape error to catch it.
+        if retraction is not None:
+            retraction = problem.wrap_retraction(retraction)
         params = problem.params(params)
         problem = problem.problem
+
+    if params.early_exit is None:
+        params = dataclasses.replace(params, early_exit=resolve_early_exit(None))
 
     validate_problem(problem)
     if (

@@ -28,13 +28,24 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-SOLVERS = ("lu", "ldlt", "ldlt_ir", "pallas_ldlt")
+SOLVERS = ("auto", "lu", "ldlt", "ldlt_ir", "pallas_ldlt")
 
 
 def is_valid_solver(name: str) -> bool:
     """Fixed names plus the parameterized structured backends
     (``"riccati:T:NX:NU"``, see ops/riccati.py)."""
     return name in SOLVERS or name.startswith("riccati:")
+
+
+def resolve_solver(name: str) -> str:
+    """Resolve the ``"auto"`` sentinel to a backend-appropriate solver at
+    trace time: ``"ldlt"`` on TPU (``lu_factor``'s lowering crashes the TPU
+    compiler when nested inside the solver loops), ``"lu"`` elsewhere. The
+    stock configuration must just work on the chip (nonlinear.hpp:64-124
+    needs no such knowledge either)."""
+    if name == "auto":
+        return "ldlt" if jax.default_backend() == "tpu" else "lu"
+    return name
 
 
 # ---------------------------------------------------------------------------
@@ -157,6 +168,7 @@ def ldlt_ir_solve(fact_h, rhs: jax.Array) -> jax.Array:
 
 
 def kkt_factorize(H: jax.Array, solver: str):
+    solver = resolve_solver(solver)
     if solver == "lu":
         return _lu_factorize(H)
     if solver == "ldlt":
@@ -175,6 +187,7 @@ def kkt_factorize(H: jax.Array, solver: str):
 
 
 def kkt_solve(fact, rhs: jax.Array, solver: str) -> jax.Array:
+    solver = resolve_solver(solver)
     if solver == "lu":
         return _lu_solve(fact, rhs)
     if solver == "ldlt":

@@ -113,6 +113,19 @@ def _ldlt_solve_unrolled(H, r):
     return _ldlt_apply(L, d, r)
 
 
+def _ldlt_bad(d, zero):
+    """Per-lane factorization-health register: 1.0 where any pivot is
+    (near-)zero or non-finite -- the in-kernel analog of the ok flag every
+    ops.kkt backend returns (qp.cc:303-307 FailedFactorization)."""
+    tiny = jnp.finfo(zero.dtype).tiny
+    bad = zero
+    one = jnp.ones_like(zero)
+    for dj in d:
+        good = (jnp.abs(dj) > tiny) & jnp.isfinite(dj)
+        bad = jnp.maximum(bad, jnp.where(good, zero, one))
+    return bad
+
+
 @dataclasses.dataclass(frozen=True, eq=False)
 class FusedFamily:
     """A problem family compilable to a fused whole-solver kernel.
@@ -330,7 +343,8 @@ def _make_kernel(
         (qp.cc:228-316 structure). Bound rows act per side: for a slack j on
         variable i, dx_i + ib_lo[j] >= 0 (lower) and -dx_i + ib_hi[j] >= 0
         (upper), where ib_* is the distance from x_i to the bound. Returns
-        (dx list, dy list of |y_k|-ready duals)."""
+        (dx list, dy list of |y_k|-ready duals, bad register: 1.0 where any
+        factorization in this solve had a zero/non-finite pivot)."""
         D = n + m
 
         def assemble(sig_lo, sig_hi):
@@ -351,11 +365,13 @@ def _make_kernel(
         # (InitialGuessMethod::SOLVE_EQUALITY_CONSTRAINED, qp.cc:439-482).
         H0 = assemble([zero] * n_lo, [zero] * n_hi)
         rhs0 = [-c[i] for i in range(n)] + [-beq[k] for k in range(m)]
-        sol = _ldlt_solve_unrolled(H0, rhs0)
+        L0, d0 = _ldlt_factor_unrolled(H0)
+        bad = _ldlt_bad(d0, zero)
+        sol = _ldlt_apply(L0, d0, rhs0)
         x = sol[:n]
         y = [-sol[n + k] for k in range(m)]
         if ncon == 0:
-            return x, y
+            return x, y, bad
         for j, (i, _) in enumerate(lo_list):
             x[i] = jnp.maximum(x[i], -ib_lo[j])
         for j, (i, _) in enumerate(hi_list):
@@ -404,6 +420,7 @@ def _make_kernel(
             sig_hi = [z_hi[j] / s_hi[j] for j in range(n_hi)]
             H = assemble(sig_lo, sig_hi)
             Lf, df = _ldlt_factor_unrolled(H)
+            bad = jnp.maximum(bad, _ldlt_bad(df, zero))
 
             def solve_step(mu_v, corr_lo, corr_hi):
                 """Variable elimination + condensed solve + back-substitution
@@ -502,7 +519,7 @@ def _make_kernel(
             ):
                 comp = comp + t
             mu = 0.1 * (comp / ncon)
-        return x, y
+        return x, y, bad
 
     def kernel(tgt_ref, x0_ref, out_ref, stat_ref, *hist_refs):
         # Blocks are (vars, 1, 8, 128): each per-variable tile fills all
@@ -528,6 +545,14 @@ def _make_kernel(
         th_best = list(th)
         f_best = None
         eq_best = None
+        # Failure-taxonomy flags (structs.hpp:233-248 analogs). fac_bad is
+        # STICKY: the general path terminates QP_INDEFINITE at the FIRST
+        # singular inner-QP factorization (nonlinear.cc:103-105 semantics),
+        # so any occurrence is recorded. lam_maxed carries the LAST
+        # iteration's lambda-machine state (failed line search with damping
+        # past the general solver's max_lambda).
+        fac_bad = zero
+        lam_maxed = zero
 
         for it in range(max_iterations):
             f_pre, r_eq, Jeq, G0, c = family.linearize(th, tgt)
@@ -561,7 +586,8 @@ def _make_kernel(
             ib_lo = [th[i] - lo for (i, lo) in lo_list]
             ib_hi = [hi - th[i] for (i, hi) in hi_list]
 
-            dx, y = qp_solve(G, c, Jeq, r_eq, ib_lo, ib_hi, one, zero)
+            dx, y, bad_it = qp_solve(G, c, Jeq, r_eq, ib_lo, ib_hi, one, zero)
+            fac_bad = jnp.maximum(fac_bad, bad_it)
 
             d_f = sum(c[i] * dx[i] for i in range(n))
             if m > 0:
@@ -660,6 +686,11 @@ def _make_kernel(
             )
             lam = jnp.where(accepted > 0, lam_succ, lam_fail)
             restore = jnp.where(accepted > 0, zero, one)
+            # MAX_LAMBDA analog: this iteration failed line search with the
+            # damping already past the general solver's max_lambda default.
+            lam_maxed = jnp.where(
+                (accepted == 0) & (lam > 1.0), one, zero
+            )
 
         # Final best update covers the last iteration's accepted step (its
         # (f, eq) was tracked through the probes -- no extra evaluation).
@@ -674,6 +705,12 @@ def _make_kernel(
         # (fused_termination_status) without a second evaluation pass.
         stat_ref[0, 0] = jnp.where(better, f_fin, f_best)
         stat_ref[1, 0] = jnp.where(better, eq_fin, eq_best)
+        # Channel 2: bit-packed failure flags of the terminal iteration
+        # (1 = factorization singular, 2 = lambda machine maxed out while
+        # failing) -- lets fused_termination_status distinguish numerical
+        # failure from plain budget exhaustion (full structs.hpp:233-248
+        # taxonomy for the serving tier).
+        stat_ref[2, 0] = fac_bad + 2.0 * lam_maxed
 
     return kernel
 
@@ -827,13 +864,13 @@ def _fused_solve(
 
     out_specs = [
         pl.BlockSpec((n, 1, 8, 128), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM),
-        # per-lane terminal (f, |eq|_1) registers -- always emitted (two
-        # vector stores per tile; free next to the solve itself)
-        pl.BlockSpec((2, 1, 8, 128), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM),
+        # per-lane terminal (f, |eq|_1, flags) registers -- always emitted
+        # (three vector stores per tile; free next to the solve itself)
+        pl.BlockSpec((3, 1, 8, 128), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM),
     ]
     out_shapes = [
         jax.ShapeDtypeStruct((n, grid, 8, 128), targets.dtype),
-        jax.ShapeDtypeStruct((2, grid, 8, 128), targets.dtype),
+        jax.ShapeDtypeStruct((3, grid, 8, 128), targets.dtype),
     ]
     n_dbg = 7 + n  # _DEBUG_CHANNELS: f, eq, penalty, lam, dd, accepted, alpha, dx_i
     if debug_history:
@@ -875,9 +912,10 @@ def _fused_solve(
     x = jnp.moveaxis(out.reshape(n, b_pad), -1, 0)[:B]
     outs = [x]
     if return_state:
-        # (2, grid, 8, 128) -> (B, 2): columns are (f, |eq|_1) at the
-        # returned iterate.
-        outs.append(jnp.moveaxis(stat.reshape(2, b_pad), -1, 0)[:B])
+        # (3, grid, 8, 128) -> (B, 3): columns are (f, |eq|_1, flags) at the
+        # returned iterate (flags: 1 = singular factorization, 2 = lambda
+        # maxed, bit-packed; see fused_termination_status).
+        outs.append(jnp.moveaxis(stat.reshape(3, b_pad), -1, 0)[:B])
     if debug_history:
         # (iters, n_dbg, grid, 8, 128) -> (B, iters, n_dbg)
         h = jnp.moveaxis(hist.reshape(max_iterations, n_dbg, b_pad), -1, 0)[:B]
@@ -886,31 +924,54 @@ def _fused_solve(
 
 
 def fused_termination_status(
-    state: jax.Array,  # (B, 2): (f, |eq|_1) from return_state=True
+    state: jax.Array,  # (B, 3): (f, |eq|_1, flags) from return_state=True
     f_tol: float = 1.0e-6,
     eq_tol: float = 1.0e-5,
 ) -> jax.Array:
     """Derive an int32 per-lane NLSTerminationState from the fused kernel's
-    emitted terminal (f, |eq|_1) registers -- the serving-tier analog of the
-    reference's typed-outcome contract (structs.hpp:233-248). A lane is
-    SATISFIED_ABSOLUTE_TOL at the family's gate (cost and equality both under
-    tolerance), MAX_ITERATIONS when finite but unconverged (the fixed-trip
-    budget ran out -- e.g. a trapped redundant-chain lane), and MAX_LAMBDA
-    for non-finite lanes (the kernel's best-merit guard keeps the returned
-    iterate itself finite; non-finite state means the lane never produced a
-    valid merit, the in-kernel analog of the LM restore machine failing)."""
+    emitted terminal (f, |eq|_1, flags) registers -- the serving-tier analog
+    of the reference's typed-outcome contract (structs.hpp:233-248).
+
+    Lattice (first match wins):
+      * SATISFIED_ABSOLUTE_TOL -- cost and equality both under the family's
+        gate (flags are irrelevant on a converged lane: a transient singular
+        factorization the lambda machine recovered from is not terminal in
+        the general path either).
+      * QP_INDEFINITE -- some inner-QP factorization was singular/non-finite
+        (flag bit 1, sticky: the general path terminates at the FIRST such
+        failure, nonlinear.cc:103-105 / qp.cc:303-307 FailedFactorization).
+      * MAX_LAMBDA -- non-finite terminal state (the lane never produced a
+        valid merit), or the terminal iteration failed line search with the
+        damping past the general solver's max_lambda (flag bit 2): the
+        in-kernel analog of the LM restore machine giving up
+        (nonlinear.cc:296-343).
+      * MAX_ITERATIONS -- finite, healthy, simply out of fixed-trip budget.
+
+    A legacy (B, 2) state (no flags channel) degrades to the old 3-state
+    taxonomy."""
     from ..structs import NLSTerminationState
 
     f, eq = state[..., 0], state[..., 1]
+    if state.shape[-1] >= 3:
+        flags = state[..., 2]
+        fac_bad = jnp.floor(flags) % 2.0 >= 1.0
+        lam_maxed = flags >= 2.0
+    else:
+        fac_bad = jnp.zeros(f.shape, bool)
+        lam_maxed = jnp.zeros(f.shape, bool)
     finite = jnp.isfinite(f) & jnp.isfinite(eq)
     converged = finite & (f <= f_tol) & (eq <= eq_tol)
     return jnp.where(
         converged,
         jnp.int32(NLSTerminationState.SATISFIED_ABSOLUTE_TOL),
         jnp.where(
-            finite,
-            jnp.int32(NLSTerminationState.MAX_ITERATIONS),
-            jnp.int32(NLSTerminationState.MAX_LAMBDA),
+            fac_bad,
+            jnp.int32(NLSTerminationState.QP_INDEFINITE),
+            jnp.where(
+                ~finite | lam_maxed,
+                jnp.int32(NLSTerminationState.MAX_LAMBDA),
+                jnp.int32(NLSTerminationState.MAX_ITERATIONS),
+            ),
         ),
     )
 
@@ -938,6 +999,14 @@ def fused_solve_refined(
     Requires x64 enabled; otherwise the refinement silently runs in f32 and
     can only match the kernel. Returns (B, n) in x0's dtype."""
     n = family.n
+    for reserved in ("return_state", "debug_history"):
+        if reserved in kernel_kwargs:
+            raise ValueError(
+                f"fused_solve_refined owns {reserved!r} (it reads the "
+                "kernel's per-lane state to pick refinement lanes and "
+                "returns only the (B, n) solutions); call fused_solve_batch "
+                "directly for raw state/history access"
+            )
     # The kernel emits per-lane terminal (f, |eq|_1) for free -- the
     # worst-lane selection needs no re-evaluation pass.
     x, state = fused_solve_batch(

@@ -1,0 +1,780 @@
+"""Fused whole-solver Pallas kernel for the MPC family (blocked tier).
+
+The register-class fused kernels (ops/pallas_ik.py) stop at small N: their
+inner QP factors the dense condensed system with an O(N^3) fully-unrolled
+scalar LDL^T, which at the MPC family's dim 5T (= 100 at horizon 20, plus
+T*NX equality rows) would unroll to ~10^6 register ops.  This module is the
+BLOCKED kernel tier that closes that gap (round-3 VERDICT item 1): it fuses
+the ENTIRE cart-pole MPC period -- stagewise RK4-defect linearization,
+Gauss-Newton assembly, the Mehrotra interior-point inner loop on the
+actuation bounds, and the L1-merit Armijo line search -- into one Pallas
+kernel, but replaces the dense register LDL^T with a **register Riccati
+recursion**: T stages of (NX+NU)-sized block algebra (the exact math of
+ops/riccati.py, which is itself pinned dense-vs-structured to 1e-8 by
+tests/test_riccati.py).  Per interior-point iteration that is O(T * NX^3)
+multiply-adds instead of O((T*(NX+NU+NX))^3) -- the structure of the problem
+IS the blocking.
+
+Layout is the standard fused-kernel register convention (see
+ops/pallas_ik.py): each scalar of the per-instance state is one sublane-packed
+(8, 128) tile holding 1024 instances; all loops over stages/variables are
+static Python, erased at trace time; lane arithmetic only (no gathers, no
+dynamic shapes).  One layout serves the compiled TPU path and the CPU
+interpret path, so the parity tests exercise the production kernel.
+
+Semantics mirror ``nls_solve`` at ``default_mpc_params`` fixed-trip
+configuration (models/mpc.py): the same SOLVE_EQUALITY_CONSTRAINED inner-QP
+warm start (qp.cc:439-482), fraction-to-boundary tau = 0.995 (qp.cc:191-192),
+Mehrotra sigma = (mu_aff/mu)^3 (qp.cc:170-188 / eq 19.22), eq-18.32 penalty
+update with the 1.01 scale factor (nonlinear.cc:484-502), Armijo tau = 0.5
+backtracking with the clamped slack term, the lambda restore machine
+(nonlinear.cc:296-343) at the MPC family's constants (lambda_0 = 1e-6,
+min 1e-12, failure init 1e-3), and the best-merit return + per-lane
+(f, |eq|_1, flags) status registers of the serving tier.  State-level parity
+against the general path is pinned in tests/test_pallas_mpc.py.
+
+Reference provenance: the problem statement this accelerates IS the
+reference's motivating workload (/root/reference/include/mini_opt/
+nonlinear.hpp:11-32 is a direct-transcription optimal-control problem); the
+reference itself has no structured KKT path (dense LDLT only, qp.cc:275-316).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .pallas_ik import _interpret
+
+NX = 4
+_TAU_FTB = 0.995
+
+
+# ---------------------------------------------------------------------------
+# Static family description.
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class MPCFamily:
+    """Static description of one fused cart-pole MPC problem family
+    (mirrors models/mpc.py::make_cartpole_mpc_problem's constants; the plant
+    state x0 and the warm start are the per-lane data)."""
+
+    horizon: int
+    dt: float
+    u_max: float = 10.0
+    q: Tuple[float, float, float, float] = (1.0, 0.1, 10.0, 0.1)
+    q_terminal: Tuple[float, float, float, float] = (10.0, 1.0, 100.0, 1.0)
+    r_u: float = 0.01
+    goal: Tuple[float, float, float, float] = (0.0, 0.0, 0.0, 0.0)
+    # Plant constants (models/mpc.py::CartPole defaults).
+    mass_cart: float = 1.0
+    mass_pole: float = 0.1
+    length: float = 0.5
+    gravity: float = 9.81
+
+    @property
+    def dim(self) -> int:
+        return self.horizon * (1 + NX)
+
+
+@functools.lru_cache(maxsize=None)
+def cartpole_mpc_family(horizon: int, dt: float, **kw) -> MPCFamily:
+    return MPCFamily(horizon=horizon, dt=dt, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Register-level plant model (one (8, 128) tile per scalar).
+# ---------------------------------------------------------------------------
+
+
+def _xdot(fam: MPCFamily, x, u):
+    """cartpole_xdot (models/mpc.py:52-64) over registers."""
+    m, M, length, g = fam.mass_pole, fam.mass_cart, fam.length, fam.gravity
+    _, v, th, w = x
+    s, c = jnp.sin(th), jnp.cos(th)
+    denom = M + m * s * s
+    a = (u + m * s * (length * w * w - g * c)) / denom
+    alpha = (g * s - a * c) / length
+    return [v, a, w, alpha]
+
+
+def _rk4(fam: MPCFamily, x, u):
+    dt = fam.dt
+    k1 = _xdot(fam, x, u)
+    k2 = _xdot(fam, [x[i] + 0.5 * dt * k1[i] for i in range(NX)], u)
+    k3 = _xdot(fam, [x[i] + 0.5 * dt * k2[i] for i in range(NX)], u)
+    k4 = _xdot(fam, [x[i] + dt * k3[i] for i in range(NX)], u)
+    return [
+        x[i] + (dt / 6.0) * (k1[i] + 2.0 * k2[i] + 2.0 * k3[i] + k4[i])
+        for i in range(NX)
+    ]
+
+
+def _rk4_linearized(fam: MPCFamily, x, u, one, zero):
+    """(rk4(x, u), A = d rk4/dx (NX x NX nested list), B = d rk4/du (NX,)).
+
+    Jacobians come from ``jax.linearize`` of the register function -- the
+    tangent replay shares the primal's sin/cos subexpressions, so each column
+    costs one elementwise tangent sweep (same approach as ops/fused_auto.py's
+    jvp-generated Jacobians)."""
+
+    def f(inp):
+        return _rk4(fam, inp[:NX], inp[NX])
+
+    prim, jvp = jax.linearize(f, list(x) + [u])
+    # All NX+1 tangent sweeps in ONE vmapped replay (the tangent program is
+    # emitted once with a size-(NX+1) leading seed axis instead of NX+1
+    # times) -- a ~5x cut in unrolled program size, which is what bounds the
+    # Mosaic/XLA compile of the fully-unrolled kernel.
+    eye = jnp.eye(NX + 1, dtype=one.dtype)
+    seeds = [
+        eye[:, k].reshape((NX + 1,) + (1,) * one.ndim) * one[None]
+        for k in range(NX + 1)
+    ]
+    cols = jax.vmap(jvp)(seeds)  # list[NX] of (NX+1, *reg)
+    A = [[cols[i][j] for j in range(NX)] for i in range(NX)]
+    B = [cols[i][NX] for i in range(NX)]
+    return prim, A, B
+
+
+# ---------------------------------------------------------------------------
+# Register Riccati (the blocked KKT solve; math of ops/riccati.py with
+# N_t = I, C_0 = 0, NU = 1 -- F_t is a scalar register).
+# ---------------------------------------------------------------------------
+
+
+def _riccati_factor(Rdiag, Qdiag, A, B, one, zero):
+    """Backward V/K/F recursion.  ``Rdiag``: list[T] scalar registers
+    (u-block incl. lambda + Sigma); ``Qdiag``: list[T] of list[NX] (diagonal
+    Q of x_{t+1} incl. lambda); ``A``/``B``: stage Jacobian registers with
+    A[0] structurally zero (x_0 is a parameter).  Returns (Finv list[T],
+    K list[T][NX], Vnext list[T][NX][NX], bad register)."""
+    T = len(Rdiag)
+    tiny = jnp.finfo(zero.dtype).tiny
+    V = [[Qdiag[T - 1][i] if i == j else zero for j in range(NX)] for i in range(NX)]
+    Finv_l = [None] * T
+    K_l = [None] * T
+    Vn_l = [None] * T
+    bad = zero
+    for t in range(T - 1, -1, -1):
+        At, Bt = A[t], B[t]
+        VB = [sum(V[i][j] * Bt[j] for j in range(NX)) for i in range(NX)]
+        F = Rdiag[t] + sum(Bt[i] * VB[i] for i in range(NX))
+        good = (jnp.abs(F) > tiny) & jnp.isfinite(F)
+        bad = jnp.maximum(bad, jnp.where(good, zero, one))
+        Finv = 1.0 / F
+        K = [
+            Finv * sum(VB[i] * At[i][j] for i in range(NX)) for j in range(NX)
+        ]
+        Finv_l[t], K_l[t], Vn_l[t] = Finv, K, V
+        if t > 0:
+            # V_t = Q_t + A^T (V A - VB K), symmetrized.
+            M = [
+                [
+                    sum(V[i][k] * At[k][j] for k in range(NX)) - VB[i] * K[j]
+                    for j in range(NX)
+                ]
+                for i in range(NX)
+            ]
+            Vt = [
+                [
+                    (Qdiag[t - 1][i] if i == j else zero)
+                    + sum(At[k][i] * M[k][j] for k in range(NX))
+                    for j in range(NX)
+                ]
+                for i in range(NX)
+            ]
+            V = [
+                [0.5 * (Vt[i][j] + Vt[j][i]) for j in range(NX)]
+                for i in range(NX)
+            ]
+    return Finv_l, K_l, Vn_l, bad
+
+
+def _riccati_solve(fact, A, B, b1u, b1x, b2, zero):
+    """Per-rhs backward (v, k) + forward (du, dx, dy) sweeps
+    (ops/riccati.py::riccati_solve register form).  ``b1x[t]`` is the rhs of
+    the x_{t+1} block row; ``b2[t]`` of equality row t.  Returns
+    (du list[T], dxs list[T][NX] (dx of x_{t+1}), dy list[T][NX])."""
+    Finv_l, K_l, Vn_l = fact
+    T = len(b1u)
+    v = [-b1x[T - 1][i] for i in range(NX)]
+    k_l = [None] * T
+    vnext = [None] * T
+    for t in range(T - 1, -1, -1):
+        V1 = Vn_l[t]
+        vnext[t] = v
+        tmp = [
+            sum(V1[i][j] * b2[t][j] for j in range(NX)) + v[i]
+            for i in range(NX)
+        ]
+        k = Finv_l[t] * (b1u[t] - sum(B[t][i] * tmp[i] for i in range(NX)))
+        k_l[t] = k
+        if t > 0:
+            w = [
+                sum(V1[i][j] * (B[t][j] * k + b2[t][j]) for j in range(NX))
+                + v[i]
+                for i in range(NX)
+            ]
+            v = [
+                sum(A[t][i][j] * w[i] for i in range(NX)) - b1x[t - 1][j]
+                for j in range(NX)
+            ]
+    du = [None] * T
+    dxs = [None] * T
+    dy = [None] * T
+    dx = [zero] * NX
+    for t in range(T):
+        du[t] = -sum(K_l[t][j] * dx[j] for j in range(NX)) + k_l[t]
+        dxn = [
+            sum(A[t][i][j] * dx[j] for j in range(NX)) + B[t][i] * du[t] + b2[t][i]
+            for i in range(NX)
+        ]
+        # dy_t = lambda_{t+1} = V_{t+1} dx_{t+1} + v_{t+1} (the saddle w is
+        # -lambda; _solve_condensed's dy = -w convention).
+        dy[t] = [
+            sum(Vn_l[t][i][j] * dxn[j] for j in range(NX)) + vnext[t][i]
+            for i in range(NX)
+        ]
+        dxs[t] = dxn
+        dx = dxn
+    return du, dxs, dy
+
+
+# ---------------------------------------------------------------------------
+# The fused kernel.
+# ---------------------------------------------------------------------------
+
+
+def _make_mpc_kernel(
+    fam: MPCFamily,
+    max_iterations: int,
+    qp_iterations: int,
+    ls_iterations: int,
+    debug_history: bool = False,
+):
+    assert max_iterations >= 1
+    T = fam.horizon
+    w1 = [float(v) ** 0.5 for v in fam.q]
+    wT = [float(v) ** 0.5 for v in fam.q_terminal]
+    # w2[t][i] = squared tracking weight of x_{t+1}.
+    w2 = [[w * w for w in (w1 if t < T - 1 else wT)] for t in range(T)]
+    goal = [float(g) for g in fam.goal]
+    r_u = float(fam.r_u)
+    u_max = float(fam.u_max)
+
+    def errors(u, xs, x0):
+        """(f, |eq|_1) at (u, xs) -- the line-search probe evaluation."""
+        f = None
+        for t in range(T):
+            for i in range(NX):
+                r = (xs[t][i] - goal[i])
+                term = 0.5 * w2[t][i] * r * r
+                f = term if f is None else f + term
+            f = f + 0.5 * r_u * u[t] * u[t]
+        eq = None
+        for t in range(T):
+            pred = _rk4(fam, x0 if t == 0 else xs[t - 1], u[t])
+            for i in range(NX):
+                d = jnp.abs(xs[t][i] - pred[i])
+                eq = d if eq is None else eq + d
+        return f, eq
+
+    def qp_solve(lam, c_u, c_x, r, A, B, u, one, zero):
+        """Interior point on the stage-structured condensed system via the
+        register Riccati backend.  Mirrors ops/pallas_ik.py::qp_solve
+        (SOLVE_EQUALITY_CONSTRAINED warm start, Mehrotra, ftb tau = 0.995);
+        only the linear solves differ.  Returns (du, dxs, y_abs_max, bad)."""
+        Rbase = [r_u + lam for _ in range(T)]
+        Q = [[w2[t][i] + lam for i in range(NX)] for t in range(T)]
+        tiny = jnp.finfo(zero.dtype).tiny
+
+        # -- equality-constrained initial guess (Sigma = 0) -----------------
+        fact0 = _riccati_factor(Rbase, Q, A, B, one, zero)
+        bad = fact0[3]
+        b1u0 = [-c_u[t] for t in range(T)]
+        b1x0 = [[-c_x[t][i] for i in range(NX)] for t in range(T)]
+        b20 = [[-r[t][i] for i in range(NX)] for t in range(T)]
+        du, dxs, dy = _riccati_solve(fact0[:3], A, B, b1u0, b1x0, b20, zero)
+        y = dy
+        # Clamp into the (shifted) bounds, slack/dual init (qp.cc:470-481).
+        ib_lo = [u[t] + u_max for t in range(T)]
+        ib_hi = [u_max - u[t] for t in range(T)]
+        du = [jnp.minimum(jnp.maximum(du[t], -ib_lo[t]), ib_hi[t]) for t in range(T)]
+        s_lo = [jnp.maximum(1e-9, du[t] + ib_lo[t]) for t in range(T)]
+        s_hi = [jnp.maximum(1e-9, -du[t] + ib_hi[t]) for t in range(T)]
+        z_lo = [1.0 / v for v in s_lo]
+        z_hi = [1.0 / v for v in s_hi]
+
+        mu = one
+        for _ in range(qp_iterations):
+            # KKT residuals (qp.cc:391-420) in stage registers.
+            r_d_u = [
+                c_u[t]
+                + (r_u + lam) * du[t]
+                + sum(B[t][i] * y[t][i] for i in range(NX))
+                - z_lo[t]
+                + z_hi[t]
+                for t in range(T)
+            ]
+            r_d_x = [
+                [
+                    Q[t][i] * dxs[t][i]
+                    + c_x[t][i]
+                    - y[t][i]
+                    + (
+                        sum(A[t + 1][k][i] * y[t + 1][k] for k in range(NX))
+                        if t + 1 < T
+                        else zero
+                    )
+                    for i in range(NX)
+                ]
+                for t in range(T)
+            ]
+            r_pe = [
+                [
+                    r[t][i]
+                    - (
+                        sum(A[t][i][j] * dxs[t - 1][j] for j in range(NX))
+                        if t > 0
+                        else zero
+                    )
+                    - B[t][i] * du[t]
+                    + dxs[t][i]
+                    for i in range(NX)
+                ]
+                for t in range(T)
+            ]
+            r_pi_lo = [du[t] + ib_lo[t] - s_lo[t] for t in range(T)]
+            r_pi_hi = [-du[t] + ib_hi[t] - s_hi[t] for t in range(T)]
+            r_c_lo = [s_lo[t] * z_lo[t] for t in range(T)]
+            r_c_hi = [s_hi[t] * z_hi[t] for t in range(T)]
+            sig_lo = [z_lo[t] / s_lo[t] for t in range(T)]
+            sig_hi = [z_hi[t] / s_hi[t] for t in range(T)]
+
+            Rsig = [Rbase[t] + sig_lo[t] + sig_hi[t] for t in range(T)]
+            fact = _riccati_factor(Rsig, Q, A, B, one, zero)
+            bad = jnp.maximum(bad, fact[3])
+
+            def solve_step(mu_v, corr_lo, corr_hi):
+                r_aug = [
+                    r_d_u[t]
+                    + sig_lo[t] * r_pi_lo[t]
+                    + (r_c_lo[t] + corr_lo[t] - mu_v) / s_lo[t]
+                    - sig_hi[t] * r_pi_hi[t]
+                    - (r_c_hi[t] + corr_hi[t] - mu_v) / s_hi[t]
+                    for t in range(T)
+                ]
+                b1u = [-r_aug[t] for t in range(T)]
+                b1x = [[-r_d_x[t][i] for i in range(NX)] for t in range(T)]
+                b2 = [[-r_pe[t][i] for i in range(NX)] for t in range(T)]
+                ddu, ddx, ddy = _riccati_solve(
+                    fact[:3], A, B, b1u, b1x, b2, zero
+                )
+                ds_lo = [ddu[t] + r_pi_lo[t] for t in range(T)]
+                ds_hi = [-ddu[t] + r_pi_hi[t] for t in range(T)]
+                dz_lo = [
+                    -sig_lo[t] * ds_lo[t]
+                    - (r_c_lo[t] + corr_lo[t] - mu_v) / s_lo[t]
+                    for t in range(T)
+                ]
+                dz_hi = [
+                    -sig_hi[t] * ds_hi[t]
+                    - (r_c_hi[t] + corr_hi[t] - mu_v) / s_hi[t]
+                    for t in range(T)
+                ]
+                return ddu, ddx, ddy, ds_lo, ds_hi, dz_lo, dz_hi
+
+            def ftb(vs, dvs, tau_v):
+                alpha = one
+                for v, dv in zip(vs, dvs):
+                    blocking = (v + dv <= 0.0) & (jnp.abs(dv) > 0.0)
+                    cand = -tau_v * v / jnp.where(blocking, dv, one)
+                    alpha = jnp.minimum(alpha, jnp.where(blocking, cand, one))
+                return alpha
+
+            zeros_t = [zero] * T
+            # Mehrotra predictor-corrector (algorithm 16.4 / qp.cc:170-188).
+            dua, dxa, dya, dsl_a, dsh_a, dzl_a, dzh_a = solve_step(
+                zero, zeros_t, zeros_t
+            )
+            ap_a = ftb(s_lo + s_hi, dsl_a + dsh_a, 1.0)
+            ad_a = ftb(z_lo + z_hi, dzl_a + dzh_a, 1.0)
+            mu_aff = zero
+            for t in range(T):
+                mu_aff = mu_aff + (s_lo[t] + ap_a * dsl_a[t]) * (
+                    z_lo[t] + ad_a * dzl_a[t]
+                )
+                mu_aff = mu_aff + (s_hi[t] + ap_a * dsh_a[t]) * (
+                    z_hi[t] + ad_a * dzh_a[t]
+                )
+            mu_aff = jnp.maximum(mu_aff / (2 * T), 0.0)
+            sigma = (mu_aff / mu) ** 3
+            mu_used = sigma * mu
+            corr_lo = [dsl_a[t] * dzl_a[t] for t in range(T)]
+            corr_hi = [dsh_a[t] * dzh_a[t] for t in range(T)]
+            ddu, ddx, ddy, ds_lo, ds_hi, dz_lo, dz_hi = solve_step(
+                mu_used, corr_lo, corr_hi
+            )
+
+            ap = ftb(s_lo + s_hi, ds_lo + ds_hi, _TAU_FTB)
+            ad = ftb(z_lo + z_hi, dz_lo + dz_hi, _TAU_FTB)
+            du = [du[t] + ap * ddu[t] for t in range(T)]
+            dxs = [
+                [dxs[t][i] + ap * ddx[t][i] for i in range(NX)] for t in range(T)
+            ]
+            s_lo = [s_lo[t] + ap * ds_lo[t] for t in range(T)]
+            s_hi = [s_hi[t] + ap * ds_hi[t] for t in range(T)]
+            y = [
+                [y[t][i] + ad * ddy[t][i] for i in range(NX)] for t in range(T)
+            ]
+            z_lo = [z_lo[t] + ad * dz_lo[t] for t in range(T)]
+            z_hi = [z_hi[t] + ad * dz_hi[t] for t in range(T)]
+            comp = zero
+            for t in range(T):
+                comp = comp + s_lo[t] * z_lo[t] + s_hi[t] * z_hi[t]
+            mu = 0.1 * (comp / (2 * T))
+
+        y_abs = jnp.abs(y[0][0])
+        for t in range(T):
+            for i in range(NX):
+                y_abs = jnp.maximum(y_abs, jnp.abs(y[t][i]))
+        # Non-finite steps fold into the failure flag like the general path's
+        # isfinite(delta) check (qp.py iterate()).
+        fin = jnp.isfinite(du[0])
+        for t in range(T):
+            fin = fin & jnp.isfinite(du[t])
+            for i in range(NX):
+                fin = fin & jnp.isfinite(dxs[t][i])
+        bad = jnp.maximum(bad, jnp.where(fin, zero, one))
+        return du, dxs, y_abs, bad
+
+    def core(x0, u, xs):
+        """The whole solve as pure register math: works on ANY array shape
+        per register (a (8, 128) tile inside the Pallas kernel; a scalar
+        under vmap in the compiled-XLA oracle path used by tests).  Returns
+        (u, xs, f, eq, flags, hist_rows)."""
+        one = jnp.ones_like(u[0])
+        zero = jnp.zeros_like(u[0])
+        hist_rows = []
+
+        # MPC-family solver constants (default_mpc_params, models/mpc.py).
+        lam = 1e-6 * one
+        penalty = 1.0 * one
+        restore = zero
+        best_u = list(u)
+        best_xs = [list(row) for row in xs]
+        f_best = None
+        eq_best = None
+        fac_bad = zero
+        lam_maxed = zero
+        accepted = zero
+        f_pre = zero
+        eq_pre = zero
+        f_acc = zero
+        eq_acc = zero
+
+        for it in range(max_iterations):
+            # -- stagewise linearization (the LinearizeAndFillQP analog) ----
+            f_pre = None
+            c_u = [r_u * u[t] for t in range(T)]
+            c_x = [
+                [w2[t][i] * (xs[t][i] - goal[i]) for i in range(NX)]
+                for t in range(T)
+            ]
+            r = [None] * T
+            A = [None] * T
+            B = [None] * T
+            eq_pre = None
+            for t in range(T):
+                xin = x0 if t == 0 else xs[t - 1]
+                pred, At, Bt = _rk4_linearized(fam, xin, u[t], one, zero)
+                r[t] = [xs[t][i] - pred[i] for i in range(NX)]
+                # defect = x_{t+1} - f(x_t, u_t): d/dx_t = -A_t, and after the
+                # N_t = I normalization Abar_t = +A_t (riccati.py:33-36).
+                # Row 0's state coefficient acts on the PARAMETER x_0, not a
+                # variable, so it is structurally zero (riccati.py C_0 = 0).
+                A[t] = [[zero] * NX for _ in range(NX)] if t == 0 else At
+                B[t] = Bt
+                for i in range(NX):
+                    d = jnp.abs(r[t][i])
+                    eq_pre = d if eq_pre is None else eq_pre + d
+            for t in range(T):
+                for i in range(NX):
+                    rr = xs[t][i] - goal[i]
+                    term = 0.5 * w2[t][i] * rr * rr
+                    f_pre = term if f_pre is None else f_pre + term
+                f_pre = f_pre + 0.5 * r_u * u[t] * u[t]
+
+            if f_best is None:
+                f_best, eq_best = f_pre, eq_pre
+            else:
+                better = f_pre + penalty * eq_pre < f_best + penalty * eq_best
+                best_u = [
+                    jnp.where(better, u[t], best_u[t]) for t in range(T)
+                ]
+                best_xs = [
+                    [jnp.where(better, xs[t][i], best_xs[t][i]) for i in range(NX)]
+                    for t in range(T)
+                ]
+                f_best = jnp.where(better, f_pre, f_best)
+                eq_best = jnp.where(better, eq_pre, eq_best)
+
+            du, dxs_step, y_abs, bad_it = qp_solve(
+                lam, c_u, c_x, r, A, B, u, one, zero
+            )
+            fac_bad = jnp.maximum(fac_bad, bad_it)
+
+            # Directional derivative + penalty (nonlinear.cc:457-502).
+            d_f = zero
+            for t in range(T):
+                d_f = d_f + c_u[t] * du[t]
+                for i in range(NX):
+                    d_f = d_f + c_x[t][i] * dxs_step[t][i]
+            d_eq = zero
+            for t in range(T):
+                for i in range(NX):
+                    adx = (
+                        sum(A[t][i][j] * dxs_step[t - 1][j] for j in range(NX))
+                        if t > 0
+                        else zero
+                    )
+                    # A_eq row: -A_t dx_t - B_t du_t + dx_{t+1}.
+                    d_eq = d_eq + jnp.sign(r[t][i]) * (
+                        -adx - B[t][i] * du[t] + dxs_step[t][i]
+                    )
+            penalty = jnp.where(y_abs > penalty, y_abs * 1.01, penalty)
+            dd = d_f + penalty * d_eq
+            merit_pre = f_pre + penalty * eq_pre
+
+            # -- Armijo backtracking line search (tau = 0.5) ----------------
+            alpha = one
+            accepted = zero
+            bu = list(u)
+            bxs = [list(row) for row in xs]
+            f_acc = f_pre
+            eq_acc = eq_pre
+            for probe in range(ls_iterations + 1):
+                if probe > 0:
+                    alpha = alpha * 0.5
+                cand_u = [u[t] + alpha * du[t] for t in range(T)]
+                cand_x = [
+                    [xs[t][i] + alpha * dxs_step[t][i] for i in range(NX)]
+                    for t in range(T)
+                ]
+                f_c, eq_c = errors(cand_u, cand_x, x0)
+                merit_c = f_c + penalty * eq_c
+                ok = (
+                    merit_c <= merit_pre + 1e-4 * alpha * jnp.minimum(dd, zero)
+                ).astype(one.dtype)
+                take = ok * (1.0 - accepted)
+                bu = [take * cand_u[t] + (1.0 - take) * bu[t] for t in range(T)]
+                bxs = [
+                    [
+                        take * cand_x[t][i] + (1.0 - take) * bxs[t][i]
+                        for i in range(NX)
+                    ]
+                    for t in range(T)
+                ]
+                f_acc = take * f_c + (1.0 - take) * f_acc
+                eq_acc = take * eq_c + (1.0 - take) * eq_acc
+                accepted = jnp.minimum(accepted + take, 1.0)
+
+            u = [jnp.where(accepted > 0, bu[t], u[t]) for t in range(T)]
+            xs = [
+                [jnp.where(accepted > 0, bxs[t][i], xs[t][i]) for i in range(NX)]
+                for t in range(T)
+            ]
+            if debug_history:
+                hist_rows.append(
+                    (f_pre, eq_pre, penalty, lam, dd, accepted, alpha)
+                )
+            # Lambda machine at the MPC family constants.
+            lam_succ = jnp.maximum(
+                lam * jnp.where(restore > 0, 0.8, 0.1), 1e-12
+            )
+            lam_fail = jnp.where(
+                restore > 0, lam * 10.0, jnp.maximum(1e-3 * one, lam * 10.0)
+            )
+            lam = jnp.where(accepted > 0, lam_succ, lam_fail)
+            restore = jnp.where(accepted > 0, zero, one)
+            lam_maxed = jnp.where((accepted == 0) & (lam > 1.0), one, zero)
+
+        f_fin = jnp.where(accepted > 0, f_acc, f_pre)
+        eq_fin = jnp.where(accepted > 0, eq_acc, eq_pre)
+        better = f_fin + penalty * eq_fin < f_best + penalty * eq_best
+        u_out = [jnp.where(better, u[t], best_u[t]) for t in range(T)]
+        xs_out = [
+            [jnp.where(better, xs[t][i], best_xs[t][i]) for i in range(NX)]
+            for t in range(T)
+        ]
+        f_out = jnp.where(better, f_fin, f_best)
+        eq_out = jnp.where(better, eq_fin, eq_best)
+        flags = fac_bad + 2.0 * lam_maxed
+        return u_out, xs_out, f_out, eq_out, flags, hist_rows
+
+    def kernel(x0_ref, z0_ref, out_ref, stat_ref, *hist_refs):
+        x0 = [x0_ref[i, 0] for i in range(NX)]
+        u = [z0_ref[t, 0] for t in range(T)]
+        xs = [
+            [z0_ref[T + NX * t + i, 0] for i in range(NX)] for t in range(T)
+        ]
+        u_out, xs_out, f_out, eq_out, flags, hist_rows = core(x0, u, xs)
+        for t in range(T):
+            out_ref[t, 0] = u_out[t]
+            for i in range(NX):
+                out_ref[T + NX * t + i, 0] = xs_out[t][i]
+        stat_ref[0, 0] = f_out
+        stat_ref[1, 0] = eq_out
+        stat_ref[2, 0] = flags
+        if debug_history:
+            for it, row in enumerate(hist_rows):
+                for ch in range(_DBG_CHANNELS):
+                    hist_refs[0][it, ch, 0] = row[ch]
+
+    kernel.core = core
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# Host-side driver (packing identical to ops/pallas_ik.py::_fused_solve).
+# ---------------------------------------------------------------------------
+
+_DBG_CHANNELS = 7  # f, eq, penalty, lam, dd, accepted, alpha
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "family",
+        "max_iterations",
+        "qp_iterations",
+        "ls_iterations",
+        "debug_history",
+        "return_state",
+        "backend",
+    ),
+)
+def fused_mpc_solve_batch(
+    family: MPCFamily,
+    x_plant: jax.Array,  # (B, NX) current plant states
+    z0: jax.Array,  # (B, 5T) warm starts (models/mpc.py z layout)
+    max_iterations: int = 3,
+    qp_iterations: int = 3,
+    ls_iterations: int = 2,
+    debug_history: bool = False,
+    return_state: bool = False,
+    backend: str = "pallas",
+):
+    """Solve B cart-pole MPC instances with ONE fused blocked kernel.
+
+    Returns z (B, 5T); ``return_state`` appends per-lane (f, |eq|_1, flags)
+    (B, 3) for fused_termination_status; ``debug_history`` appends
+    (B, max_iterations, 7) per-outer-iteration channels
+    [f, eq, penalty, lam, dd, accepted, alpha].
+
+    ``backend="xla"`` runs the IDENTICAL register math as a vmapped scalar
+    program compiled by XLA instead of a Pallas kernel -- bit-the-same ops,
+    different scheduler.  It is the fast CPU test/oracle path (Pallas
+    interpret mode executes each of the ~10^5 register ops eagerly) and a
+    fallback when Mosaic resists the straight-line program size."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    T = family.horizon
+    dim = family.dim
+    B = x_plant.shape[0]
+    assert x_plant.shape == (B, NX) and z0.shape == (B, dim)
+    assert backend in ("pallas", "xla")
+    kernel = _make_mpc_kernel(
+        family, max_iterations, qp_iterations, ls_iterations, debug_history
+    )
+
+    if backend == "xla":
+        def one(xp, z):
+            x0 = [xp[i] for i in range(NX)]
+            u = [z[t] for t in range(T)]
+            xs = [
+                [z[T + NX * t + i] for i in range(NX)] for t in range(T)
+            ]
+            u_o, xs_o, f_o, eq_o, flags, hist = kernel.core(x0, u, xs)
+            z_o = jnp.stack(
+                u_o + [xs_o[t][i] for t in range(T) for i in range(NX)]
+            )
+            outs = [z_o]
+            if return_state:
+                outs.append(jnp.stack([f_o, eq_o, flags]))
+            if debug_history:
+                outs.append(
+                    jnp.stack([jnp.stack(list(row)) for row in hist])
+                )
+            return tuple(outs)
+
+        res = jax.vmap(one)(x_plant, z0)
+        return res if len(res) > 1 else res[0]
+
+    tile = 8 * 128
+    b_pad = -(-B // tile) * tile
+    grid = b_pad // tile
+
+    def pack(arr, fill):
+        p = jnp.pad(arr, [(0, b_pad - B), (0, 0)], constant_values=fill)
+        return jnp.moveaxis(p, 0, -1).reshape(arr.shape[1], grid, 8, 128)
+
+    out_specs = [
+        pl.BlockSpec((dim, 1, 8, 128), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, 1, 8, 128), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    out_shapes = [
+        jax.ShapeDtypeStruct((dim, grid, 8, 128), x_plant.dtype),
+        jax.ShapeDtypeStruct((3, grid, 8, 128), x_plant.dtype),
+    ]
+    if debug_history:
+        out_specs.append(
+            pl.BlockSpec(
+                (max_iterations, _DBG_CHANNELS, 1, 8, 128),
+                lambda i: (0, 0, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        out_shapes.append(
+            jax.ShapeDtypeStruct(
+                (max_iterations, _DBG_CHANNELS, grid, 8, 128), x_plant.dtype
+            )
+        )
+
+    res = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(
+                (NX, 1, 8, 128), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (dim, 1, 8, 128), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=_interpret(),
+    )(pack(x_plant, 0.0), pack(z0, 0.0))
+    if debug_history:
+        out, stat, hist = res
+    else:
+        out, stat = res
+    z = jnp.moveaxis(out.reshape(dim, b_pad), -1, 0)[:B]
+    outs = [z]
+    if return_state:
+        outs.append(jnp.moveaxis(stat.reshape(3, b_pad), -1, 0)[:B])
+    if debug_history:
+        h = jnp.moveaxis(
+            hist.reshape(max_iterations, _DBG_CHANNELS, b_pad), -1, 0
+        )[:B]
+        outs.append(h)
+    return tuple(outs) if len(outs) > 1 else z

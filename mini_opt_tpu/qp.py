@@ -175,13 +175,19 @@ class QPInteriorPointParams:
     decrease_mu_only_on_small_error: bool = False
     initial_guess_method: InitialGuessMethod = InitialGuessMethod.NAIVE
     initialize_mu_with_complementarity: bool = False
-    kkt_solver: str = "lu"  # one of ops.kkt.SOLVERS
+    # One of ops.kkt.SOLVERS; "auto" resolves per backend at trace time
+    # (ldlt on TPU -- lu_factor's lowering crashes the TPU compiler inside
+    # solver loops -- lu elsewhere), so stock params just work on the chip.
+    kkt_solver: str = "auto"
     # False drops the per-iteration telemetry buffers from the loop carry
     # (throughput path: less memory traffic, smaller HLO).
     record_history: bool = True
     # False replaces the data-dependent while_loop with a fixed-trip scan
     # (see bounded_loop) -- the right choice for large vmapped batches.
-    early_exit: bool = True
+    # None = auto: fixed-trip on TPU (static loop structure compiles far
+    # faster and sidesteps a memory-space-assignment compiler crash),
+    # while_loop elsewhere.
+    early_exit: Optional[bool] = None
     # Scan unroll factor for the fixed-trip path (fuses iterations, cutting
     # per-step dispatch overhead at some compile-time cost).
     unroll: int = 1
@@ -219,10 +225,21 @@ def _ineq_matrix(qp: QP) -> jax.Array:
 
 def recommended_kkt_solver() -> str:
     """'ldlt' on TPU (lu_factor's lowering crashes the TPU compiler when
-    nested in the solver loops; see CLAUDE.md), 'lu' elsewhere."""
-    import jax as _jax
+    nested in the solver loops; see CLAUDE.md), 'lu' elsewhere. Equivalent to
+    passing ``kkt_solver="auto"`` (the stock default), which resolves the
+    same way at trace time."""
+    return kkt_ops.resolve_solver("auto")
 
-    return "ldlt" if _jax.default_backend() == "tpu" else "lu"
+
+def resolve_early_exit(early_exit: Optional[bool]) -> bool:
+    """Resolve the ``early_exit=None`` auto sentinel: fixed-trip scans on TPU
+    (faster compiles, no MSA compiler crash, and under vmap a while_loop runs
+    to the slowest lane anyway), data-dependent while_loop elsewhere."""
+    if early_exit is None:
+        import jax as _jax
+
+        return _jax.default_backend() != "tpu"
+    return early_exit
 
 
 def bounded_loop(cond, body, init, max_trips: int, early_exit: bool, unroll: int = 1):
@@ -234,7 +251,10 @@ def bounded_loop(cond, body, init, max_trips: int, early_exit: bool, unroll: int
     static loop structure, which compiles far faster on TPU and sidesteps a
     memory-space-assignment compiler crash observed with deeply nested
     data-dependent while loops.
+
+    ``early_exit=None`` resolves per backend (fixed-trip on TPU).
     """
+    early_exit = resolve_early_exit(early_exit)
     if early_exit:
         return jax.lax.while_loop(cond, body, init)
 
@@ -477,6 +497,7 @@ def qp_ip_solve(
     has_ineq = M > 0
 
     user_state = None
+    guess_feasible = jnp.asarray(True)
     if params.initial_guess_method == InitialGuessMethod.USER_PROVIDED:
         user_state = _IPState(
             jnp.asarray(x0, dtype),
@@ -484,6 +505,21 @@ def qp_ip_solve(
             jnp.asarray(y0, dtype) if y0 is not None else jnp.zeros((K,), dtype),
             jnp.asarray(z0, dtype) if z0 is not None else jnp.zeros((M,), dtype),
         )
+        if M > 0:
+            # The barrier terms divide by s and the interior-point iteration
+            # assumes s, z > 0; validate instead of emitting NaN steps that
+            # masquerade as FAILED_FACTORIZATION (reference: InfeasibleGuess,
+            # qp.hpp:326-328).
+            feas = jnp.all(user_state.s > 0) & jnp.all(user_state.z > 0)
+            if isinstance(feas, jax.core.Tracer):
+                guess_feasible = feas  # in-jit: carried as a status code
+            elif not bool(feas):
+                raise ValueError(
+                    "InfeasibleGuess: USER_PROVIDED initial state must have "
+                    "s > 0 and z > 0 elementwise (qp.hpp:326-328); got "
+                    f"min(s)={float(jnp.min(user_state.s))}, "
+                    f"min(z)={float(jnp.min(user_state.z))}"
+                )
 
     st, guess_ok = _compute_initial_guess(qp, params, user_state)
 
@@ -605,14 +641,25 @@ def qp_ip_solve(
         mu=mu0,
         it=jnp.zeros((), jnp.int32),
         status=jnp.where(
-            guess_ok, jnp.int32(-1), jnp.int32(QPTerminationState.FAILED_FACTORIZATION)
+            guess_feasible,
+            jnp.where(
+                guess_ok,
+                jnp.int32(-1),
+                jnp.int32(QPTerminationState.FAILED_FACTORIZATION),
+            ),
+            jnp.int32(QPTerminationState.INFEASIBLE_GUESS),
         ),
         history=QPIterationHistory.empty(
             params.max_iterations if params.record_history else 0, dtype
         ),
     )
     out = bounded_loop(
-        cond, body, init, params.max_iterations, params.early_exit, params.unroll
+        cond,
+        body,
+        init,
+        params.max_iterations,
+        resolve_early_exit(params.early_exit),
+        params.unroll,
     )
 
     status = jnp.where(

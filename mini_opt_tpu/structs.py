@@ -73,6 +73,10 @@ class QPTerminationState(enum.IntEnum):
     SATISFIED_KKT_TOL = 0
     MAX_ITERATIONS = 1
     FAILED_FACTORIZATION = 2
+    # A USER_PROVIDED warm start with s <= 0 or z <= 0 (the reference's
+    # InfeasibleGuess exception, qp.hpp:326-328): named instead of letting
+    # the 1/s barrier terms surface as a FAILED_FACTORIZATION NaN storm.
+    INFEASIBLE_GUESS = 3
 
 
 class QPNullSpaceTerminationState(enum.IntEnum):

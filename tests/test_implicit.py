@@ -345,3 +345,52 @@ def test_implicit_grad_obstacle_ik_matches_unrolled():
     # tiers agree to ~2e-4 relative (entries are O(2)).
     np.testing.assert_allclose(J_imp, J_unr, rtol=1e-3, atol=1e-4)
     assert np.abs(J_imp).max() > 1e-3  # non-degenerate sensitivity
+
+def test_implicit_grad_block_residual_equality():
+    """BlockResidual EQUALITY constraints must reach implicit diff (round-3
+    advisor finding: error_vectors/constraint_rows, not error_vector/dim).
+
+    min ||x||^2 s.t. x[i] * x[i+1] = v_i for i = 0, 1 as ONE BlockResidual
+    (2 blocks x 1 row); with v = (4, 4) the symmetric solution has
+    x1 = 32^(1/4), x0 = x2 = 4/x1 (minimize 32/x1^2 + x1^2), and dx*/dv is
+    checked against the unrolled gradient."""
+    from mini_opt_tpu import BlockResidual
+
+    def problem_fn(v):
+        def g(xl, row):
+            return jnp.stack([xl[0] * xl[1] - row[0]])
+
+        block = BlockResidual(
+            fn=g, indices=((0, 1), (1, 2)), dim=1, data=v[:, None]
+        )
+        return Problem(
+            dimension=3,
+            costs=(make_residual([0, 1, 2], lambda x: x, 3),),
+            equality_constraints=(block,),
+        )
+
+    params = dataclasses.replace(PARAMS, max_iterations=60, lambda_initial=1e-3)
+    x0 = jnp.asarray([1.5, 2.5, 1.5])
+    v = jnp.asarray([4.0, 4.0])
+
+    solve = make_implicit_solver(problem_fn, params)
+    x = solve(v, x0)
+    x1 = 32.0 ** 0.25
+    np.testing.assert_allclose(
+        np.asarray(x), [4.0 / x1, x1, 4.0 / x1], atol=1e-6
+    )
+
+    J_imp = jax.jacrev(lambda d: solve(d, x0))(v)
+    # Central finite differences of the solution map (the unrolled jacrev
+    # would differentiate through the null-space path's SVD, which has no
+    # full-matrix JVP).
+    eps = 1e-5
+    J_fd = np.zeros((3, 2))
+    for j in range(2):
+        vp = np.asarray(v).copy(); vp[j] += eps
+        vm = np.asarray(v).copy(); vm[j] -= eps
+        J_fd[:, j] = (
+            np.asarray(solve(jnp.asarray(vp), x0))
+            - np.asarray(solve(jnp.asarray(vm), x0))
+        ) / (2 * eps)
+    np.testing.assert_allclose(np.asarray(J_imp), J_fd, atol=1e-4)

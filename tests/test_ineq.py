@@ -275,3 +275,38 @@ def test_wrap_retraction():
     out = wrapped(x, dx, jnp.asarray(0.5))
     assert calls  # the base retraction ran on the head
     np.testing.assert_allclose(np.asarray(out), [1.05, 2.1, 3.15], atol=1e-12)
+
+
+def test_convenience_path_wraps_user_retraction():
+    """Passing the WRAPPER to nls_solve with a base-space retraction must
+    lift the retraction (slacks update additively); an elementwise base
+    retraction applied to slack coordinates would wrap large slacks negative
+    with no shape error to catch it (round-3 advisor finding)."""
+    from mini_opt_tpu.utils.so3 import mod_pi
+
+    def base_retraction(x, dx, alpha):
+        return mod_pi(x + alpha * dx)
+
+    aug = with_nonlinear_inequalities(BASE, (disk(16.0),))
+    # Start far inside the disk: the optimal slack is 16 - 2 = 14 >> pi, so
+    # an unwrapped mod_pi retraction would keep folding it into [-pi, pi).
+    x0 = aug.initial_guess(jnp.array([0.2, 0.2]))
+
+    # Convenience path: wrapper + base retraction straight into nls_solve.
+    res_conv = jax.jit(
+        lambda x: nls_solve(aug, PARAMS, x, retraction=base_retraction)
+    )(x0)
+    # Explicit path: unwrap by hand with the documented wrap_retraction.
+    res_exp = jax.jit(
+        lambda x: nls_solve(
+            aug.problem,
+            aug.params(PARAMS),
+            x,
+            retraction=aug.wrap_retraction(base_retraction),
+        )
+    )(x0)
+    np.testing.assert_allclose(
+        np.asarray(res_conv.x), np.asarray(res_exp.x), atol=0.0
+    )
+    # And the slack genuinely exceeds pi (the wrap would have destroyed it).
+    assert float(aug.slacks(res_conv.x)[0]) > 3.2

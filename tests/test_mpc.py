@@ -270,3 +270,22 @@ def test_nonlinear_state_constraint_tip_wall():
     assert g.min() >= -1.0e-8          # wall never crossed
     assert g.min() < 1.0e-6            # ... and genuinely active (rides it)
     assert float(res.errors.equality) < 1.0e-10  # dynamics defects exact
+
+
+def test_goal_accepts_plain_sequence():
+    """A list/tuple goal must be accepted like any array-like (round-3
+    advisor finding: goal.astype assumed a jax array)."""
+    T, dt = 4, 0.05
+    x0 = jnp.array([0.1, 0.0, 0.2, 0.0])
+    goal_list = [0.5, 0.0, 0.0, 0.0]
+    p_list = mpc.make_cartpole_mpc_problem(CP, x0, T, dt, goal=goal_list)
+    p_arr = mpc.make_cartpole_mpc_problem(
+        CP, x0, T, dt, goal=jnp.asarray(goal_list, x0.dtype)
+    )
+    rng = np.random.default_rng(1)
+    z = jnp.asarray(rng.normal(size=mpc.mpc_dimension(T)) * 0.3, x0.dtype)
+    fl = sum(float(jnp.sum(c.error_vectors(z) ** 2)) if hasattr(c, "error_vectors")
+             else float(jnp.sum(c.error_vector(z) ** 2)) for c in p_list.costs)
+    fa = sum(float(jnp.sum(c.error_vectors(z) ** 2)) if hasattr(c, "error_vectors")
+             else float(jnp.sum(c.error_vector(z) ** 2)) for c in p_arr.costs)
+    assert fl == fa

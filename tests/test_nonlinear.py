@@ -751,3 +751,22 @@ def test_parallel_line_search_survives_nan_losing_probe():
     x_seq = float(results[(False, False)].x[0])
     for key, r in results.items():
         np.testing.assert_allclose(float(r.x[0]), x_seq, atol=1e-9, err_msg=str(key))
+
+
+def test_stock_default_params_solve():
+    """NLSParams() with NO overrides must just work (round-3 VERDICT item 3:
+    kkt_solver="auto" resolves per backend at trace time, early_exit=None
+    resolves to the backend-appropriate loop form). Rosenbrock from the
+    reference's hardest guess, under jit and vmapped."""
+    problem = Problem(dimension=2, costs=(make_residual([0, 1], rosenbrock, 2),))
+    params = NLSParams()
+    assert params.kkt_solver == "auto" and params.early_exit is None
+    res = jax.jit(lambda x: nls_solve(problem, params, x))(
+        jnp.asarray([5.0, -3.0])
+    )
+    np.testing.assert_allclose(np.asarray(res.x), [1.0, 1.0], atol=1e-6)
+    # vmapped too (the configuration the TPU serving path uses).
+    xs = jax.vmap(lambda x: nls_solve(problem, params, x).x)(
+        jnp.asarray(ROSENBROCK_GUESSES)
+    )
+    np.testing.assert_allclose(np.asarray(xs), np.ones_like(xs), atol=1e-5)

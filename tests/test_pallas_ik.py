@@ -254,7 +254,7 @@ def test_fused_kernel_per_lane_status():
         jnp.asarray(x0, jnp.float32),
         return_state=True,
     )
-    assert state.shape == (B, 2)
+    assert state.shape == (B, 3)
 
     # The emitted registers ARE the family errors at the returned iterate.
     chain = make_planar_chain(2, dtype=jnp.float64)
@@ -273,7 +273,15 @@ def test_fused_kernel_per_lane_status():
     status = np.asarray(fused_termination_status(state, f_tol=1e-5, eq_tol=1e-3))
     sat = status == int(NLSTerminationState.SATISFIED_ABSOLUTE_TOL)
     maxit = status == int(NLSTerminationState.MAX_ITERATIONS)
-    assert (sat | maxit).all()  # every lane finite on this batch
+    maxlam = status == int(NLSTerminationState.MAX_LAMBDA)
+    qpind = status == int(NLSTerminationState.QP_INDEFINITE)
+    # Converged lanes report SATISFIED; trapped (unreachable-target) lanes
+    # report a failure state -- typically MAX_LAMBDA (the lambda machine runs
+    # past max_lambda, exactly as the general path does), occasionally
+    # QP_INDEFINITE when the lane crawls into the fully-extended kinematic
+    # singularity where the equality Jacobian row degenerates.
+    assert (sat | maxit | maxlam | qpind).all()
+    assert maxlam[B // 2 :].mean() >= 0.9  # the dominant trapped-lane state
 
     # General path on identical instances, judged at the SAME gate.
     res = _general_solver_history(targets, x0, BarrierStrategy.PREDICTOR_CORRECTOR)
@@ -442,3 +450,54 @@ def test_fused_refined_rescues_spatial_tail_to_zero():
         refine_k=32, **kw,
     )
     assert n_fails(refined) == 0
+
+def test_fused_refined_rejects_reserved_kwargs():
+    """return_state / debug_history collide with fused_solve_refined's own
+    fused_solve_batch call (round-3 advisor finding) -- they must be rejected
+    with a clear message, not a TypeError / unpack failure."""
+    import pytest
+
+    from mini_opt_tpu.models.ik import make_spatial_refine_fn
+    from mini_opt_tpu.ops.pallas_ik import fused_solve_refined, spatial_family
+
+    fam = spatial_family(3, 0.4)
+    t = jnp.zeros((8, 3), jnp.float32)
+    x = jnp.zeros((8, 3), jnp.float32)
+    for kw in ({"return_state": True}, {"debug_history": True}):
+        with pytest.raises(ValueError, match="fused_solve_refined owns"):
+            fused_solve_refined(fam, t, x, make_spatial_refine_fn(3), **kw)
+
+@np.errstate(all="ignore")
+def test_fused_status_taxonomy_flags_injected_singularity():
+    """Round-3 VERDICT item 6: the fused tier's status must span the full
+    structs.hpp:233-248 lattice. Injected SINGULAR instances (x0 at the
+    all-zero configuration: every link's x-Jacobian row is identically zero,
+    so the condensed KKT matrix has an exactly-zero pivot) must report
+    QP_INDEFINITE -- distinguishable from plain budget exhaustion -- while
+    healthy lanes in the same batch keep their statuses."""
+    from mini_opt_tpu.ops.pallas_ik import fused_termination_status
+    from mini_opt_tpu.structs import NLSTerminationState
+
+    B = 32
+    targets, x0 = _instances(B, seed=21)
+    # Lanes 0..7: singular start (th = 0 exactly -> sin terms vanish, the
+    # equality Jacobian row is zero, H0's last pivot is exactly 0).
+    x0[:8] = 0.0
+    x, state = fused_ik_solve_batch(
+        jnp.asarray(targets, jnp.float32),
+        jnp.asarray(x0, jnp.float32),
+        return_state=True,
+    )
+    status = np.asarray(fused_termination_status(state, f_tol=1e-5, eq_tol=1e-3))
+    # Injected lanes: flagged as numerical failure, not MAX_ITERATIONS.
+    assert (
+        status[:8] == int(NLSTerminationState.QP_INDEFINITE)
+    ).all(), status[:8]
+    # Flag channel carries the factorization bit.
+    flags = np.asarray(state[:, 2])
+    assert (np.floor(flags[:8]) % 2 >= 1).all()
+    # Healthy lanes: unaffected (converged at the family gate).
+    sat = status[8:] == int(NLSTerminationState.SATISFIED_ABSOLUTE_TOL)
+    assert sat.mean() >= 0.9, status[8:]
+    # The singular lanes' returned iterate is still finite (best-merit guard).
+    assert np.isfinite(np.asarray(x)).all()

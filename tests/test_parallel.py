@@ -110,7 +110,7 @@ def test_shard_fused_solve_batch_matches_unsharded():
     x_shard, st_shard = shard_fused_solve_batch(
         mesh, family, targets, x0, return_state=True
     )
-    assert x_shard.shape == (B, 2) and st_shard.shape == (B, 2)
+    assert x_shard.shape == (B, 2) and st_shard.shape == (B, 3)
 
     chain = _mpc(2, dtype=jnp.float64)
     for x in (x_plain, x_shard):

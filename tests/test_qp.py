@@ -572,3 +572,80 @@ def test_null_space_square_full_rank():
     np.testing.assert_allclose(
         np.asarray(res.x), np.linalg.solve(A, -b), atol=1e-10
     )
+
+
+# ---------------------------------------------------------------------------
+# USER_PROVIDED feasibility validation (InfeasibleGuess, qp.hpp:326-328) and
+# the "auto" kkt-solver sentinel (round-3 VERDICT items).
+# ---------------------------------------------------------------------------
+
+
+def test_user_provided_infeasible_guess_raises_eagerly():
+    """s <= 0 or z <= 0 in a USER_PROVIDED warm start must be NAMED (the
+    reference's InfeasibleGuess), not surface as a NaN-driven
+    FAILED_FACTORIZATION several iterations later."""
+    qp = _random_problem(11, 4, 0, 2)
+    params = QPInteriorPointParams(
+        max_iterations=4,
+        initial_guess_method=InitialGuessMethod.USER_PROVIDED,
+    )
+    with pytest.raises(ValueError, match="InfeasibleGuess"):
+        qp_ip_solve(
+            qp,
+            params,
+            x0=jnp.zeros(4, jnp.float64),
+            s0=jnp.asarray([1.0, -0.5]),
+            y0=jnp.zeros(0, jnp.float64),
+            z0=jnp.asarray([1.0, 1.0]),
+        )
+    with pytest.raises(ValueError, match="InfeasibleGuess"):
+        qp_ip_solve(
+            qp,
+            params,
+            x0=jnp.zeros(4, jnp.float64),
+            s0=jnp.asarray([1.0, 1.0]),
+            y0=jnp.zeros(0, jnp.float64),
+            z0=jnp.asarray([0.0, 1.0]),  # z must be strictly positive too
+        )
+
+
+def test_user_provided_infeasible_guess_status_under_jit():
+    """Inside jit the feasibility check cannot raise; it must come back as
+    the INFEASIBLE_GUESS termination state with zero iterations run."""
+    qp = _random_problem(12, 4, 0, 2)
+    params = QPInteriorPointParams(
+        max_iterations=4,
+        initial_guess_method=InitialGuessMethod.USER_PROVIDED,
+    )
+
+    @jax.jit
+    def run(s0):
+        return qp_ip_solve(
+            qp,
+            params,
+            x0=jnp.zeros(4, jnp.float64),
+            s0=s0,
+            y0=jnp.zeros(0, jnp.float64),
+            z0=jnp.asarray([1.0, 1.0]),
+        )
+
+    bad = run(jnp.asarray([1.0, -0.5]))
+    assert int(bad.termination_state) == QPTerminationState.INFEASIBLE_GUESS
+    assert int(bad.num_iterations) == 0
+    good = run(jnp.asarray([1.0, 0.5]))
+    assert int(good.termination_state) != QPTerminationState.INFEASIBLE_GUESS
+
+
+def test_auto_kkt_solver_matches_explicit():
+    """kkt_solver="auto" (the stock default) must resolve per backend at
+    trace time and produce the exact solution of the resolved solver."""
+    from mini_opt_tpu.ops.kkt import resolve_solver
+
+    resolved = resolve_solver("auto")
+    assert resolved == ("ldlt" if jax.default_backend() == "tpu" else "lu")
+
+    qp = _random_problem(13, 5, 2, 3)
+    res_auto = qp_ip_solve(qp, QPInteriorPointParams(kkt_solver="auto"))
+    res_exp = qp_ip_solve(qp, QPInteriorPointParams(kkt_solver=resolved))
+    np.testing.assert_array_equal(np.asarray(res_auto.x), np.asarray(res_exp.x))
+    assert int(res_auto.termination_state) == int(res_exp.termination_state)
