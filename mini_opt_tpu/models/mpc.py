@@ -498,6 +498,82 @@ def mpc_feedback_gain(
     return jax.jacrev(u0)(x_op)
 
 
+def fused_mpc_rollout_batch(
+    cp: CartPole,
+    x_init: jax.Array,  # (B, NX)
+    n_steps: int,
+    horizon: int,
+    dt: float,
+    budget: Tuple[int, int, int] = (2, 2, 1),
+    cold_budget: Optional[Tuple[int, int, int]] = (8, 3, 2),
+    disturbance: Optional[jax.Array] = None,  # (n_steps,)
+    backend: str = "pallas",
+    u_max: float = 10.0,
+    q: Tuple[float, float, float, float] = (1.0, 0.1, 10.0, 0.1),
+    q_terminal: Tuple[float, float, float, float] = (10.0, 1.0, 100.0, 1.0),
+    r_u: float = 0.01,
+):
+    """Receding-horizon control of a plant fleet on the BLOCKED fused kernel.
+
+    The general-path twin is ``mpc_rollout_batch`` (vmapped nls_solve per
+    period); here every period solves the WHOLE fleet with one
+    ``fused_mpc_solve_batch`` kernel call (ops/pallas_mpc.py) -- the medium-N
+    blocked tier: stagewise linearization, register-Riccati interior point,
+    and line search fused into a single launch instead of the general path's
+    hundreds of small XLA ops per period.  Same warm-start discipline: the
+    cold first period runs ``cold_budget`` (a second kernel specialization),
+    steady state runs the lean ``budget``; solutions shift one step between
+    periods (the USER_PROVIDED warm-start surface, qp.hpp:199-202).
+
+    Returns (states (n_steps+1, B, NX), controls (n_steps, B),
+    state (B, 3) = per-lane (f, |eq|_1, flags) of the LAST period's solve,
+    for fused_termination_status).
+    """
+    from ..ops.pallas_mpc import cartpole_mpc_family, fused_mpc_solve_batch
+
+    B = x_init.shape[0]
+    fam = cartpole_mpc_family(
+        horizon, float(dt), u_max=float(u_max), q=tuple(q),
+        q_terminal=tuple(q_terminal), r_u=float(r_u),
+        mass_cart=cp.mass_cart, mass_pole=cp.mass_pole,
+        length=cp.length, gravity=cp.gravity,
+    )
+    dist = (
+        jnp.zeros((n_steps,), x_init.dtype) if disturbance is None else disturbance
+    )
+    shift = jax.vmap(lambda z: shift_warm_start(cp, z, horizon, dt))
+    step = jax.vmap(lambda x, u: rk4_step(cp, x, u, dt))
+
+    def period(x, z_warm, d, bud):
+        z, state = fused_mpc_solve_batch(
+            fam, x, z_warm,
+            max_iterations=bud[0], qp_iterations=bud[1], ls_iterations=bud[2],
+            return_state=True, backend=backend,
+        )
+        u0 = z[:, 0]
+        x_next = step(x, u0 + d)
+        return x_next, shift(z), u0, state
+
+    z0 = jax.vmap(lambda x: initial_guess(cp, x, horizon, dt))(x_init)
+    x1, z1, u0_0, state0 = period(
+        x_init, z0, dist[0], cold_budget if cold_budget else budget
+    )
+
+    def body(carry, d):
+        x, z = carry
+        x_next, z_next, u0, state = period(x, z, d, budget)
+        return (x_next, z_next), (u0, x_next, state)
+
+    (_, _), (us_w, xs_w, states_w) = jax.lax.scan(
+        body, (x1, z1), dist[1:], length=n_steps - 1
+    )
+    us = jnp.concatenate([u0_0[None], us_w])
+    xs = jnp.concatenate([x1[None], xs_w])
+    states = jnp.concatenate([x_init[None], xs])
+    final_state = jax.tree.map(lambda a: a[-1], states_w) if n_steps > 1 else state0
+    return states, us, final_state
+
+
 def mpc_rollout_batch(
     cp: CartPole,
     x_init: jax.Array,  # (B, NX)

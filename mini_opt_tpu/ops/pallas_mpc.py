@@ -258,8 +258,18 @@ def _make_mpc_kernel(
     qp_iterations: int,
     ls_iterations: int,
     debug_history: bool = False,
+    unroll: bool = False,
 ):
+    """``unroll=False`` (default) wraps the outer-SQP and inner-QP iteration
+    loops in ``lax.fori_loop`` so the compiled program size is INDEPENDENT of
+    the iteration budget -- only the stage structure (T Riccati stages, the
+    RK4 linearization) is unrolled.  The fully-unrolled form is superlinearly
+    expensive to compile (measured XLA-CPU: 4.6k eqns -> 8 s, 10k -> 131 s,
+    20k -> >15 min) and the budget multiplies it; the looped form stays at
+    one body regardless of budget.  ``debug_history`` requires ``unroll=True``
+    (per-iteration rows are Python-collected)."""
     assert max_iterations >= 1
+    assert not (debug_history and not unroll), "debug_history requires unroll"
     T = fam.horizon
     w1 = [float(v) ** 0.5 for v in fam.q]
     wT = [float(v) ** 0.5 for v in fam.q_terminal]
@@ -312,8 +322,8 @@ def _make_mpc_kernel(
         z_lo = [1.0 / v for v in s_lo]
         z_hi = [1.0 / v for v in s_hi]
 
-        mu = one
-        for _ in range(qp_iterations):
+        def qp_body(carry):
+            du, dxs, s_lo, s_hi, y, z_lo, z_hi, mu, bad = carry
             # KKT residuals (qp.cc:391-420) in stage registers.
             r_d_u = [
                 c_u[t]
@@ -406,15 +416,24 @@ def _make_mpc_kernel(
             )
             ap_a = ftb(s_lo + s_hi, dsl_a + dsh_a, 1.0)
             ad_a = ftb(z_lo + z_hi, dzl_a + dzh_a, 1.0)
-            mu_aff = zero
+            # Reference mu_aff form (qp.cc:519-537 / qp.py::_mu_affine):
+            # the CARRIED mu stands in for s^T z / M in the expansion of
+            # (s + ap ds)(z + ad dz)/M -- identical on the first iteration
+            # (warm start has s z = 1 per row) and the form the general
+            # path's parity is pinned against thereafter.
+            cross = zero
             for t in range(T):
-                mu_aff = mu_aff + (s_lo[t] + ap_a * dsl_a[t]) * (
-                    z_lo[t] + ad_a * dzl_a[t]
+                cross = cross + (
+                    ad_a * s_lo[t] * dzl_a[t]
+                    + ap_a * z_lo[t] * dsl_a[t]
+                    + ap_a * ad_a * dsl_a[t] * dzl_a[t]
                 )
-                mu_aff = mu_aff + (s_hi[t] + ap_a * dsh_a[t]) * (
-                    z_hi[t] + ad_a * dzh_a[t]
+                cross = cross + (
+                    ad_a * s_hi[t] * dzh_a[t]
+                    + ap_a * z_hi[t] * dsh_a[t]
+                    + ap_a * ad_a * dsh_a[t] * dzh_a[t]
                 )
-            mu_aff = jnp.maximum(mu_aff / (2 * T), 0.0)
+            mu_aff = jnp.maximum(mu + cross / (2 * T), 0.0)
             sigma = (mu_aff / mu) ** 3
             mu_used = sigma * mu
             corr_lo = [dsl_a[t] * dzl_a[t] for t in range(T)]
@@ -440,6 +459,17 @@ def _make_mpc_kernel(
             for t in range(T):
                 comp = comp + s_lo[t] * z_lo[t] + s_hi[t] * z_hi[t]
             mu = 0.1 * (comp / (2 * T))
+            return (du, dxs, s_lo, s_hi, y, z_lo, z_hi, mu, bad)
+
+        carry = (du, dxs, s_lo, s_hi, y, z_lo, z_hi, one, bad)
+        if unroll:
+            for _ in range(qp_iterations):
+                carry = qp_body(carry)
+        else:
+            carry = jax.lax.fori_loop(
+                0, qp_iterations, lambda _i, c: qp_body(c), carry
+            )
+        du, dxs, s_lo, s_hi, y, z_lo, z_hi, _mu, bad = carry
 
         y_abs = jnp.abs(y[0][0])
         for t in range(T):
@@ -465,22 +495,33 @@ def _make_mpc_kernel(
         hist_rows = []
 
         # MPC-family solver constants (default_mpc_params, models/mpc.py).
-        lam = 1e-6 * one
-        penalty = 1.0 * one
-        restore = zero
-        best_u = list(u)
-        best_xs = [list(row) for row in xs]
-        f_best = None
-        eq_best = None
-        fac_bad = zero
-        lam_maxed = zero
-        accepted = zero
-        f_pre = zero
-        eq_pre = zero
-        f_acc = zero
-        eq_acc = zero
+        # f_best starts at +inf so iteration 0 unconditionally seeds the
+        # best-merit tracker (branch-free for the fori_loop form).
+        inf = jnp.full_like(one, jnp.inf)
+        carry0 = (
+            list(u),  # u
+            [list(row) for row in xs],  # xs
+            1e-6 * one,  # lam
+            1.0 * one,  # penalty
+            zero,  # restore
+            list(u),  # best_u
+            [list(row) for row in xs],  # best_xs
+            inf,  # f_best
+            zero,  # eq_best
+            zero,  # fac_bad
+            zero,  # lam_maxed
+            zero,  # accepted
+            zero,  # f_acc
+            zero,  # eq_acc
+            zero,  # f_pre
+            zero,  # eq_pre
+        )
 
-        for it in range(max_iterations):
+        def outer_body(carry):
+            (
+                u, xs, lam, penalty, restore, best_u, best_xs, f_best,
+                eq_best, fac_bad, lam_maxed, accepted, f_acc, eq_acc, _, _,
+            ) = carry
             # -- stagewise linearization (the LinearizeAndFillQP analog) ----
             f_pre = None
             c_u = [r_u * u[t] for t in range(T)]
@@ -512,19 +553,14 @@ def _make_mpc_kernel(
                     f_pre = term if f_pre is None else f_pre + term
                 f_pre = f_pre + 0.5 * r_u * u[t] * u[t]
 
-            if f_best is None:
-                f_best, eq_best = f_pre, eq_pre
-            else:
-                better = f_pre + penalty * eq_pre < f_best + penalty * eq_best
-                best_u = [
-                    jnp.where(better, u[t], best_u[t]) for t in range(T)
-                ]
-                best_xs = [
-                    [jnp.where(better, xs[t][i], best_xs[t][i]) for i in range(NX)]
-                    for t in range(T)
-                ]
-                f_best = jnp.where(better, f_pre, f_best)
-                eq_best = jnp.where(better, eq_pre, eq_best)
+            better = f_pre + penalty * eq_pre < f_best + penalty * eq_best
+            best_u = [jnp.where(better, u[t], best_u[t]) for t in range(T)]
+            best_xs = [
+                [jnp.where(better, xs[t][i], best_xs[t][i]) for i in range(NX)]
+                for t in range(T)
+            ]
+            f_best = jnp.where(better, f_pre, f_best)
+            eq_best = jnp.where(better, eq_pre, eq_best)
 
             du, dxs_step, y_abs, bad_it = qp_solve(
                 lam, c_u, c_x, r, A, B, u, one, zero
@@ -591,10 +627,7 @@ def _make_mpc_kernel(
                 [jnp.where(accepted > 0, bxs[t][i], xs[t][i]) for i in range(NX)]
                 for t in range(T)
             ]
-            if debug_history:
-                hist_rows.append(
-                    (f_pre, eq_pre, penalty, lam, dd, accepted, alpha)
-                )
+            hist_row = (f_pre, eq_pre, penalty, lam, dd, accepted, alpha)
             # Lambda machine at the MPC family constants.
             lam_succ = jnp.maximum(
                 lam * jnp.where(restore > 0, 0.8, 0.1), 1e-12
@@ -605,6 +638,26 @@ def _make_mpc_kernel(
             lam = jnp.where(accepted > 0, lam_succ, lam_fail)
             restore = jnp.where(accepted > 0, zero, one)
             lam_maxed = jnp.where((accepted == 0) & (lam > 1.0), one, zero)
+            return (
+                u, xs, lam, penalty, restore, best_u, best_xs, f_best,
+                eq_best, fac_bad, lam_maxed, accepted, f_acc, eq_acc,
+                f_pre, eq_pre,
+            ), hist_row
+
+        if unroll:
+            carry = carry0
+            for _ in range(max_iterations):
+                carry, row = outer_body(carry)
+                if debug_history:
+                    hist_rows.append(row)
+        else:
+            carry = jax.lax.fori_loop(
+                0, max_iterations, lambda _i, c: outer_body(c)[0], carry0
+            )
+        (
+            u, xs, _lam, penalty, _restore, best_u, best_xs, f_best, eq_best,
+            fac_bad, lam_maxed, accepted, f_acc, eq_acc, f_pre, eq_pre,
+        ) = carry
 
         f_fin = jnp.where(accepted > 0, f_acc, f_pre)
         eq_fin = jnp.where(accepted > 0, eq_acc, eq_pre)
@@ -642,6 +695,155 @@ def _make_mpc_kernel(
     return kernel
 
 
+def _make_mpc_servo_kernel(
+    fam: MPCFamily,
+    periods: int,
+    max_iterations: int,
+    qp_iterations: int,
+    ls_iterations: int,
+):
+    """The ENTIRE receding-horizon servo loop as one kernel: ``periods`` x
+    (solve at the warm budget -> apply u_0 to the plant -> advance one RK4
+    step -> shift the solution as the next warm start).  Removes the
+    per-period kernel launch + (B, 5T) pack/unpack round trips that bound
+    the one-solve-per-launch rollout (measured: ~0.4 ms fixed overhead per
+    period at batch 1024 -- over half the (1,1,1)-budget period time).
+
+    The plant stepped inside is the same RK4 cart-pole model the defects
+    use (models/mpc.py::mpc_rollout semantics with no disturbance).  Stats
+    emitted per lane: (f, |eq|_1) of the LAST period's solve, sticky flags
+    over all periods, and max |u_0| over the rollout (the actuation-bound
+    telemetry the stabilization gate reads)."""
+    solve_kernel = _make_mpc_kernel(
+        fam, max_iterations, qp_iterations, ls_iterations, unroll=False
+    )
+    core = solve_kernel.core
+    T = fam.horizon
+
+    def servo_core(x, u, xs):
+        zero = jnp.zeros_like(u[0])
+
+        def body(carry):
+            x, u, xs, maxu, _f, _eq, flags = carry
+            u_o, xs_o, f, eq, flg, _ = core(x, u, xs)
+            u0 = u_o[0]
+            x_next = _rk4(fam, x, u0)
+            # shift_warm_start semantics (models/mpc.py): u_t <- u_{t+1}
+            # (last repeated), x_t <- x_{t+1}, new terminal integrated.
+            un = u_o[1:] + [u_o[T - 1]]
+            x_term = _rk4(fam, xs_o[T - 1], un[T - 1])
+            xsn = [list(row) for row in xs_o[1:]] + [x_term]
+            return (
+                x_next, un, xsn,
+                jnp.maximum(maxu, jnp.abs(u0)), f, eq, jnp.maximum(flags, flg),
+            )
+
+        carry0 = (list(x), list(u), [list(r) for r in xs], zero, zero, zero, zero)
+        return jax.lax.fori_loop(0, periods, lambda _i, c: body(c), carry0)
+
+    def kernel(x0_ref, z0_ref, xout_ref, zout_ref, stat_ref):
+        x = [x0_ref[i, 0] for i in range(NX)]
+        u = [z0_ref[t, 0] for t in range(T)]
+        xs = [
+            [z0_ref[T + NX * t + i, 0] for i in range(NX)] for t in range(T)
+        ]
+        xf, uf, xsf, maxu, f, eq, flags = servo_core(x, u, xs)
+        for i in range(NX):
+            xout_ref[i, 0] = xf[i]
+        for t in range(T):
+            zout_ref[t, 0] = uf[t]
+            for i in range(NX):
+                zout_ref[T + NX * t + i, 0] = xsf[t][i]
+        stat_ref[0, 0] = f
+        stat_ref[1, 0] = eq
+        stat_ref[2, 0] = flags
+        stat_ref[3, 0] = maxu
+
+    kernel.core = servo_core
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "family", "periods", "max_iterations", "qp_iterations",
+        "ls_iterations", "backend",
+    ),
+)
+def fused_mpc_servo_batch(
+    family: MPCFamily,
+    x_plant: jax.Array,  # (B, NX)
+    z0: jax.Array,  # (B, 5T) warm starts
+    periods: int,
+    max_iterations: int = 1,
+    qp_iterations: int = 1,
+    ls_iterations: int = 1,
+    backend: str = "pallas",
+):
+    """Run ``periods`` receding-horizon control periods for B plants in ONE
+    kernel launch.  Returns (x_final (B, NX), z_final (B, 5T),
+    stats (B, 4) = [f_last, |eq|_1_last, sticky flags, max |u_0|]).
+
+    Feed a COLD-solved, one-step-advanced state (e.g. from
+    ``fused_mpc_solve_batch`` at a verification budget + shift) -- the warm
+    budget here assumes near-optimal warm starts, exactly like
+    ``mpc_rollout(warm_params=...)``."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    T = family.horizon
+    dim = family.dim
+    B = x_plant.shape[0]
+    assert x_plant.shape == (B, NX) and z0.shape == (B, dim)
+    assert backend in ("pallas", "xla")
+    kernel = _make_mpc_servo_kernel(
+        family, periods, max_iterations, qp_iterations, ls_iterations
+    )
+
+    if backend == "xla":
+        def one(xp, z):
+            x = [xp[i] for i in range(NX)]
+            u = [z[t] for t in range(T)]
+            xs = [[z[T + NX * t + i] for i in range(NX)] for t in range(T)]
+            xf, uf, xsf, maxu, f, eq, flags = kernel.core(x, u, xs)
+            z_o = jnp.stack(
+                uf + [xsf[t][i] for t in range(T) for i in range(NX)]
+            )
+            return jnp.stack(xf), z_o, jnp.stack([f, eq, flags, maxu])
+
+        return jax.vmap(one)(x_plant, z0)
+
+    tile = 8 * 128
+    b_pad = -(-B // tile) * tile
+    grid = b_pad // tile
+
+    def pack(arr):
+        p = jnp.pad(arr, [(0, b_pad - B), (0, 0)])
+        return jnp.moveaxis(p, 0, -1).reshape(arr.shape[1], grid, 8, 128)
+
+    xf, zf, stat = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((NX, 1, 8, 128), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((dim, 1, 8, 128), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((NX, 1, 8, 128), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((dim, 1, 8, 128), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, 1, 8, 128), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((NX, grid, 8, 128), x_plant.dtype),
+            jax.ShapeDtypeStruct((dim, grid, 8, 128), x_plant.dtype),
+            jax.ShapeDtypeStruct((4, grid, 8, 128), x_plant.dtype),
+        ],
+        interpret=_interpret(),
+    )(pack(x_plant), pack(z0))
+    unpack = lambda a: jnp.moveaxis(a.reshape(a.shape[0], b_pad), -1, 0)[:B]
+    return unpack(xf), unpack(zf), unpack(stat)
+
+
 # ---------------------------------------------------------------------------
 # Host-side driver (packing identical to ops/pallas_ik.py::_fused_solve).
 # ---------------------------------------------------------------------------
@@ -659,6 +861,7 @@ _DBG_CHANNELS = 7  # f, eq, penalty, lam, dd, accepted, alpha
         "debug_history",
         "return_state",
         "backend",
+        "unroll",
     ),
 )
 def fused_mpc_solve_batch(
@@ -671,6 +874,7 @@ def fused_mpc_solve_batch(
     debug_history: bool = False,
     return_state: bool = False,
     backend: str = "pallas",
+    unroll: Optional[bool] = None,
 ):
     """Solve B cart-pole MPC instances with ONE fused blocked kernel.
 
@@ -692,8 +896,11 @@ def fused_mpc_solve_batch(
     B = x_plant.shape[0]
     assert x_plant.shape == (B, NX) and z0.shape == (B, dim)
     assert backend in ("pallas", "xla")
+    if unroll is None:
+        unroll = debug_history  # fori_loop form unless per-iteration rows asked
     kernel = _make_mpc_kernel(
-        family, max_iterations, qp_iterations, ls_iterations, debug_history
+        family, max_iterations, qp_iterations, ls_iterations, debug_history,
+        unroll=unroll,
     )
 
     if backend == "xla":

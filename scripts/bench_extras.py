@@ -651,6 +651,199 @@ def mpc_bench(
     )
 
 
+def mpc_fused_bench(
+    B=1024,
+    n_steps_chain=17,
+    horizon=20,
+    dt=0.05,
+    budget=(2, 2, 1),
+    cold_budget=(8, 3, 2),
+):
+    """The BLOCKED fused MPC tier on-chip (ops/pallas_mpc.py, VERDICT
+    round-3 item 1): every control period solves the whole fleet's dim-100
+    horizon problems with ONE Pallas kernel launch (stagewise RK4
+    linearization + register-Riccati Mehrotra interior point + Armijo line
+    search fused), vs the general path's hundreds of small XLA ops per
+    period (mpc_bench / mpc_riccati rows). Same rollout methodology:
+    K-vs-1-period chained difference, stabilization gate on a 30-period
+    rollout."""
+    import functools as _ft
+
+    from mini_opt_tpu.models import mpc
+
+    cp = mpc.CartPole()
+    rng = np.random.default_rng(0)
+    x_init = jnp.asarray(
+        np.column_stack(
+            [
+                rng.uniform(-0.2, 0.2, B),
+                rng.uniform(-0.2, 0.2, B),
+                rng.uniform(-0.35, 0.35, B),
+                rng.uniform(-0.2, 0.2, B),
+            ]
+        ),
+        jnp.float32,
+    )
+
+    @_ft.partial(jax.jit, static_argnames=("k",))
+    def fleet(x0, k):
+        return mpc.fused_mpc_rollout_batch(
+            cp, x0, k, horizon, dt, budget=budget, cold_budget=cold_budget
+        )
+
+    t0 = time.time()
+    np.asarray(fleet(x_init, 1)[0])
+    log(f"mpc_fused k=1 compile+run {time.time()-t0:.1f}s")
+    t0 = time.time()
+    np.asarray(fleet(x_init, n_steps_chain)[0])
+    log(f"mpc_fused k={n_steps_chain} compile+run {time.time()-t0:.1f}s")
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(fleet(x_init, 1)[0])
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        np.asarray(fleet(x_init, n_steps_chain)[0])
+        tk = time.perf_counter() - t0
+        times.append((tk - t1) / (n_steps_chain - 1))
+    per_period = float(np.median(times))
+
+    states, us, final_state = fleet(x_init, 30)
+    theta_final = np.abs(np.asarray(states)[-1, :, 2])
+    stabilized = float(np.mean(theta_final < 0.05))
+    st = np.asarray(final_state)
+    print(
+        json.dumps(
+            {
+                "metric": "mpc_fused_control_solves_per_s_per_chip",
+                "budget": list(budget),
+                "cold_budget": list(cold_budget),
+                "value": round(B / per_period, 1),
+                "unit": "solves/s",
+                "fleet": B,
+                "horizon": horizon,
+                "problem_dim": mpc.mpc_dimension(horizon),
+                "period_ms": round(per_period * 1e3, 3),
+                "control_rate_hz_per_plant": round(1.0 / per_period, 1),
+                "stabilized_frac": round(stabilized, 4),
+                "theta_final_max": float(theta_final.max()),
+                "u_max_violation": float(
+                    max(0.0, np.abs(np.asarray(us)).max() - 10.0)
+                ),
+                "eq_l1_max_last_period": float(st[:, 1].max()),
+                "flags_nonzero": int((st[:, 2] != 0).sum()),
+                "dtype": "float32",
+            }
+        ),
+        flush=True,
+    )
+
+
+def mpc_servo_bench(
+    B=1024,
+    n_steps_chain=17,
+    horizon=20,
+    dt=0.05,
+    budget=(1, 1, 1),
+    cold_budget=(8, 3, 2),
+    gate_periods=30,
+):
+    """The fully-fused servo tier: the ENTIRE receding-horizon loop (solve +
+    plant step + warm-start shift, K periods) in ONE kernel launch
+    (ops/pallas_mpc.py::fused_mpc_servo_batch) -- no per-period launches, no
+    per-period (B, 5T) pack/unpack. Timing = servo(K) vs servo(1) kernel
+    difference; quality = the same 30-period stabilization gate as
+    mpc_bench/mpc_fused."""
+    from mini_opt_tpu.models import mpc
+    from mini_opt_tpu.ops.pallas_mpc import (
+        cartpole_mpc_family,
+        fused_mpc_servo_batch,
+        fused_mpc_solve_batch,
+    )
+
+    cp = mpc.CartPole()
+    fam = cartpole_mpc_family(horizon, float(dt))
+    rng = np.random.default_rng(0)
+    x_init = jnp.asarray(
+        np.column_stack(
+            [
+                rng.uniform(-0.2, 0.2, B),
+                rng.uniform(-0.2, 0.2, B),
+                rng.uniform(-0.35, 0.35, B),
+                rng.uniform(-0.2, 0.2, B),
+            ]
+        ),
+        jnp.float32,
+    )
+
+    @jax.jit
+    def cold(x0):
+        z0 = jax.vmap(lambda x: mpc.initial_guess(cp, x, horizon, dt))(x0)
+        z = fused_mpc_solve_batch(
+            fam, x0, z0, max_iterations=cold_budget[0],
+            qp_iterations=cold_budget[1], ls_iterations=cold_budget[2],
+        )
+        u0 = z[:, 0]
+        x1 = jax.vmap(lambda x, u: mpc.rk4_step(cp, x, u, dt))(x0, u0)
+        z1 = jax.vmap(lambda zz: mpc.shift_warm_start(cp, zz, horizon, dt))(z)
+        return x1, z1
+
+    def servo(x, z, k):
+        return fused_mpc_servo_batch(
+            fam, x, z, k, max_iterations=budget[0], qp_iterations=budget[1],
+            ls_iterations=budget[2],
+        )
+
+    t0 = time.time()
+    x1, z1 = jax.block_until_ready(cold(x_init))
+    log(f"servo cold solve compile+run {time.time()-t0:.1f}s")
+    t0 = time.time()
+    np.asarray(servo(x1, z1, 1)[0])
+    log(f"servo k=1 compile+run {time.time()-t0:.1f}s")
+    t0 = time.time()
+    np.asarray(servo(x1, z1, n_steps_chain)[0])
+    log(f"servo k={n_steps_chain} compile+run {time.time()-t0:.1f}s")
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(servo(x1, z1, 1)[0])
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        np.asarray(servo(x1, z1, n_steps_chain)[0])
+        tk = time.perf_counter() - t0
+        times.append((tk - t1) / (n_steps_chain - 1))
+    per_period = float(np.median(times))
+
+    xf, zf, stats = servo(x1, z1, gate_periods - 1)
+    xf, stats = np.asarray(xf), np.asarray(stats)
+    theta_final = np.abs(xf[:, 2])
+    stabilized = float(np.mean(theta_final < 0.05))
+    print(
+        json.dumps(
+            {
+                "metric": "mpc_servo_control_solves_per_s_per_chip",
+                "budget": list(budget),
+                "cold_budget": list(cold_budget),
+                "value": round(B / per_period, 1),
+                "unit": "solves/s",
+                "fleet": B,
+                "horizon": horizon,
+                "problem_dim": mpc.mpc_dimension(horizon),
+                "period_ms": round(per_period * 1e3, 4),
+                "control_rate_hz_per_plant": round(1.0 / per_period, 1),
+                "gate_periods": gate_periods,
+                "stabilized_frac": round(stabilized, 4),
+                "theta_final_max": float(theta_final.max()),
+                "u_max_violation": float(max(0.0, stats[:, 3].max() - 10.0)),
+                "eq_l1_max_last_period": float(stats[:, 1].max()),
+                "flags_nonzero": int((stats[:, 2] != 0).sum()),
+                "dtype": "float32",
+            }
+        ),
+        flush=True,
+    )
+
+
 def long_chain_bench(L=512, B=1024):
     """Long-axis scaling (SURVEY.md §5): batched forward passes over an
     L-link chain, lax.scan (O(L) depth) vs lax.associative_scan (O(log L)
@@ -897,6 +1090,15 @@ if __name__ == "__main__":
         "fused_pose_graph_8": lambda: fused_pose_graph_bench(n_poses=8),
         "mpc": mpc_bench,
         "mpc_riccati": lambda: mpc_bench(structured=True),
+        # The blocked fused tier (ops/pallas_mpc.py): whole fleet per kernel
+        # launch. Fleet sizes bracket the padding (1024 = one register tile).
+        "mpc_fused": mpc_fused_bench,
+        "mpc_fused_8192": lambda: mpc_fused_bench(B=8192),
+        "mpc_fused_111": lambda: mpc_fused_bench(budget=(1, 1, 1)),
+        # Whole servo loop in one launch (solve+step+shift x K periods).
+        "mpc_servo": mpc_servo_bench,
+        "mpc_servo_221": lambda: mpc_servo_bench(budget=(2, 2, 1)),
+        "mpc_servo_8192": lambda: mpc_servo_bench(B=8192),
         # Budget study (VERDICT round-2 item 1b): warm-started receding
         # horizon needs far fewer fixed trips than the 8/8/6 default; the
         # stabilized_frac + u_max_violation fields gate each point.

@@ -437,6 +437,134 @@ def run_obstacle(dtype, label, B=256):
     )
 
 
+def run_fused_spatial(dtype, label, B=8192, seeds=(0, 1, 2)):
+    """Fused SPATIAL IK family accuracy on-chip (VERDICT round-3 item 5):
+    effector-error percentiles + convergence fraction at the reference IK
+    gate (1e-3, nonlinear_test.cc:939-958) across several seeds of the
+    bench distribution, at the family's converged serving budget
+    (12/2/2, STATUS round-2 study). The known irreducible chaotic tail of
+    this distribution is ~0.14% (35/24576); the gate is 99.8%."""
+    from mini_opt_tpu.models.ik import make_spatial_chain
+    from mini_opt_tpu.ops.pallas_ik import fused_spatial_ik_solve_batch
+
+    n = 3
+    chain = make_spatial_chain(n, dtype=jnp.float64)
+    fkv = jax.jit(jax.vmap(lambda t: chain.update(t).translation))
+    errs = []
+    t0 = time.time()
+    for seed in seeds:
+        rng = np.random.default_rng(seed)
+        th_true = np.stack(
+            [rng.uniform(-1.2, 1.2, B)]
+            + [rng.uniform(0.25, 2.6, B) for _ in range(n - 1)],
+            1,
+        )
+        targets = np.asarray(fkv(jnp.asarray(th_true)))
+        x0 = th_true + rng.uniform(-0.25, 0.25, (B, n))
+        x0[:, 1:] = np.clip(x0[:, 1:], 0.05, np.pi - 0.05)
+        out = fused_spatial_ik_solve_batch(
+            jnp.asarray(targets, dtype), jnp.asarray(x0, dtype),
+            max_iterations=12, qp_iterations=2, ls_iterations=2,
+        )
+        final = np.asarray(fkv(jnp.asarray(np.asarray(out), jnp.float64)))
+        errs.append(np.abs(final - targets).max(axis=1))
+    err = np.concatenate(errs)
+    emit(
+        experiment=f"fused_spatial_{label}",
+        backend=jax.default_backend(),
+        dtype=str(jnp.dtype(dtype)),
+        instances=len(err),
+        budget=[12, 2, 2],
+        converged_frac_1e3=float(np.mean(err < 1e-3)),
+        err_median=float(np.median(err)),
+        err_p99=float(np.quantile(err, 0.99)),
+        err_max=float(err.max()),
+        gate_pass=bool(np.mean(err < 1e-3) >= 0.998),
+        wall_s=round(time.time() - t0, 1),
+    )
+
+
+def run_fused_pose_graph(dtype, label, B=8192, n_poses=4):
+    """Fused SE(2) pose-graph family accuracy on-chip (VERDICT round-3
+    item 5): terminal cost distribution of B noisy N-pose ring graphs
+    through the BlockResidual-compiled kernel vs the SAME instances through
+    the general path (vmapped nls_solve, same chip, f64) -- convergence
+    fraction at the 0.02-noise floor plus a direct per-instance cost-parity
+    gate against the general solutions."""
+    from mini_opt_tpu import family_from_problem
+    from mini_opt_tpu.models.pose_graph import (
+        make_pose_graph_problem,
+        scalar_pose_graph_builder,
+    )
+    from mini_opt_tpu.nonlinear import NLSParams, nls_solve
+    from mini_opt_tpu.ops.pallas_ik import fused_solve_batch
+
+    N = n_poses
+    edges = tuple((i, (i + 1) % N) for i in range(N))
+    turn = 2 * np.pi / N
+    meas = np.tile([1.0, 0.0, turn], (N, 1))
+    th = np.arange(N) * turn
+    pts = np.zeros((N, 2))
+    for i in range(1, N):
+        pts[i] = pts[i - 1] + [np.cos(th[i - 1]), np.sin(th[i - 1])]
+    truth = np.column_stack([pts, np.where(th > np.pi, th - 2 * np.pi, th)])
+    builder = scalar_pose_graph_builder(N, edges)
+    fam = family_from_problem(builder, data_rows=3 * N)
+    rng = np.random.default_rng(0)
+    data = (meas.ravel() + rng.normal(0, 0.02, (B, 3 * N))).astype(np.float32)
+    x0 = (truth.ravel() + rng.normal(0, 0.15, (B, 3 * N))).astype(np.float32)
+
+    t0 = time.time()
+    _, state = fused_solve_batch(
+        fam, jnp.asarray(data), jnp.asarray(x0),
+        max_iterations=6, qp_iterations=1, ls_iterations=2,
+        return_state=True,
+    )
+    f_fused = np.asarray(state[:, 0])
+
+    # General-path twin on the SAME instances (subset: the general path is
+    # ~50x slower per instance; 1024 is plenty for a parity distribution).
+    Bg = min(B, 1024)
+    gen_params = NLSParams(
+        max_iterations=8, max_qp_iterations=1, max_line_search_iterations=2,
+        record_history=False, early_exit=False, kkt_solver="ldlt",
+    )
+
+    def gen_one(d, x):
+        prob = make_pose_graph_problem(
+            N, tuple(edges), d.reshape(N, 3), jnp.ones((N,), jnp.float64),
+            anchor_weight=100.0,
+        )
+        res = nls_solve(prob, gen_params, x)
+        return res.errors.f
+
+    f_gen = np.asarray(
+        jax.jit(jax.vmap(gen_one))(
+            jnp.asarray(data[:Bg], jnp.float64), jnp.asarray(x0[:Bg], jnp.float64)
+        )
+    )
+    delta = f_fused[:Bg] - f_gen  # >0 = fused worse than general
+    emit(
+        experiment=f"fused_pose_graph_n{N}_{label}",
+        backend=jax.default_backend(),
+        dtype=str(jnp.dtype(dtype)),
+        instances=B,
+        poses=N,
+        budget=[6, 1, 2],
+        converged_frac_1e2=float(np.mean(f_fused < 1e-2)),
+        cost_median=float(np.median(f_fused)),
+        cost_p99=float(np.quantile(f_fused, 0.99)),
+        parity_instances=Bg,
+        cost_delta_vs_general_p99=float(np.quantile(delta, 0.99)),
+        cost_delta_vs_general_max=float(delta.max()),
+        gate_pass=bool(
+            np.mean(f_fused < 1e-2) == 1.0
+            and float(np.quantile(delta, 0.99)) < 1e-3
+        ),
+        wall_s=round(time.time() - t0, 1),
+    )
+
+
 def main():
     import argparse
 
@@ -444,7 +572,7 @@ def main():
     ap.add_argument(
         "--only",
         default="all",
-        choices=["all", "qp", "nls", "cg", "mpc", "obstacle"],
+        choices=["all", "qp", "nls", "cg", "mpc", "obstacle", "fused_spatial", "fused_pose_graph"],
         help="subset: qp sweeps / nls families / cg paths / mpc / obstacle",
     )
     args = ap.parse_args()
@@ -480,6 +608,11 @@ def main():
         run_mpc(jnp.float32, "f32")
     if args.only in ("all", "obstacle"):
         run_obstacle(jnp.float32, "f32")
+    if args.only in ("all", "fused_spatial"):
+        run_fused_spatial(jnp.float32, "f32")
+    if args.only in ("all", "fused_pose_graph"):
+        run_fused_pose_graph(jnp.float32, "f32", n_poses=4)
+        run_fused_pose_graph(jnp.float32, "f32", n_poses=8)
     return 0
 
 
