@@ -740,8 +740,12 @@ def mpc_fused_bench(
 
 
 def mpc_servo_bench(
+    # K=513: the fused servo period is ~0.1-0.5 ms/period at batch 1024, so
+    # a K=17 chain (<10 ms) drowns in the +-10 ms tunnel transfer noise
+    # (first run measured NEGATIVE time); the chain must total >= ~100 ms
+    # (CLAUDE.md chained-timing rule: K scales inversely with per-step time).
     B=1024,
-    n_steps_chain=17,
+    n_steps_chain=513,
     horizon=20,
     dt=0.05,
     budget=(1, 1, 1),
