@@ -26,8 +26,9 @@ from mini_opt_tpu.models import mpc
 
 def main():
     cp = mpc.CartPole()
+    smoke = os.environ.get("MINI_OPT_EXAMPLE_SMOKE") == "1"
     n_steps, horizon, dt = 60, 20, 0.05
-    B = 16
+    B = 4 if smoke else 16
     rng = np.random.default_rng(0)
     x_init = jnp.asarray(
         np.column_stack(

@@ -121,7 +121,8 @@ def auto_compiled_family():
 
 
 def main():
-    B = 8192
+    smoke = os.environ.get("MINI_OPT_EXAMPLE_SMOKE") == "1"
+    B = 1024 if smoke else 8192
     rng = np.random.default_rng(0)
     a_true = rng.uniform(0.5, 3.0, B)
     b_true = rng.uniform(-2.0, -0.1, B)

@@ -69,9 +69,10 @@ def make_robot(dtype=jnp.float32) -> ActuatorChain:
 
 
 def main():
+    smoke = os.environ.get("MINI_OPT_EXAMPLE_SMOKE") == "1"
     robot = make_robot()
     n = robot.total_active  # 3: base angle, shoulder angle, extension
-    B = 1024
+    B = 256 if smoke else 1024
 
     # Reachable targets: forward kinematics of random joint states.
     rng = np.random.default_rng(0)

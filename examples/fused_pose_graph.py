@@ -11,6 +11,7 @@ Run: python examples/fused_pose_graph.py  (CPU interpret mode works; on a
 TPU the same code compiles to the Mosaic kernel.)
 """
 
+import os
 import sys
 
 import jax
@@ -39,6 +40,7 @@ TRUTH = np.array(
 
 
 def main() -> None:
+    smoke = os.environ.get("MINI_OPT_EXAMPLE_SMOKE") == "1"
     builder = scalar_pose_graph_builder(4, EDGES)
     family = family_from_problem(builder, data_rows=12)
 
@@ -51,9 +53,9 @@ def main() -> None:
         family,
         jnp.asarray(data),
         jnp.asarray(x0),
-        max_iterations=8,
+        max_iterations=2 if smoke else 8,
         qp_iterations=1,  # unconstrained: the inner QP is one Newton solve
-        ls_iterations=2,
+        ls_iterations=1 if smoke else 2,
         barrier="mpc",
         return_state=True,
     )

@@ -35,7 +35,8 @@ from mini_opt_tpu.structs import BarrierStrategy
 
 
 def main():
-    n, B = 3, 512
+    smoke = os.environ.get("MINI_OPT_EXAMPLE_SMOKE") == "1"
+    n, B = 3, (64 if smoke else 512)
     chain = make_spatial_chain(n, dtype=jnp.float64)
     fkv = jax.vmap(lambda t: chain.update(t).translation)
 
@@ -52,7 +53,7 @@ def main():
 
     # --- general solver -------------------------------------------------
     params = dataclasses.replace(
-        default_ik_params(jnp.float64, max_iterations=12, max_qp_iterations=6),
+        default_ik_params(jnp.float64, max_iterations=4 if smoke else 12, max_qp_iterations=6),
         qp_barrier_strategy=BarrierStrategy.PREDICTOR_CORRECTOR,
     )
 
@@ -71,7 +72,7 @@ def main():
     x_fused = fused_spatial_ik_solve_batch(
         jnp.asarray(targets, jnp.float32),
         jnp.asarray(x0, jnp.float32),
-        max_iterations=12,
+        max_iterations=4 if smoke else 12,
     )
     err_f = np.abs(
         np.asarray(fkv(jnp.asarray(np.asarray(x_fused), jnp.float64))) - targets

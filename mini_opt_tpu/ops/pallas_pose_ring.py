@@ -1,0 +1,479 @@
+"""Blocked fused kernel for SE(2) pose-graph RINGS (medium-N tier).
+
+The register-class fused pose-graph kernels (scalar_pose_graph_builder ->
+family_from_problem) factor the damped normal equations with a fully
+unrolled dense LDL^T: O((3N)^3) straight-line register ops, which caps the
+family at small N (169M/102M/72M graphs/s at N=4/6/8; the compile, not the
+FLOPs, is the wall -- VERDICT round-3 weak #2).  This module is the blocked
+tier for the family's canonical topology: N poses in a ring (odometry chain
+0->1->...->N-1 plus the loop-closure edge (N-1, 0)) with a soft anchor on
+pose 0 -- the structure of models/pose_graph.py's test/bench graphs.
+
+Blocking: the Gauss-Newton Hessian of a ring is BLOCK-TRIDIAGONAL (3x3
+blocks along the odometry chain) plus one corner block from the closure and
+the anchor on pose 0.  Treating pose 0 as the BORDER variable, the damped
+system solves by the bordered block-Thomas algorithm:
+
+    H = [[A,  B^T],      A = pose-0 block (anchor + both closure-adjacent
+         [B,  T  ]]          edges), T = block tridiagonal over poses 1..N-1,
+                             B nonzero only at block rows 1 and N-1
+
+    factor T by the block-Thomas forward sweep (N-1 stages of 3x3 algebra,
+    sharing one 3x3 adjugate inverse per stage across all four rhs columns),
+    W = T^-1 B_cols, y = T^-1 b_T, Schur S = A - U_0 W_1 - C W_{N-1},
+    dx_0 = S^-1 (b_0 - U_0 y_1 - C y_{N-1}), dx_k = y_k - W_k dx_0.
+
+O(N) register ops per Gauss-Newton step instead of O(N^3) -- the same
+structure-is-the-blocking move as the MPC kernel's register Riccati
+(ops/pallas_mpc.py).  The solver skeleton around it mirrors the general
+path at NLSParams defaults (lambda machine nonlinear.cc:296-343 with
+lambda_0 = 0, failure init 1e-2, x0.1 on success / x0.8 on restore, max 1;
+Armijo tau = 0.5 backtracking; best-merit return) so full fixed-trip solves
+pin against ``nls_solve`` -- tests/test_pallas_pose_ring.py.
+
+Residual conventions are models/pose_graph.py's exactly (unit edge weights,
+``anchor_weight`` prior on pose 0, angle wrap inside the residual).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .pallas_ik import _interpret
+
+_PI = 3.141592653589793
+
+
+def _wrap(a):
+    return a - 2.0 * _PI * jnp.floor((a + _PI) / (2.0 * _PI))
+
+
+@dataclasses.dataclass(frozen=True)
+class PoseRingFamily:
+    """N-pose SE(2) ring: chain edges (t, t+1), closure (N-1, 0), soft
+    anchor on pose 0.  Per-lane data = the N edge measurements raveled
+    (data[3e:3e+3] = (dx, dy, dtheta) of edge e; edge N-1 is the closure)."""
+
+    n_poses: int
+    anchor_weight: float = 100.0
+
+    @property
+    def dim(self) -> int:
+        return 3 * self.n_poses
+
+
+@functools.lru_cache(maxsize=None)
+def pose_ring_family(n_poses: int, anchor_weight: float = 100.0) -> PoseRingFamily:
+    return PoseRingFamily(n_poses=n_poses, anchor_weight=anchor_weight)
+
+
+# ---------------------------------------------------------------------------
+# 3x3 register-block helpers (blocks are 3x3 nested lists of registers).
+# ---------------------------------------------------------------------------
+
+
+def _mat33_inv(M, zero, one):
+    """Adjugate inverse; returns (inv, bad) where bad flags a tiny/non-finite
+    determinant (the FAILED_FACTORIZATION channel)."""
+    a, b, c = M[0]
+    d, e, f = M[1]
+    g, h, i = M[2]
+    A = e * i - f * h
+    B = f * g - d * i
+    C = d * h - e * g
+    det = a * A + b * B + c * C
+    tiny = jnp.finfo(zero.dtype).tiny
+    good = (jnp.abs(det) > tiny) & jnp.isfinite(det)
+    bad = jnp.where(good, zero, one)
+    inv_det = 1.0 / jnp.where(good, det, one)
+    adj = [
+        [A, c * h - b * i, b * f - c * e],
+        [B, a * i - c * g, c * d - a * f],
+        [C, b * g - a * h, a * e - b * d],
+    ]
+    return [[adj[r][s] * inv_det for s in range(3)] for r in range(3)], bad
+
+
+def _mm(A, B):
+    return [
+        [sum(A[r][k] * B[k][s] for k in range(3)) for s in range(3)]
+        for r in range(3)
+    ]
+
+
+def _mmT(A, B):  # A @ B^T
+    return [
+        [sum(A[r][k] * B[s][k] for k in range(3)) for s in range(3)]
+        for r in range(3)
+    ]
+
+
+def _mTm(A, B):  # A^T @ B
+    return [
+        [sum(A[k][r] * B[k][s] for k in range(3)) for s in range(3)]
+        for r in range(3)
+    ]
+
+
+def _mv(A, v):
+    return [sum(A[r][k] * v[k] for k in range(3)) for r in range(3)]
+
+
+def _mTv(A, v):
+    return [sum(A[k][r] * v[k] for k in range(3)) for r in range(3)]
+
+
+def _msub(A, B):
+    return [[A[r][s] - B[r][s] for s in range(3)] for r in range(3)]
+
+
+def _vsub(a, b):
+    return [a[k] - b[k] for k in range(3)]
+
+
+# ---------------------------------------------------------------------------
+# The kernel.
+# ---------------------------------------------------------------------------
+
+
+def _make_ring_kernel(
+    fam: PoseRingFamily,
+    max_iterations: int,
+    ls_iterations: int,
+):
+    N = fam.n_poses
+    wa = float(fam.anchor_weight)
+    E = N  # chain edges 0..N-2 plus the closure edge N-1: (N-1, 0)
+
+    def edge_ij(e):
+        return (e, e + 1) if e < N - 1 else (N - 1, 0)
+
+    def errors(x, data):
+        """f = 0.5 ||r||^2 over all edges + anchor (the line-search probe)."""
+        f = None
+        for e in range(E):
+            i, j = edge_ij(e)
+            xi, yi, thi = x[3 * i], x[3 * i + 1], x[3 * i + 2]
+            xj, yj, thj = x[3 * j], x[3 * j + 1], x[3 * j + 2]
+            c, s = jnp.cos(thi), jnp.sin(thi)
+            dxw, dyw = xj - xi, yj - yi
+            rx = c * dxw + s * dyw - data[3 * e]
+            ry = -s * dxw + c * dyw - data[3 * e + 1]
+            rt = _wrap(thj - thi - data[3 * e + 2])
+            term = 0.5 * (rx * rx + ry * ry + rt * rt)
+            f = term if f is None else f + term
+        ax, ay, at = x[0], x[1], _wrap(x[2])
+        f = f + 0.5 * wa * wa * (ax * ax + ay * ay + at * at)
+        return f
+
+    def linearize(x, data, zero):
+        """Gauss-Newton blocks of the ring: diagonal D[0..N-1] (3x3), chain
+        upper blocks U[t] = block(t, t+1) (t = 0..N-2), closure corner
+        C = block(0, N-1), gradient g (3N), cost f."""
+        D = [[[zero] * 3 for _ in range(3)] for _ in range(N)]
+        U = [[[zero] * 3 for _ in range(3)] for _ in range(N - 1)]
+        Cb = [[zero] * 3 for _ in range(3)]
+        g = [zero] * (3 * N)
+        f = None
+        for e in range(E):
+            i, j = edge_ij(e)
+            xi, yi, thi = x[3 * i], x[3 * i + 1], x[3 * i + 2]
+            xj, yj, thj = x[3 * j], x[3 * j + 1], x[3 * j + 2]
+            c, s = jnp.cos(thi), jnp.sin(thi)
+            dxw, dyw = xj - xi, yj - yi
+            rx_raw = c * dxw + s * dyw
+            ry_raw = -s * dxw + c * dyw
+            r = [
+                rx_raw - data[3 * e],
+                ry_raw - data[3 * e + 1],
+                _wrap(thj - thi - data[3 * e + 2]),
+            ]
+            term = 0.5 * (r[0] * r[0] + r[1] * r[1] + r[2] * r[2])
+            f = term if f is None else f + term
+            one_l = jnp.ones_like(zero)
+            # d r / d (pose i), d r / d (pose j) -- analytic (pose_graph.py
+            # _edge_residual, unit weights).
+            Ji = [
+                [-c, -s, ry_raw],
+                [s, -c, -rx_raw],
+                [zero, zero, -one_l],
+            ]
+            Jj = [
+                [c, s, zero],
+                [-s, c, zero],
+                [zero, zero, one_l],
+            ]
+            JiTJi = _mTm(Ji, Ji)
+            JjTJj = _mTm(Jj, Jj)
+            JiTJj = _mTm(Ji, Jj)
+            for r_ in range(3):
+                for s_ in range(3):
+                    D[i][r_][s_] = D[i][r_][s_] + JiTJi[r_][s_]
+                    D[j][r_][s_] = D[j][r_][s_] + JjTJj[r_][s_]
+            if e < N - 1:
+                for r_ in range(3):
+                    for s_ in range(3):
+                        U[e][r_][s_] = U[e][r_][s_] + JiTJj[r_][s_]
+            else:
+                # closure couples (N-1, 0): block(0, N-1) = (Ji^T Jj)^T.
+                for r_ in range(3):
+                    for s_ in range(3):
+                        Cb[r_][s_] = Cb[r_][s_] + JiTJj[s_][r_]
+            gi = _mTv(Ji, r)
+            gj = _mTv(Jj, r)
+            for k in range(3):
+                g[3 * i + k] = g[3 * i + k] + gi[k]
+                g[3 * j + k] = g[3 * j + k] + gj[k]
+        # Anchor on pose 0 (diagonal wa^2, gradient wa^2 * residual/wa ...
+        # J = wa * I, r = wa * (x, y, wrap(th))).
+        ax, ay, at = x[0], x[1], _wrap(x[2])
+        f = f + 0.5 * wa * wa * (ax * ax + ay * ay + at * at)
+        for k in range(3):
+            D[0][k][k] = D[0][k][k] + wa * wa
+        g[0] = g[0] + wa * wa * ax
+        g[1] = g[1] + wa * wa * ay
+        g[2] = g[2] + wa * wa * at
+        return D, U, Cb, g, f
+
+    def bordered_solve(D, U, Cb, g, lam, zero, one):
+        """(H + lam I) dx = -g via block-Thomas on poses 1..N-1 with pose 0
+        as the border.  Returns (dx list[3N], bad register)."""
+        Dd = [
+            [
+                [D[k][r][s] + (lam if r == s else zero) for s in range(3)]
+                for r in range(3)
+            ]
+            for k in range(N)
+        ]
+        b = [[-g[3 * k + r] for r in range(3)] for k in range(N)]
+
+        # Border-coupling block rows of B (pose-0 column): row 1 = U[0]^T,
+        # row N-1 = Cb^T.  Forward sweep over poses 1..N-1 carrying the
+        # four rhs columns (3 of W, 1 of y) through the shared d_k^-1.
+        bad = zero
+        dinv = [None] * N  # dinv[k] for k = 1..N-1
+        # Rhs carried per stage: y (vector), W (3x3: columns = border dims).
+        z = [None] * N  # y forward values
+        ZW = [None] * N  # W forward values (3x3)
+        # Stage 1.
+        d1 = Dd[1]
+        inv1, bad1 = _mat33_inv(d1, zero, one)
+        bad = jnp.maximum(bad, bad1)
+        dinv[1] = inv1
+        z[1] = b[1]
+        ZW[1] = [[U[0][s][r_] for s in range(3)] for r_ in range(3)]  # U_0^T
+        d_prev = d1
+        for k in range(2, N):
+            Uk = U[k - 1]  # block(k-1, k)
+            # d_k = D_k - U_{k-1}^T d_{k-1}^-1 U_{k-1}
+            M = _mm(dinv[k - 1], Uk)
+            dk = _msub(Dd[k], _mTm(Uk, M))
+            invk, badk = _mat33_inv(dk, zero, one)
+            bad = jnp.maximum(bad, badk)
+            dinv[k] = invk
+            # z_k = b_k - U_{k-1}^T d_{k-1}^-1 z_{k-1}
+            z[k] = _vsub(b[k], _mTv(Uk, _mv(dinv[k - 1], z[k - 1])))
+            # W rows: row k of B is Cb^T at k = N-1, else zero.
+            Wk = _mTm(Uk, _mm(dinv[k - 1], ZW[k - 1]))
+            Wk = [[-Wk[r_][s_] for s_ in range(3)] for r_ in range(3)]
+            if k == N - 1:
+                CbT = [[Cb[s_][r_] for s_ in range(3)] for r_ in range(3)]
+                Wk = [
+                    [Wk[r_][s_] + CbT[r_][s_] for s_ in range(3)]
+                    for r_ in range(3)
+                ]
+            ZW[k] = Wk
+            d_prev = dk
+        del d_prev
+
+        # Back substitution: x_k = dinv_k (z_k - U_k x_{k+1}); same for W.
+        y = [None] * N
+        W = [None] * N
+        y[N - 1] = _mv(dinv[N - 1], z[N - 1])
+        W[N - 1] = _mm(dinv[N - 1], ZW[N - 1])
+        for k in range(N - 2, 0, -1):
+            Uk = U[k]  # block(k, k+1)
+            y[k] = _mv(dinv[k], _vsub(z[k], _mv(Uk, y[k + 1])))
+            W[k] = _mm(dinv[k], _msub(ZW[k], _mm(Uk, W[k + 1])))
+
+        # Schur complement on pose 0: S = A - U_0 W_1 - Cb W_{N-1}.
+        S = _msub(_msub(Dd[0], _mm(U[0], W[1])), _mm(Cb, W[N - 1]))
+        rhs0 = _vsub(_vsub(b[0], _mv(U[0], y[1])), _mv(Cb, y[N - 1]))
+        Sinv, badS = _mat33_inv(S, zero, one)
+        bad = jnp.maximum(bad, badS)
+        dx0 = _mv(Sinv, rhs0)
+
+        dx = [zero] * (3 * N)
+        for r_ in range(3):
+            dx[r_] = dx0[r_]
+        for k in range(1, N):
+            xk = _vsub(y[k], _mv(W[k], dx0))
+            for r_ in range(3):
+                dx[3 * k + r_] = xk[r_]
+        fin = dx[0] == dx[0]
+        for v in dx:
+            fin = fin & jnp.isfinite(v)
+        bad = jnp.maximum(bad, jnp.where(fin, zero, one))
+        return dx, bad
+
+    def core(x, data):
+        """Whole solve over registers of any shape (tile in-kernel, scalar
+        under vmap in the xla oracle path).  NLSParams-default skeleton:
+        lambda_0 = 0, failure init 1e-2, x0.1 success / x0.8 restore,
+        max_lambda 1; Armijo tau = 0.5, c1 = 1e-4; best-merit return."""
+        one = jnp.ones_like(x[0])
+        zero = jnp.zeros_like(x[0])
+        inf = jnp.full_like(one, jnp.inf)
+
+        def body(carry):
+            (x, lam, restore, best_x, f_best, fac_bad, lam_maxed,
+             accepted, f_acc, f_pre_c) = carry
+            D, U, Cb, g, f_pre = linearize(x, data, zero)
+
+            better = f_pre < f_best
+            best_x = [jnp.where(better, x[k], best_x[k]) for k in range(3 * N)]
+            f_best = jnp.where(better, f_pre, f_best)
+
+            dx, bad = bordered_solve(D, U, Cb, g, lam, zero, one)
+            fac_bad = jnp.maximum(fac_bad, bad)
+            dd = sum(g[k] * dx[k] for k in range(3 * N))
+
+            alpha = one
+            accepted = zero
+            bx = list(x)
+            f_acc = f_pre
+            for probe in range(ls_iterations + 1):
+                if probe > 0:
+                    alpha = alpha * 0.5
+                cand = [x[k] + alpha * dx[k] for k in range(3 * N)]
+                f_c = errors(cand, data)
+                ok = (f_c <= f_pre + 1e-4 * alpha * jnp.minimum(dd, zero)).astype(
+                    one.dtype
+                )
+                take = ok * (1.0 - accepted)
+                bx = [take * cand[k] + (1.0 - take) * bx[k] for k in range(3 * N)]
+                f_acc = take * f_c + (1.0 - take) * f_acc
+                accepted = jnp.minimum(accepted + take, 1.0)
+
+            x = [jnp.where(accepted > 0, bx[k], x[k]) for k in range(3 * N)]
+            # Lambda machine at NLSParams defaults (nonlinear.cc:296-343).
+            lam_succ = jnp.maximum(
+                lam * jnp.where(restore > 0, 0.8, 0.1), 0.0
+            )
+            lam_fail = jnp.where(
+                restore > 0, lam * 10.0, jnp.maximum(1e-2 * one, lam * 10.0)
+            )
+            lam_maxed = jnp.where((accepted == 0) & (lam >= 1.0), one, lam_maxed)
+            lam = jnp.minimum(jnp.where(accepted > 0, lam_succ, lam_fail), 1.0)
+            restore = jnp.where(accepted > 0, zero, one)
+            return (
+                x, lam, restore, best_x, f_best, fac_bad, lam_maxed,
+                accepted, f_acc, f_pre,
+            )
+
+        carry0 = (
+            list(x), 0.0 * one, zero, list(x), inf, zero, zero, zero, zero, zero,
+        )
+        carry = jax.lax.fori_loop(
+            0, max_iterations, lambda _i, c: body(c), carry0
+        )
+        (x, _lam, _restore, best_x, f_best, fac_bad, lam_maxed,
+         accepted, f_acc, f_pre) = carry
+        f_fin = jnp.where(accepted > 0, f_acc, f_pre)
+        better = f_fin < f_best
+        x_out = [jnp.where(better, x[k], best_x[k]) for k in range(3 * N)]
+        f_out = jnp.where(better, f_fin, f_best)
+        flags = fac_bad + 2.0 * lam_maxed
+        return x_out, f_out, flags
+
+    def kernel(data_ref, x0_ref, out_ref, stat_ref):
+        data = [data_ref[k, 0] for k in range(3 * N)]
+        x = [x0_ref[k, 0] for k in range(3 * N)]
+        x_out, f_out, flags = core(x, data)
+        for k in range(3 * N):
+            out_ref[k, 0] = x_out[k]
+        stat_ref[0, 0] = f_out
+        stat_ref[1, 0] = jnp.zeros_like(f_out)  # no equality constraints
+        stat_ref[2, 0] = flags
+
+    kernel.core = core
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "family", "max_iterations", "ls_iterations", "return_state", "backend",
+    ),
+)
+def pose_ring_solve_batch(
+    family: PoseRingFamily,
+    data: jax.Array,  # (B, 3N) edge measurements
+    x0: jax.Array,  # (B, 3N) initial poses
+    max_iterations: int = 6,
+    ls_iterations: int = 2,
+    return_state: bool = False,
+    backend: str = "pallas",
+):
+    """Solve B N-pose ring graphs with the blocked (block-Thomas) kernel.
+
+    Returns x (B, 3N); ``return_state`` appends (B, 3) per-lane
+    (f, 0, flags) compatible with ``fused_termination_status``.
+    ``backend="xla"`` is the identical register program under vmap (CPU
+    oracle path)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    N = family.n_poses
+    dim = family.dim
+    B = data.shape[0]
+    assert data.shape == (B, dim) and x0.shape == (B, dim)
+    assert backend in ("pallas", "xla")
+    kernel = _make_ring_kernel(family, max_iterations, ls_iterations)
+
+    if backend == "xla":
+        def one(d, x):
+            x_o, f_o, flags = kernel.core(
+                [x[k] for k in range(dim)], [d[k] for k in range(dim)]
+            )
+            outs = [jnp.stack(x_o)]
+            if return_state:
+                outs.append(jnp.stack([f_o, jnp.zeros_like(f_o), flags]))
+            return tuple(outs)
+
+        res = jax.vmap(one)(data, x0)
+        return res if len(res) > 1 else res[0]
+
+    tile = 8 * 128
+    b_pad = -(-B // tile) * tile
+    grid = b_pad // tile
+
+    def pack(arr):
+        p = jnp.pad(arr, [(0, b_pad - B), (0, 0)])
+        return jnp.moveaxis(p, 0, -1).reshape(arr.shape[1], grid, 8, 128)
+
+    out, stat = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((dim, 1, 8, 128), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((dim, 1, 8, 128), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((dim, 1, 8, 128), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 1, 8, 128), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((dim, grid, 8, 128), data.dtype),
+            jax.ShapeDtypeStruct((3, grid, 8, 128), data.dtype),
+        ],
+        interpret=_interpret(),
+    )(pack(data), pack(x0))
+    x = jnp.moveaxis(out.reshape(dim, b_pad), -1, 0)[:B]
+    if return_state:
+        return x, jnp.moveaxis(stat.reshape(3, b_pad), -1, 0)[:B]
+    return x

@@ -848,6 +848,110 @@ def mpc_servo_bench(
     )
 
 
+def pose_ring_bench(B=8192, n_poses=16, iters=6, ls=2, general_B=1024):
+    """The BLOCKED pose-ring kernel at N beyond the register class
+    (ops/pallas_pose_ring.py: block-Thomas + border elimination, O(N) register
+    stages vs the fused family's O((3N)^3) LDLT unroll). Measures the kernel
+    AND the general path on the same instance distribution at the same
+    budget/quality -- the VERDICT round-3 'fused pose graphs at N=16 beating
+    the general path' gate."""
+    from mini_opt_tpu.models.pose_graph import make_pose_graph_problem
+    from mini_opt_tpu.nonlinear import NLSParams, nls_solve
+    from mini_opt_tpu.ops.pallas_pose_ring import (
+        pose_ring_family,
+        pose_ring_solve_batch,
+    )
+    from mini_opt_tpu.structs import LineSearchStrategy
+
+    n = n_poses
+    fam = pose_ring_family(n)
+    edges = tuple((i, (i + 1) % n) for i in range(n))
+    turn = 2 * np.pi / n
+    meas = np.tile([1.0, 0.0, turn], (n, 1))
+    th = np.arange(n) * turn
+    pts = np.zeros((n, 2))
+    for i in range(1, n):
+        pts[i] = pts[i - 1] + [np.cos(th[i - 1]), np.sin(th[i - 1])]
+    truth = np.column_stack([pts, np.where(th > np.pi, th - 2 * np.pi, th)])
+    rng = np.random.default_rng(0)
+    data = jnp.asarray(
+        (meas.ravel() + rng.normal(0, 0.02, (B, 3 * n))).astype(np.float32)
+    )
+    x0 = jnp.asarray(
+        (truth.ravel() + rng.normal(0, 0.15, (B, 3 * n))).astype(np.float32)
+    )
+
+    def solve(x):
+        return pose_ring_solve_batch(
+            fam, data, x, max_iterations=iters, ls_iterations=ls
+        )
+
+    t0 = time.time()
+    out = solve(x0)
+    out.block_until_ready()
+    log(f"pose_ring N={n} compile+run {time.time()-t0:.1f}s")
+    per_batch = chained_time(solve, x0, K=513)
+    _, state = pose_ring_solve_batch(
+        fam, data, x0, max_iterations=iters, ls_iterations=ls, return_state=True
+    )
+    f_fin = np.asarray(state[:, 0])
+    flags = np.asarray(state[:, 2])
+
+    # General path, same distribution/budget, smaller batch (it is ~2-3
+    # orders slower per instance; general_B keeps the run bounded).
+    params = NLSParams(
+        max_iterations=iters, max_qp_iterations=1,
+        max_line_search_iterations=ls,
+        line_search_strategy=LineSearchStrategy.ARMIJO_BACKTRACK,
+        armijo_search_tau=0.5, record_history=False, early_exit=False,
+    )
+
+    def gen_solve(d_b, x_b):
+        def one(d, x):
+            prob = make_pose_graph_problem(
+                n, edges, d.reshape(n, 3),
+                jnp.ones((n,), jnp.float32), anchor_weight=100.0,
+            )
+            r = nls_solve(prob, params, x)
+            return r.x, r.errors.f
+
+        return jax.vmap(one)(d_b, x_b)
+
+    dg, xg = data[:general_B], x0[:general_B]
+    t0 = time.time()
+    gen_jit = jax.jit(gen_solve)
+    _, fg = jax.block_until_ready(gen_jit(dg, xg))
+    log(f"general N={n} compile+run {time.time()-t0:.1f}s")
+    per_batch_gen = chained_time(lambda x: gen_jit(dg, x)[0], xg, K=9)
+    fg = np.asarray(fg)
+    noise_gate = 2e-3 * n
+    print(
+        json.dumps(
+            {
+                "metric": "pose_ring_blocked_graphs_per_s_per_chip",
+                "value": round(B / per_batch, 1),
+                "unit": "graphs/s",
+                "batch": B,
+                "poses": n,
+                "iters": [iters, ls],
+                "per_batch_ms": round(per_batch * 1e3, 3),
+                "cost_median": float(np.median(f_fin)),
+                "cost_p99": float(np.quantile(f_fin, 0.99)),
+                "converged_frac": float(np.mean(f_fin < noise_gate)),
+                "flags_nonzero": int((flags != 0).sum()),
+                "general_graphs_per_s": round(general_B / per_batch_gen, 1),
+                "general_batch": general_B,
+                "general_cost_median": float(np.median(fg)),
+                "speedup_vs_general": round(
+                    (B / per_batch) / (general_B / per_batch_gen), 1
+                ),
+                "dtype": "float32",
+            }
+        ),
+        flush=True,
+    )
+
+
 def long_chain_bench(L=512, B=1024):
     """Long-axis scaling (SURVEY.md §5): batched forward passes over an
     L-link chain, lax.scan (O(L) depth) vs lax.associative_scan (O(log L)
@@ -1092,6 +1196,10 @@ if __name__ == "__main__":
         "fused_pose_graph": fused_pose_graph_bench,
         "fused_pose_graph_6": lambda: fused_pose_graph_bench(n_poses=6),
         "fused_pose_graph_8": lambda: fused_pose_graph_bench(n_poses=8),
+        # Blocked (block-Thomas) ring kernel beyond the register class.
+        "pose_ring_16": pose_ring_bench,
+        "pose_ring_32": lambda: pose_ring_bench(n_poses=32, general_B=512),
+        "pose_ring_8": lambda: pose_ring_bench(n_poses=8),
         "mpc": mpc_bench,
         "mpc_riccati": lambda: mpc_bench(structured=True),
         # The blocked fused tier (ops/pallas_mpc.py): whole fleet per kernel

@@ -462,11 +462,18 @@ def run_fused_spatial(dtype, label, B=8192, seeds=(0, 1, 2)):
         targets = np.asarray(fkv(jnp.asarray(th_true)))
         x0 = th_true + rng.uniform(-0.25, 0.25, (B, n))
         x0[:, 1:] = np.clip(x0[:, 1:], 0.05, np.pi - 0.05)
-        out = fused_spatial_ik_solve_batch(
-            jnp.asarray(targets, dtype), jnp.asarray(x0, dtype),
-            max_iterations=12, qp_iterations=2, ls_iterations=2,
-        )
-        final = np.asarray(fkv(jnp.asarray(np.asarray(out), jnp.float64)))
+        # The fused kernels are f32 serving kernels; this script's global
+        # x64 mode leaks 64-bit constants into the Mosaic lowering (layout
+        # bitwidth check fails) -- scope it off around the kernel call.
+        with jax.experimental.enable_x64(False):
+            out = np.asarray(
+                fused_spatial_ik_solve_batch(
+                    jnp.asarray(np.asarray(targets, np.float32)),
+                    jnp.asarray(np.asarray(x0, np.float32)),
+                    max_iterations=12, qp_iterations=2, ls_iterations=2,
+                )
+            )
+        final = np.asarray(fkv(jnp.asarray(out, jnp.float64)))
         errs.append(np.abs(final - targets).max(axis=1))
     err = np.concatenate(errs)
     emit(
@@ -515,12 +522,15 @@ def run_fused_pose_graph(dtype, label, B=8192, n_poses=4):
     x0 = (truth.ravel() + rng.normal(0, 0.15, (B, 3 * N))).astype(np.float32)
 
     t0 = time.time()
-    _, state = fused_solve_batch(
-        fam, jnp.asarray(data), jnp.asarray(x0),
-        max_iterations=6, qp_iterations=1, ls_iterations=2,
-        return_state=True,
-    )
-    f_fused = np.asarray(state[:, 0])
+    # f32 serving kernel: scope the script's global x64 off (see
+    # run_fused_spatial).
+    with jax.experimental.enable_x64(False):
+        _, state = fused_solve_batch(
+            fam, jnp.asarray(data), jnp.asarray(x0),
+            max_iterations=6, qp_iterations=1, ls_iterations=2,
+            return_state=True,
+        )
+        f_fused = np.asarray(state[:, 0])
 
     # General-path twin on the SAME instances (subset: the general path is
     # ~50x slower per instance; 1024 is plenty for a parity distribution).

@@ -1,0 +1,180 @@
+"""Blocked pose-ring kernel (ops/pallas_pose_ring.py) vs its oracles.
+
+The blocked tier for SE(2) pose-graph rings: block-tridiagonal-plus-border
+(block-Thomas + Schur on pose 0) Gauss-Newton in O(N) register stages,
+replacing the register class's O((3N)^3) dense LDL^T unroll that caps the
+fused pose-graph family at N~8 (VERDICT round-3 weak #2).
+
+Oracles:
+  * one GN step == the dense solve of (J^T J) dx = -g assembled by
+    linearize_and_fill_qp on the SAME make_pose_graph_problem instance
+    (machine exact -- the bordered elimination is algebraically the dense
+    solve);
+  * full fixed-trip solves == nls_solve at matched budgets (Armijo tau 0.5);
+  * Pallas (interpret) backend == XLA backend;
+  * singular geometry surfaces through the flags channel, healthy lanes
+    unaffected.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mini_opt_tpu.models.pose_graph import make_pose_graph_problem
+from mini_opt_tpu.nonlinear import NLSParams, linearize_and_fill_qp, nls_solve
+from mini_opt_tpu.ops.pallas_pose_ring import (
+    pose_ring_family,
+    pose_ring_solve_batch,
+)
+from mini_opt_tpu.structs import LineSearchStrategy
+
+N = 8
+FAM = pose_ring_family(N)
+EDGES = tuple((i, (i + 1) % N) for i in range(N))
+
+
+def _instances(B, seed=0, noise=0.15, dtype=jnp.float64):
+    turn = 2 * np.pi / N
+    meas = np.tile([1.0, 0.0, turn], (N, 1))
+    th = np.arange(N) * turn
+    pts = np.zeros((N, 2))
+    for i in range(1, N):
+        pts[i] = pts[i - 1] + [np.cos(th[i - 1]), np.sin(th[i - 1])]
+    truth = np.column_stack([pts, np.where(th > np.pi, th - 2 * np.pi, th)])
+    rng = np.random.default_rng(seed)
+    data = meas.ravel() + rng.normal(0, 0.02, (B, 3 * N))
+    x0 = truth.ravel() + rng.normal(0, noise, (B, 3 * N))
+    return jnp.asarray(data, dtype), jnp.asarray(x0, dtype)
+
+
+def _general_params(it, ls):
+    return NLSParams(
+        max_iterations=it,
+        max_qp_iterations=1,
+        max_line_search_iterations=ls,
+        line_search_strategy=LineSearchStrategy.ARMIJO_BACKTRACK,
+        armijo_search_tau=0.5,
+        record_history=False,
+        early_exit=False,
+        kkt_solver="ldlt",
+    )
+
+
+def _general_solve(params):
+    def gen(d, x):
+        prob = make_pose_graph_problem(
+            N, EDGES, d.reshape(N, 3), jnp.ones((N,)), anchor_weight=100.0
+        )
+        r = nls_solve(prob, params, x)
+        return r.x, r.errors.f
+
+    return jax.jit(jax.vmap(gen))
+
+
+def test_gn_step_matches_dense_solve():
+    """The bordered block-Thomas solve IS the dense normal-equation solve:
+    one iteration at alpha = 1, lambda = 0 (NLSParams default) pinned to
+    machine precision against jnp.linalg.solve on the one-hot-assembled G."""
+    data, x0 = _instances(8)
+    x1 = pose_ring_solve_batch(
+        FAM, data, x0, max_iterations=1, ls_iterations=0, backend="xla"
+    )
+
+    def dense_step(d, x):
+        prob = make_pose_graph_problem(
+            N, EDGES, d.reshape(N, 3), jnp.ones((N,)), anchor_weight=100.0
+        )
+        qp, _ = linearize_and_fill_qp(prob, x, 0.0)
+        return x + jnp.linalg.solve(qp.G, -qp.c)
+
+    xd = jax.jit(jax.vmap(dense_step))(data, x0)
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(xd), atol=1e-12)
+
+
+def test_full_solve_matches_general_path():
+    data, x0 = _instances(8)
+    # Short budget: trajectory still deterministic -> near-bit-exact.
+    xk = pose_ring_solve_batch(
+        FAM, data, x0, max_iterations=2, ls_iterations=1, backend="xla"
+    )
+    xg, _ = _general_solve(_general_params(2, 1))(data, x0)
+    np.testing.assert_allclose(np.asarray(xk), np.asarray(xg), atol=1e-12)
+
+    # Converged budget: identical optima (flat-valley dz tolerated, costs
+    # pinned tight).
+    xk, st = pose_ring_solve_batch(
+        FAM, data, x0, max_iterations=6, ls_iterations=2,
+        return_state=True, backend="xla",
+    )
+    xg, fg = _general_solve(_general_params(6, 2))(data, x0)
+    np.testing.assert_allclose(np.asarray(xk), np.asarray(xg), atol=2e-3)
+    # Converged flat valley: iterates drift at ~1e-4 so costs agree to ~3e-4
+    # relative, with the kernel's best-merit return never WORSE than the
+    # general path beyond roundoff.
+    np.testing.assert_allclose(
+        np.asarray(st[:, 0]), np.asarray(fg), rtol=1e-3, atol=1e-8
+    )
+    assert (np.asarray(st[:, 0]) <= np.asarray(fg) + 1e-9).all()
+    assert (np.asarray(st[:, 2]) == 0.0).all()
+
+
+def test_pallas_backend_matches_xla():
+    data, x0 = _instances(32, dtype=jnp.float32)
+    kw = dict(max_iterations=2, ls_iterations=1, return_state=True)
+    x_p, st_p = pose_ring_solve_batch(FAM, data, x0, backend="pallas", **kw)
+    x_x, st_x = pose_ring_solve_batch(FAM, data, x0, backend="xla", **kw)
+    np.testing.assert_allclose(np.asarray(x_p), np.asarray(x_x), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(st_p), np.asarray(st_x), atol=2e-4)
+
+
+def test_singular_lane_flagged_and_contained():
+    """All-identical poses with zero measurements leave the heading gauge
+    free along the chain (the anchored system is still solvable) -- instead
+    poison one lane with NaN data: flags fire, neighbors unaffected."""
+    data, x0 = _instances(8, seed=3)
+    data = data.at[5].set(jnp.nan)
+    x, st = pose_ring_solve_batch(
+        FAM, data, x0, max_iterations=2, ls_iterations=1,
+        return_state=True, backend="xla",
+    )
+    st = np.asarray(st)
+    ok = np.ones(8, bool)
+    ok[5] = False
+    assert np.isfinite(np.asarray(x)[ok]).all()
+    assert st[5, 2] >= 1.0, st[5]  # factorization flag fired
+    assert (st[ok, 2] == 0.0).all()
+
+
+def test_larger_rings_converge():
+    """N = 12 (beyond the register class's measured range): every lane
+    reaches the noise-floor cost with clean flags.  N = 16 and N = 32 are
+    exercised ON-CHIP (scripts/bench_extras.py --only pose_ring_16/32,
+    converged_frac 1.0 recorded in STATUS): the XLA-CPU compile of the ring
+    body is superlinear in N (N=16 >70 CPU-min, N=32 >an hour; the chip's
+    Mosaic compiles the same bodies in ~5 s)."""
+    for n in (12,):
+        fam = pose_ring_family(n)
+        turn = 2 * np.pi / n
+        meas = np.tile([1.0, 0.0, turn], (n, 1))
+        th = np.arange(n) * turn
+        pts = np.zeros((n, 2))
+        for i in range(1, n):
+            pts[i] = pts[i - 1] + [np.cos(th[i - 1]), np.sin(th[i - 1])]
+        truth = np.column_stack(
+            [pts, np.where(th > np.pi, th - 2 * np.pi, th)]
+        )
+        rng = np.random.default_rng(n)
+        B = 8
+        data = jnp.asarray(meas.ravel() + rng.normal(0, 0.02, (B, 3 * n)))
+        x0 = jnp.asarray(truth.ravel() + rng.normal(0, 0.1, (B, 3 * n)))
+        x, st = pose_ring_solve_batch(
+            fam, data, x0, max_iterations=6, ls_iterations=2,
+            return_state=True, backend="xla",
+        )
+        st = np.asarray(st)
+        # Noise floor: E edges x 3 dims x sigma^2/2 ~ 1e-3 * n; gate loose.
+        assert (st[:, 0] < 2e-3 * n).all(), (n, st[:, 0])
+        assert (st[:, 2] == 0.0).all(), (n, st[:, 2])
+        assert np.isfinite(np.asarray(x)).all()
