@@ -178,3 +178,24 @@ def test_larger_rings_converge():
         assert (st[:, 0] < 2e-3 * n).all(), (n, st[:, 0])
         assert (st[:, 2] == 0.0).all(), (n, st[:, 2])
         assert np.isfinite(np.asarray(x)).all()
+
+
+def test_models_wrapper_matches_kernel():
+    """solve_pose_graph_rings (models/pose_graph.py) is the kernel plus
+    (B, N, 3) shaping: results bit-identical to pose_ring_solve_batch."""
+    from mini_opt_tpu.models.pose_graph import ring_edges, solve_pose_graph_rings
+
+    assert ring_edges(N) == EDGES
+    data, x0 = _instances(4, seed=3)
+    kw = dict(max_iterations=2, ls_iterations=1, backend="xla")
+    x_k, st_k = pose_ring_solve_batch(
+        FAM, data, x0, return_state=True, **kw
+    )
+    x_w, st_w = solve_pose_graph_rings(
+        data.reshape(4, N, 3), x0.reshape(4, N, 3), return_state=True, **kw
+    )
+    assert x_w.shape == (4, N, 3)
+    np.testing.assert_array_equal(np.asarray(x_w).reshape(4, 3 * N), np.asarray(x_k))
+    np.testing.assert_array_equal(np.asarray(st_w), np.asarray(st_k))
+    x_only = solve_pose_graph_rings(data.reshape(4, N, 3), x0.reshape(4, N, 3), **kw)
+    np.testing.assert_array_equal(np.asarray(x_only), np.asarray(x_w))
