@@ -843,6 +843,29 @@ def _fused_solve(
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    # Medium-N dispatch: past the register class's KKT cap the unrolled
+    # LDL^T program size is the wall -- route to the generic blocked tier
+    # (ops/pallas_blocked.py), same FusedFamily contract and solver
+    # semantics, O(D)-statement blocked factorization.
+    from .pallas_blocked import REGISTER_KKT_MAX, blocked_solve_batch
+
+    if family.n + family.m_eq > REGISTER_KKT_MAX:
+        if debug_history:
+            raise ValueError(
+                "debug_history is a register-tier feature; the blocked "
+                f"tier (n + m_eq = {family.n + family.m_eq} > "
+                f"{REGISTER_KKT_MAX}) does not record per-iteration rows"
+            )
+        return blocked_solve_batch(
+            family, targets, x0,
+            max_iterations=max_iterations,
+            qp_iterations=qp_iterations,
+            ls_iterations=ls_iterations,
+            line_search=line_search,
+            barrier=barrier,
+            return_state=return_state,
+        )
+
     B = targets.shape[0]
     n = x0.shape[1]
     assert n == family.n
