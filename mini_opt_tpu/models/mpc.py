@@ -190,6 +190,118 @@ def make_cartpole_mpc_problem(
     )
 
 
+def make_family_mpc_problem(fam, x0: jax.Array) -> Problem:
+    """GENERIC direct multiple-shooting transcription for any
+    ops/pallas_mpc.py::MPCFamily -- the general-path (``nls_solve``) twin of
+    ``fused_mpc_solve_batch`` for user-dynamics families (the blocked-kernel
+    oracle for plants beyond cart-pole, e.g. ``quadrotor_mpc_family``).
+
+    Identical problem statement to ``make_cartpole_mpc_problem``
+    (nonlinear.hpp:11-32: RK4 defects as equalities, sqrt(q) tracking rows,
+    sqrt(r_u)*(u - u_ref) effort rows, u bounds through the Var DSL), with
+    the dynamics, dimensions, and constants read off the family.  Decision
+    layout matches the kernel: [u_0 .. u_{T-1} (nu each), x_1 .. x_T]."""
+    from ..ops.pallas_mpc import _rk4
+
+    T, nx, nu = fam.horizon, fam.nx, fam.nu
+    dtype = jnp.asarray(x0).dtype
+    x0 = jnp.asarray(x0, dtype)
+
+    def u_idx(t):
+        return tuple(range(t * nu, (t + 1) * nu))
+
+    def x_idx(t):  # t in [1, T]
+        base = T * nu + nx * (t - 1)
+        return tuple(range(base, base + nx))
+
+    eqs = []
+    for t in range(T):
+        if t == 0:
+            idx = u_idx(0) + x_idx(1)
+
+            def defect0(zl, _x0=x0):
+                u = [zl[r] for r in range(nu)]
+                xp = [_x0[i].astype(zl.dtype) for i in range(nx)]
+                pred = _rk4(fam, xp, u)
+                return jnp.stack([zl[nu + i] - pred[i] for i in range(nx)])
+
+            eqs.append(make_residual(idx, defect0, nx))
+        else:
+            idx = u_idx(t) + x_idx(t) + x_idx(t + 1)
+
+            def defect(zl):
+                u = [zl[r] for r in range(nu)]
+                xp = [zl[nu + i] for i in range(nx)]
+                pred = _rk4(fam, xp, u)
+                return jnp.stack(
+                    [zl[nu + nx + i] - pred[i] for i in range(nx)]
+                )
+
+            eqs.append(make_residual(idx, defect, nx))
+
+    w = jnp.concatenate(
+        [
+            jnp.tile(jnp.sqrt(jnp.asarray(fam.q, dtype)), (T - 1, 1)),
+            jnp.sqrt(jnp.asarray(fam.q_terminal, dtype))[None, :],
+        ]
+    )  # (T, nx)
+    goal_arr = jnp.asarray(fam.goal, dtype)
+    data = jnp.concatenate([w, jnp.tile(goal_arr[None, :], (T, 1))], axis=1)
+    indices = tuple(x_idx(t) for t in range(1, T + 1))
+
+    def track(xl, row, _nx=nx):
+        return row[:_nx] * (xl - row[_nx:])
+
+    track_cost = BlockResidual(fn=track, indices=indices, dim=nx, data=data)
+
+    su = [float(r) ** 0.5 for r in fam.r_u]
+    uref = [float(r) for r in fam.u_ref]
+
+    def effort(ul):
+        return jnp.stack(
+            [
+                su[r] * (ul[t * nu + r] - uref[r])
+                for t in range(T)
+                for r in range(nu)
+            ]
+        )
+
+    effort_cost = make_residual(tuple(range(T * nu)), effort, T * nu)
+
+    ineq = []
+    for t in range(T):
+        for r in range(nu):
+            ineq += [
+                Var(t * nu + r) >= float(fam.u_min[r]),
+                Var(t * nu + r) <= float(fam.u_max[r]),
+            ]
+
+    return Problem(
+        dimension=fam.dim,
+        costs=(track_cost, effort_cost),
+        equality_constraints=tuple(eqs),
+        inequality_constraints=tuple(ineq),
+    )
+
+
+def family_initial_guess(fam, x0: jax.Array) -> jax.Array:
+    """Constant-state cold start for a generic MPCFamily: u = u_ref,
+    x_t = x0 (see ``initial_guess`` for why constant beats a rollout)."""
+    dtype = jnp.asarray(x0).dtype
+    u = jnp.tile(jnp.asarray(fam.u_ref, dtype), (fam.horizon,))
+    xs = jnp.tile(jnp.asarray(x0, dtype), (fam.horizon,))
+    return jnp.concatenate([u, xs])
+
+
+def family_rk4_step(fam, x: jax.Array, u: jax.Array) -> jax.Array:
+    """One RK4 plant step of a generic family's dynamics (array in/out)."""
+    from ..ops.pallas_mpc import _rk4
+
+    xs = [x[i] for i in range(fam.nx)]
+    us = [u[i] for i in range(fam.nu)]
+    return jnp.stack(_rk4(fam, xs, us))
+
+
 def riccati_kkt_solver(horizon: int) -> str:
     """KKT-solver name for the structured Riccati backend at this horizon.
 

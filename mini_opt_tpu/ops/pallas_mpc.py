@@ -43,14 +43,14 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Optional, Tuple
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
-from .pallas_ik import _interpret
+from .pallas_ik import _interpret, _ldlt_apply, _ldlt_bad, _ldlt_factor_unrolled
 
-NX = 4
+NX = 4  # cart-pole state dimension (the default family)
 _TAU_FTB = 0.995
 
 
@@ -61,31 +61,139 @@ _TAU_FTB = 0.995
 
 @dataclasses.dataclass(frozen=True)
 class MPCFamily:
-    """Static description of one fused cart-pole MPC problem family
-    (mirrors models/mpc.py::make_cartpole_mpc_problem's constants; the plant
-    state x0 and the warm start are the per-lane data)."""
+    """Static description of one fused MPC problem family: GENERIC direct
+    multiple-shooting transcription (the reference's problem statement,
+    /root/reference/include/mini_opt/nonlinear.hpp:11-32) with USER dynamics.
+
+    ``xdot(x, u) -> list[nx]`` is a register-style continuous-dynamics
+    callable (scalar-style contract of ops/fused_auto.py: static indexing +
+    elementwise jnp ops over ``x`` list[nx], ``u`` list[nu]); stage Jacobians
+    are generated from it by ``jax.linearize``, so a new plant needs NO
+    handwritten derivatives.  ``None`` selects the built-in cart-pole
+    (models/mpc.py::cartpole_xdot semantics with the stock constants).
+
+    Cost/bound constants are per-dimension tuples: ``q``/``q_terminal``/
+    ``goal`` length nx, ``r_u``/``u_ref``/``u_min``/``u_max`` length nu
+    (effort rows are sqrt(r_u)*(u - u_ref); bounds u_min <= u <= u_max).
+    The per-lane data is the plant state x0 + the warm start."""
 
     horizon: int
     dt: float
-    u_max: float = 10.0
-    q: Tuple[float, float, float, float] = (1.0, 0.1, 10.0, 0.1)
-    q_terminal: Tuple[float, float, float, float] = (10.0, 1.0, 100.0, 1.0)
-    r_u: float = 0.01
-    goal: Tuple[float, float, float, float] = (0.0, 0.0, 0.0, 0.0)
-    # Plant constants (models/mpc.py::CartPole defaults).
-    mass_cart: float = 1.0
-    mass_pole: float = 0.1
-    length: float = 0.5
-    gravity: float = 9.81
+    nx: int = 4
+    nu: int = 1
+    q: Tuple[float, ...] = (1.0, 0.1, 10.0, 0.1)
+    q_terminal: Tuple[float, ...] = (10.0, 1.0, 100.0, 1.0)
+    r_u: Tuple[float, ...] = (0.01,)
+    goal: Tuple[float, ...] = (0.0, 0.0, 0.0, 0.0)
+    u_ref: Tuple[float, ...] = (0.0,)
+    u_min: Tuple[float, ...] = (-10.0,)
+    u_max: Tuple[float, ...] = (10.0,)
+    xdot: Optional[Callable] = None
+
+    def __post_init__(self):
+        assert len(self.q) == self.nx and len(self.q_terminal) == self.nx
+        assert len(self.goal) == self.nx
+        for tup in (self.r_u, self.u_ref, self.u_min, self.u_max):
+            assert len(tup) == self.nu
 
     @property
     def dim(self) -> int:
-        return self.horizon * (1 + NX)
+        return self.horizon * (self.nu + self.nx)
+
+
+def _cartpole_register_xdot(mass_cart, mass_pole, length, gravity):
+    """cartpole_xdot (models/mpc.py:52-64) over registers, as an MPCFamily
+    ``xdot`` plug-in."""
+
+    def xdot(x, u):
+        _, v, th, w = x
+        s, c = jnp.sin(th), jnp.cos(th)
+        denom = mass_cart + mass_pole * s * s
+        a = (u[0] + mass_pole * s * (length * w * w - gravity * c)) / denom
+        alpha = (gravity * s - a * c) / length
+        return [v, a, w, alpha]
+
+    return xdot
 
 
 @functools.lru_cache(maxsize=None)
-def cartpole_mpc_family(horizon: int, dt: float, **kw) -> MPCFamily:
-    return MPCFamily(horizon=horizon, dt=dt, **kw)
+def cartpole_mpc_family(
+    horizon: int,
+    dt: float,
+    u_max: float = 10.0,
+    q: Tuple[float, ...] = (1.0, 0.1, 10.0, 0.1),
+    q_terminal: Tuple[float, ...] = (10.0, 1.0, 100.0, 1.0),
+    r_u: float = 0.01,
+    goal: Tuple[float, ...] = (0.0, 0.0, 0.0, 0.0),
+    mass_cart: float = 1.0,
+    mass_pole: float = 0.1,
+    length: float = 0.5,
+    gravity: float = 9.81,
+) -> MPCFamily:
+    """The original blocked family: cart-pole, nu = 1, symmetric u bound."""
+    return MPCFamily(
+        horizon=horizon,
+        dt=dt,
+        nx=4,
+        nu=1,
+        q=q,
+        q_terminal=q_terminal,
+        r_u=(float(r_u),),
+        goal=goal,
+        u_ref=(0.0,),
+        u_min=(-float(u_max),),
+        u_max=(float(u_max),),
+        xdot=_cartpole_register_xdot(mass_cart, mass_pole, length, gravity),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def quadrotor_mpc_family(
+    horizon: int,
+    dt: float,
+    u_max: float = 8.0,
+    mass: float = 0.5,
+    inertia: float = 0.01,
+    arm: float = 0.25,
+    gravity: float = 9.81,
+    q: Tuple[float, ...] = (1.0, 1.0, 5.0, 0.1, 0.1, 0.1),
+    q_terminal: Tuple[float, ...] = (10.0, 10.0, 50.0, 1.0, 1.0, 1.0),
+    r_u: float = 0.01,
+) -> MPCFamily:
+    """Planar quadrotor (nx = 6, nu = 2) -- the SECOND plant through the
+    SAME blocked kernel, proving the tier is a family class, not one robot
+    (round-4 VERDICT item 4).  State (x, y, theta, vx, vy, omega), inputs
+    two rotor thrusts in [0, u_max]; hover goal at the origin with the
+    effort reference at the hover thrust m g / 2 per rotor."""
+    hover = mass * gravity / 2.0
+
+    def xdot(x, u):
+        _, _, th, vx, vy, w = x
+        s, c = jnp.sin(th), jnp.cos(th)
+        thrust = (u[0] + u[1]) / mass
+        return [
+            vx,
+            vy,
+            w,
+            -thrust * s,
+            thrust * c - gravity,
+            (arm / inertia) * (u[0] - u[1]),
+        ]
+
+    return MPCFamily(
+        horizon=horizon,
+        dt=dt,
+        nx=6,
+        nu=2,
+        q=q,
+        q_terminal=q_terminal,
+        r_u=(float(r_u),) * 2,
+        goal=(0.0,) * 6,
+        u_ref=(hover, hover),
+        u_min=(0.0, 0.0),
+        u_max=(float(u_max),) * 2,
+        xdot=xdot,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -94,153 +202,200 @@ def cartpole_mpc_family(horizon: int, dt: float, **kw) -> MPCFamily:
 
 
 def _xdot(fam: MPCFamily, x, u):
-    """cartpole_xdot (models/mpc.py:52-64) over registers."""
-    m, M, length, g = fam.mass_pole, fam.mass_cart, fam.length, fam.gravity
-    _, v, th, w = x
-    s, c = jnp.sin(th), jnp.cos(th)
-    denom = M + m * s * s
-    a = (u + m * s * (length * w * w - g * c)) / denom
-    alpha = (g * s - a * c) / length
-    return [v, a, w, alpha]
+    """Family dynamics over registers; ``u`` is a list[nu]."""
+    if fam.xdot is not None:
+        return fam.xdot(x, u)
+    return _cartpole_register_xdot(1.0, 0.1, 0.5, 9.81)(x, u)
 
 
 def _rk4(fam: MPCFamily, x, u):
     dt = fam.dt
+    nx = fam.nx
     k1 = _xdot(fam, x, u)
-    k2 = _xdot(fam, [x[i] + 0.5 * dt * k1[i] for i in range(NX)], u)
-    k3 = _xdot(fam, [x[i] + 0.5 * dt * k2[i] for i in range(NX)], u)
-    k4 = _xdot(fam, [x[i] + dt * k3[i] for i in range(NX)], u)
+    k2 = _xdot(fam, [x[i] + 0.5 * dt * k1[i] for i in range(nx)], u)
+    k3 = _xdot(fam, [x[i] + 0.5 * dt * k2[i] for i in range(nx)], u)
+    k4 = _xdot(fam, [x[i] + dt * k3[i] for i in range(nx)], u)
     return [
         x[i] + (dt / 6.0) * (k1[i] + 2.0 * k2[i] + 2.0 * k3[i] + k4[i])
-        for i in range(NX)
+        for i in range(nx)
     ]
 
 
 def _rk4_linearized(fam: MPCFamily, x, u, one, zero):
-    """(rk4(x, u), A = d rk4/dx (NX x NX nested list), B = d rk4/du (NX,)).
+    """(rk4(x, u), A = d rk4/dx (nx x nx nested list), B = d rk4/du
+    (nx x nu nested list)).
 
     Jacobians come from ``jax.linearize`` of the register function -- the
     tangent replay shares the primal's sin/cos subexpressions, so each column
     costs one elementwise tangent sweep (same approach as ops/fused_auto.py's
     jvp-generated Jacobians)."""
+    nx, nu = fam.nx, fam.nu
 
     def f(inp):
-        return _rk4(fam, inp[:NX], inp[NX])
+        return _rk4(fam, inp[:nx], inp[nx:])
 
-    prim, jvp = jax.linearize(f, list(x) + [u])
-    # All NX+1 tangent sweeps in ONE vmapped replay (the tangent program is
-    # emitted once with a size-(NX+1) leading seed axis instead of NX+1
+    prim, jvp = jax.linearize(f, list(x) + list(u))
+    # All nx+nu tangent sweeps in ONE vmapped replay (the tangent program is
+    # emitted once with a size-(nx+nu) leading seed axis instead of nx+nu
     # times) -- a ~5x cut in unrolled program size, which is what bounds the
     # Mosaic/XLA compile of the fully-unrolled kernel.
-    eye = jnp.eye(NX + 1, dtype=one.dtype)
+    nin = nx + nu
+    eye = jnp.eye(nin, dtype=one.dtype)
     seeds = [
-        eye[:, k].reshape((NX + 1,) + (1,) * one.ndim) * one[None]
-        for k in range(NX + 1)
+        eye[:, k].reshape((nin,) + (1,) * one.ndim) * one[None]
+        for k in range(nin)
     ]
-    cols = jax.vmap(jvp)(seeds)  # list[NX] of (NX+1, *reg)
-    A = [[cols[i][j] for j in range(NX)] for i in range(NX)]
-    B = [cols[i][NX] for i in range(NX)]
+    cols = jax.vmap(jvp)(seeds)  # list[nx] of (nin, *reg)
+    A = [[cols[i][j] for j in range(nx)] for i in range(nx)]
+    B = [[cols[i][nx + j] for j in range(nu)] for i in range(nx)]
     return prim, A, B
 
 
 # ---------------------------------------------------------------------------
 # Register Riccati (the blocked KKT solve; math of ops/riccati.py with
-# N_t = I, C_0 = 0, NU = 1 -- F_t is a scalar register).
+# N_t = I, C_0 = 0).  Generic nu: F_t is a dense nu x nu register block,
+# factored with the unrolled register LDL^T (nu = 1 reduces to the original
+# scalar-reciprocal recursion).
 # ---------------------------------------------------------------------------
 
 
 def _riccati_factor(Rdiag, Qdiag, A, B, one, zero):
-    """Backward V/K/F recursion.  ``Rdiag``: list[T] scalar registers
-    (u-block incl. lambda + Sigma); ``Qdiag``: list[T] of list[NX] (diagonal
-    Q of x_{t+1} incl. lambda); ``A``/``B``: stage Jacobian registers with
-    A[0] structurally zero (x_0 is a parameter).  Returns (Finv list[T],
-    K list[T][NX], Vnext list[T][NX][NX], bad register)."""
+    """Backward V/K/F recursion.  ``Rdiag``: list[T] of list[nu] registers
+    (diagonal u-block incl. lambda + Sigma); ``Qdiag``: list[T] of list[nx]
+    (diagonal Q of x_{t+1} incl. lambda); ``A`` (nx x nx) / ``B`` (nx x nu):
+    stage Jacobian registers with A[0] structurally zero (x_0 is a
+    parameter).  Returns (Ffact list[T] = (L, d) LDL^T of F_t,
+    K list[T] (nu x nx), Vnext list[T] (nx x nx), bad register)."""
     T = len(Rdiag)
-    tiny = jnp.finfo(zero.dtype).tiny
-    V = [[Qdiag[T - 1][i] if i == j else zero for j in range(NX)] for i in range(NX)]
-    Finv_l = [None] * T
+    nx = len(Qdiag[0])
+    nu = len(Rdiag[0])
+    V = [
+        [Qdiag[T - 1][i] if i == j else zero for j in range(nx)]
+        for i in range(nx)
+    ]
+    Ff_l = [None] * T
     K_l = [None] * T
     Vn_l = [None] * T
     bad = zero
     for t in range(T - 1, -1, -1):
         At, Bt = A[t], B[t]
-        VB = [sum(V[i][j] * Bt[j] for j in range(NX)) for i in range(NX)]
-        F = Rdiag[t] + sum(Bt[i] * VB[i] for i in range(NX))
-        good = (jnp.abs(F) > tiny) & jnp.isfinite(F)
-        bad = jnp.maximum(bad, jnp.where(good, zero, one))
-        Finv = 1.0 / F
-        K = [
-            Finv * sum(VB[i] * At[i][j] for i in range(NX)) for j in range(NX)
+        # VB (nx x nu) = V B.
+        VB = [
+            [sum(V[i][k] * Bt[k][j] for k in range(nx)) for j in range(nu)]
+            for i in range(nx)
         ]
-        Finv_l[t], K_l[t], Vn_l[t] = Finv, K, V
+        # F (nu x nu) = diag(R_t) + B^T V B.
+        F = [
+            [
+                (Rdiag[t][i] if i == j else zero)
+                + sum(Bt[k][i] * VB[k][j] for k in range(nx))
+                for j in range(nu)
+            ]
+            for i in range(nu)
+        ]
+        Lf, df = _ldlt_factor_unrolled(F)
+        bad = jnp.maximum(bad, _ldlt_bad(df, zero))
+        # K (nu x nx) = F^-1 B^T V A, column by column through the factor.
+        K = [[None] * nx for _ in range(nu)]
+        for j in range(nx):
+            col = _ldlt_apply(
+                Lf,
+                df,
+                [
+                    sum(VB[k][i] * At[k][j] for k in range(nx))
+                    for i in range(nu)
+                ],
+            )
+            for i in range(nu):
+                K[i][j] = col[i]
+        Ff_l[t], K_l[t], Vn_l[t] = (Lf, df), K, V
         if t > 0:
             # V_t = Q_t + A^T (V A - VB K), symmetrized.
             M = [
                 [
-                    sum(V[i][k] * At[k][j] for k in range(NX)) - VB[i] * K[j]
-                    for j in range(NX)
+                    sum(V[i][k] * At[k][j] for k in range(nx))
+                    - sum(VB[i][r] * K[r][j] for r in range(nu))
+                    for j in range(nx)
                 ]
-                for i in range(NX)
+                for i in range(nx)
             ]
             Vt = [
                 [
                     (Qdiag[t - 1][i] if i == j else zero)
-                    + sum(At[k][i] * M[k][j] for k in range(NX))
-                    for j in range(NX)
+                    + sum(At[k][i] * M[k][j] for k in range(nx))
+                    for j in range(nx)
                 ]
-                for i in range(NX)
+                for i in range(nx)
             ]
             V = [
-                [0.5 * (Vt[i][j] + Vt[j][i]) for j in range(NX)]
-                for i in range(NX)
+                [0.5 * (Vt[i][j] + Vt[j][i]) for j in range(nx)]
+                for i in range(nx)
             ]
-    return Finv_l, K_l, Vn_l, bad
+    return Ff_l, K_l, Vn_l, bad
 
 
 def _riccati_solve(fact, A, B, b1u, b1x, b2, zero):
     """Per-rhs backward (v, k) + forward (du, dx, dy) sweeps
-    (ops/riccati.py::riccati_solve register form).  ``b1x[t]`` is the rhs of
-    the x_{t+1} block row; ``b2[t]`` of equality row t.  Returns
-    (du list[T], dxs list[T][NX] (dx of x_{t+1}), dy list[T][NX])."""
-    Finv_l, K_l, Vn_l = fact
+    (ops/riccati.py::riccati_solve register form).  ``b1u[t]`` is the rhs of
+    the u_t block row (list[nu]); ``b1x[t]`` of the x_{t+1} block row;
+    ``b2[t]`` of equality row t.  Returns (du list[T][nu],
+    dxs list[T][nx] (dx of x_{t+1}), dy list[T][nx])."""
+    Ff_l, K_l, Vn_l = fact
     T = len(b1u)
-    v = [-b1x[T - 1][i] for i in range(NX)]
+    nx = len(b1x[0])
+    nu = len(b1u[0])
+    v = [-b1x[T - 1][i] for i in range(nx)]
     k_l = [None] * T
     vnext = [None] * T
     for t in range(T - 1, -1, -1):
         V1 = Vn_l[t]
         vnext[t] = v
         tmp = [
-            sum(V1[i][j] * b2[t][j] for j in range(NX)) + v[i]
-            for i in range(NX)
+            sum(V1[i][j] * b2[t][j] for j in range(nx)) + v[i]
+            for i in range(nx)
         ]
-        k = Finv_l[t] * (b1u[t] - sum(B[t][i] * tmp[i] for i in range(NX)))
+        k = _ldlt_apply(
+            *Ff_l[t],
+            [
+                b1u[t][r] - sum(B[t][i][r] * tmp[i] for i in range(nx))
+                for r in range(nu)
+            ],
+        )
         k_l[t] = k
         if t > 0:
             w = [
-                sum(V1[i][j] * (B[t][j] * k + b2[t][j]) for j in range(NX))
+                sum(
+                    V1[i][j]
+                    * (sum(B[t][j][r] * k[r] for r in range(nu)) + b2[t][j])
+                    for j in range(nx)
+                )
                 + v[i]
-                for i in range(NX)
+                for i in range(nx)
             ]
             v = [
-                sum(A[t][i][j] * w[i] for i in range(NX)) - b1x[t - 1][j]
-                for j in range(NX)
+                sum(A[t][i][j] * w[i] for i in range(nx)) - b1x[t - 1][j]
+                for j in range(nx)
             ]
     du = [None] * T
     dxs = [None] * T
     dy = [None] * T
-    dx = [zero] * NX
+    dx = [zero] * nx
     for t in range(T):
-        du[t] = -sum(K_l[t][j] * dx[j] for j in range(NX)) + k_l[t]
+        du[t] = [
+            -sum(K_l[t][r][j] * dx[j] for j in range(nx)) + k_l[t][r]
+            for r in range(nu)
+        ]
         dxn = [
-            sum(A[t][i][j] * dx[j] for j in range(NX)) + B[t][i] * du[t] + b2[t][i]
-            for i in range(NX)
+            sum(A[t][i][j] * dx[j] for j in range(nx))
+            + sum(B[t][i][r] * du[t][r] for r in range(nu))
+            + b2[t][i]
+            for i in range(nx)
         ]
         # dy_t = lambda_{t+1} = V_{t+1} dx_{t+1} + v_{t+1} (the saddle w is
         # -lambda; _solve_condensed's dy = -w convention).
         dy[t] = [
-            sum(Vn_l[t][i][j] * dxn[j] for j in range(NX)) + vnext[t][i]
-            for i in range(NX)
+            sum(Vn_l[t][i][j] * dxn[j] for j in range(nx)) + vnext[t][i]
+            for i in range(nx)
         ]
         dxs[t] = dxn
         dx = dxn
@@ -267,31 +422,40 @@ def _make_mpc_kernel(
     expensive to compile (measured XLA-CPU: 4.6k eqns -> 8 s, 10k -> 131 s,
     20k -> >15 min) and the budget multiplies it; the looped form stays at
     one body regardless of budget.  ``debug_history`` requires ``unroll=True``
-    (per-iteration rows are Python-collected)."""
+    (per-iteration rows are Python-collected).
+
+    Dynamics/dimensions come from the family (nx, nu, xdot): the SAME kernel
+    serves cart-pole (nu = 1) and the planar quadrotor (nx = 6, nu = 2)."""
     assert max_iterations >= 1
     assert not (debug_history and not unroll), "debug_history requires unroll"
     T = fam.horizon
+    nx, nu = fam.nx, fam.nu
     w1 = [float(v) ** 0.5 for v in fam.q]
     wT = [float(v) ** 0.5 for v in fam.q_terminal]
     # w2[t][i] = squared tracking weight of x_{t+1}.
     w2 = [[w * w for w in (w1 if t < T - 1 else wT)] for t in range(T)]
     goal = [float(g) for g in fam.goal]
-    r_u = float(fam.r_u)
-    u_max = float(fam.u_max)
+    r_u = [float(r) for r in fam.r_u]
+    u_ref = [float(r) for r in fam.u_ref]
+    u_min = [float(b) for b in fam.u_min]
+    u_max = [float(b) for b in fam.u_max]
+    ncon = 2 * T * nu  # inequality rows (both bound sides per input)
 
     def errors(u, xs, x0):
         """(f, |eq|_1) at (u, xs) -- the line-search probe evaluation."""
         f = None
         for t in range(T):
-            for i in range(NX):
+            for i in range(nx):
                 r = (xs[t][i] - goal[i])
                 term = 0.5 * w2[t][i] * r * r
                 f = term if f is None else f + term
-            f = f + 0.5 * r_u * u[t] * u[t]
+            for r_ in range(nu):
+                du_ = u[t][r_] - u_ref[r_]
+                f = f + 0.5 * r_u[r_] * du_ * du_
         eq = None
         for t in range(T):
             pred = _rk4(fam, x0 if t == 0 else xs[t - 1], u[t])
-            for i in range(NX):
+            for i in range(nx):
                 d = jnp.abs(xs[t][i] - pred[i])
                 eq = d if eq is None else eq + d
         return f, eq
@@ -300,37 +464,58 @@ def _make_mpc_kernel(
         """Interior point on the stage-structured condensed system via the
         register Riccati backend.  Mirrors ops/pallas_ik.py::qp_solve
         (SOLVE_EQUALITY_CONSTRAINED warm start, Mehrotra, ftb tau = 0.995);
-        only the linear solves differ.  Returns (du, dxs, y_abs_max, bad)."""
-        Rbase = [r_u + lam for _ in range(T)]
-        Q = [[w2[t][i] + lam for i in range(NX)] for t in range(T)]
-        tiny = jnp.finfo(zero.dtype).tiny
+        only the linear solves differ.  Bound rows act per (stage, input).
+        Returns (du list[T][nu], dxs, y_abs_max, bad)."""
+        Rbase = [[r_u[r_] + lam for r_ in range(nu)] for _ in range(T)]
+        Q = [[w2[t][i] + lam for i in range(nx)] for t in range(T)]
 
         # -- equality-constrained initial guess (Sigma = 0) -----------------
         fact0 = _riccati_factor(Rbase, Q, A, B, one, zero)
         bad = fact0[3]
-        b1u0 = [-c_u[t] for t in range(T)]
-        b1x0 = [[-c_x[t][i] for i in range(NX)] for t in range(T)]
-        b20 = [[-r[t][i] for i in range(NX)] for t in range(T)]
+        b1u0 = [[-c_u[t][r_] for r_ in range(nu)] for t in range(T)]
+        b1x0 = [[-c_x[t][i] for i in range(nx)] for t in range(T)]
+        b20 = [[-r[t][i] for i in range(nx)] for t in range(T)]
         du, dxs, dy = _riccati_solve(fact0[:3], A, B, b1u0, b1x0, b20, zero)
         y = dy
         # Clamp into the (shifted) bounds, slack/dual init (qp.cc:470-481).
-        ib_lo = [u[t] + u_max for t in range(T)]
-        ib_hi = [u_max - u[t] for t in range(T)]
-        du = [jnp.minimum(jnp.maximum(du[t], -ib_lo[t]), ib_hi[t]) for t in range(T)]
-        s_lo = [jnp.maximum(1e-9, du[t] + ib_lo[t]) for t in range(T)]
-        s_hi = [jnp.maximum(1e-9, -du[t] + ib_hi[t]) for t in range(T)]
-        z_lo = [1.0 / v for v in s_lo]
-        z_hi = [1.0 / v for v in s_hi]
+        ib_lo = [
+            [u[t][r_] - u_min[r_] for r_ in range(nu)] for t in range(T)
+        ]
+        ib_hi = [
+            [u_max[r_] - u[t][r_] for r_ in range(nu)] for t in range(T)
+        ]
+        du = [
+            [
+                jnp.minimum(
+                    jnp.maximum(du[t][r_], -ib_lo[t][r_]), ib_hi[t][r_]
+                )
+                for r_ in range(nu)
+            ]
+            for t in range(T)
+        ]
+        s_lo = [
+            [jnp.maximum(1e-9, du[t][r_] + ib_lo[t][r_]) for r_ in range(nu)]
+            for t in range(T)
+        ]
+        s_hi = [
+            [jnp.maximum(1e-9, -du[t][r_] + ib_hi[t][r_]) for r_ in range(nu)]
+            for t in range(T)
+        ]
+        z_lo = [[1.0 / v for v in row] for row in s_lo]
+        z_hi = [[1.0 / v for v in row] for row in s_hi]
 
         def qp_body(carry):
             du, dxs, s_lo, s_hi, y, z_lo, z_hi, mu, bad = carry
             # KKT residuals (qp.cc:391-420) in stage registers.
             r_d_u = [
-                c_u[t]
-                + (r_u + lam) * du[t]
-                + sum(B[t][i] * y[t][i] for i in range(NX))
-                - z_lo[t]
-                + z_hi[t]
+                [
+                    c_u[t][r_]
+                    + (r_u[r_] + lam) * du[t][r_]
+                    + sum(B[t][i][r_] * y[t][i] for i in range(nx))
+                    - z_lo[t][r_]
+                    + z_hi[t][r_]
+                    for r_ in range(nu)
+                ]
                 for t in range(T)
             ]
             r_d_x = [
@@ -339,11 +524,11 @@ def _make_mpc_kernel(
                     + c_x[t][i]
                     - y[t][i]
                     + (
-                        sum(A[t + 1][k][i] * y[t + 1][k] for k in range(NX))
+                        sum(A[t + 1][k][i] * y[t + 1][k] for k in range(nx))
                         if t + 1 < T
                         else zero
                     )
-                    for i in range(NX)
+                    for i in range(nx)
                 ]
                 for t in range(T)
             ]
@@ -351,65 +536,107 @@ def _make_mpc_kernel(
                 [
                     r[t][i]
                     - (
-                        sum(A[t][i][j] * dxs[t - 1][j] for j in range(NX))
+                        sum(A[t][i][j] * dxs[t - 1][j] for j in range(nx))
                         if t > 0
                         else zero
                     )
-                    - B[t][i] * du[t]
+                    - sum(B[t][i][r_] * du[t][r_] for r_ in range(nu))
                     + dxs[t][i]
-                    for i in range(NX)
+                    for i in range(nx)
                 ]
                 for t in range(T)
             ]
-            r_pi_lo = [du[t] + ib_lo[t] - s_lo[t] for t in range(T)]
-            r_pi_hi = [-du[t] + ib_hi[t] - s_hi[t] for t in range(T)]
-            r_c_lo = [s_lo[t] * z_lo[t] for t in range(T)]
-            r_c_hi = [s_hi[t] * z_hi[t] for t in range(T)]
-            sig_lo = [z_lo[t] / s_lo[t] for t in range(T)]
-            sig_hi = [z_hi[t] / s_hi[t] for t in range(T)]
+            r_pi_lo = [
+                [du[t][r_] + ib_lo[t][r_] - s_lo[t][r_] for r_ in range(nu)]
+                for t in range(T)
+            ]
+            r_pi_hi = [
+                [-du[t][r_] + ib_hi[t][r_] - s_hi[t][r_] for r_ in range(nu)]
+                for t in range(T)
+            ]
+            r_c_lo = [
+                [s_lo[t][r_] * z_lo[t][r_] for r_ in range(nu)]
+                for t in range(T)
+            ]
+            r_c_hi = [
+                [s_hi[t][r_] * z_hi[t][r_] for r_ in range(nu)]
+                for t in range(T)
+            ]
+            sig_lo = [
+                [z_lo[t][r_] / s_lo[t][r_] for r_ in range(nu)]
+                for t in range(T)
+            ]
+            sig_hi = [
+                [z_hi[t][r_] / s_hi[t][r_] for r_ in range(nu)]
+                for t in range(T)
+            ]
 
-            Rsig = [Rbase[t] + sig_lo[t] + sig_hi[t] for t in range(T)]
+            Rsig = [
+                [
+                    Rbase[t][r_] + sig_lo[t][r_] + sig_hi[t][r_]
+                    for r_ in range(nu)
+                ]
+                for t in range(T)
+            ]
             fact = _riccati_factor(Rsig, Q, A, B, one, zero)
             bad = jnp.maximum(bad, fact[3])
 
             def solve_step(mu_v, corr_lo, corr_hi):
                 r_aug = [
-                    r_d_u[t]
-                    + sig_lo[t] * r_pi_lo[t]
-                    + (r_c_lo[t] + corr_lo[t] - mu_v) / s_lo[t]
-                    - sig_hi[t] * r_pi_hi[t]
-                    - (r_c_hi[t] + corr_hi[t] - mu_v) / s_hi[t]
+                    [
+                        r_d_u[t][r_]
+                        + sig_lo[t][r_] * r_pi_lo[t][r_]
+                        + (r_c_lo[t][r_] + corr_lo[t][r_] - mu_v) / s_lo[t][r_]
+                        - sig_hi[t][r_] * r_pi_hi[t][r_]
+                        - (r_c_hi[t][r_] + corr_hi[t][r_] - mu_v) / s_hi[t][r_]
+                        for r_ in range(nu)
+                    ]
                     for t in range(T)
                 ]
-                b1u = [-r_aug[t] for t in range(T)]
-                b1x = [[-r_d_x[t][i] for i in range(NX)] for t in range(T)]
-                b2 = [[-r_pe[t][i] for i in range(NX)] for t in range(T)]
+                b1u = [[-v for v in row] for row in r_aug]
+                b1x = [[-r_d_x[t][i] for i in range(nx)] for t in range(T)]
+                b2 = [[-r_pe[t][i] for i in range(nx)] for t in range(T)]
                 ddu, ddx, ddy = _riccati_solve(
                     fact[:3], A, B, b1u, b1x, b2, zero
                 )
-                ds_lo = [ddu[t] + r_pi_lo[t] for t in range(T)]
-                ds_hi = [-ddu[t] + r_pi_hi[t] for t in range(T)]
+                ds_lo = [
+                    [ddu[t][r_] + r_pi_lo[t][r_] for r_ in range(nu)]
+                    for t in range(T)
+                ]
+                ds_hi = [
+                    [-ddu[t][r_] + r_pi_hi[t][r_] for r_ in range(nu)]
+                    for t in range(T)
+                ]
                 dz_lo = [
-                    -sig_lo[t] * ds_lo[t]
-                    - (r_c_lo[t] + corr_lo[t] - mu_v) / s_lo[t]
+                    [
+                        -sig_lo[t][r_] * ds_lo[t][r_]
+                        - (r_c_lo[t][r_] + corr_lo[t][r_] - mu_v) / s_lo[t][r_]
+                        for r_ in range(nu)
+                    ]
                     for t in range(T)
                 ]
                 dz_hi = [
-                    -sig_hi[t] * ds_hi[t]
-                    - (r_c_hi[t] + corr_hi[t] - mu_v) / s_hi[t]
+                    [
+                        -sig_hi[t][r_] * ds_hi[t][r_]
+                        - (r_c_hi[t][r_] + corr_hi[t][r_] - mu_v) / s_hi[t][r_]
+                        for r_ in range(nu)
+                    ]
                     for t in range(T)
                 ]
                 return ddu, ddx, ddy, ds_lo, ds_hi, dz_lo, dz_hi
 
             def ftb(vs, dvs, tau_v):
                 alpha = one
-                for v, dv in zip(vs, dvs):
-                    blocking = (v + dv <= 0.0) & (jnp.abs(dv) > 0.0)
-                    cand = -tau_v * v / jnp.where(blocking, dv, one)
-                    alpha = jnp.minimum(alpha, jnp.where(blocking, cand, one))
+                for vrow, dvrow in zip(vs, dvs):
+                    for v, dv in zip(vrow, dvrow):
+                        blocking = (v + dv <= 0.0) & (jnp.abs(dv) > 0.0)
+                        cand = -tau_v * v / jnp.where(blocking, dv, one)
+                        alpha = jnp.minimum(
+                            alpha, jnp.where(blocking, cand, one)
+                        )
                 return alpha
 
-            zeros_t = [zero] * T
+            zeros_t = [[zero] * nu for _ in range(T)]
             # Mehrotra predictor-corrector (algorithm 16.4 / qp.cc:170-188).
             dua, dxa, dya, dsl_a, dsh_a, dzl_a, dzh_a = solve_step(
                 zero, zeros_t, zeros_t
@@ -423,42 +650,70 @@ def _make_mpc_kernel(
             # path's parity is pinned against thereafter.
             cross = zero
             for t in range(T):
-                cross = cross + (
-                    ad_a * s_lo[t] * dzl_a[t]
-                    + ap_a * z_lo[t] * dsl_a[t]
-                    + ap_a * ad_a * dsl_a[t] * dzl_a[t]
-                )
-                cross = cross + (
-                    ad_a * s_hi[t] * dzh_a[t]
-                    + ap_a * z_hi[t] * dsh_a[t]
-                    + ap_a * ad_a * dsh_a[t] * dzh_a[t]
-                )
-            mu_aff = jnp.maximum(mu + cross / (2 * T), 0.0)
+                for r_ in range(nu):
+                    cross = cross + (
+                        ad_a * s_lo[t][r_] * dzl_a[t][r_]
+                        + ap_a * z_lo[t][r_] * dsl_a[t][r_]
+                        + ap_a * ad_a * dsl_a[t][r_] * dzl_a[t][r_]
+                    )
+                    cross = cross + (
+                        ad_a * s_hi[t][r_] * dzh_a[t][r_]
+                        + ap_a * z_hi[t][r_] * dsh_a[t][r_]
+                        + ap_a * ad_a * dsh_a[t][r_] * dzh_a[t][r_]
+                    )
+            mu_aff = jnp.maximum(mu + cross / ncon, 0.0)
             sigma = (mu_aff / mu) ** 3
             mu_used = sigma * mu
-            corr_lo = [dsl_a[t] * dzl_a[t] for t in range(T)]
-            corr_hi = [dsh_a[t] * dzh_a[t] for t in range(T)]
+            corr_lo = [
+                [dsl_a[t][r_] * dzl_a[t][r_] for r_ in range(nu)]
+                for t in range(T)
+            ]
+            corr_hi = [
+                [dsh_a[t][r_] * dzh_a[t][r_] for r_ in range(nu)]
+                for t in range(T)
+            ]
             ddu, ddx, ddy, ds_lo, ds_hi, dz_lo, dz_hi = solve_step(
                 mu_used, corr_lo, corr_hi
             )
 
             ap = ftb(s_lo + s_hi, ds_lo + ds_hi, _TAU_FTB)
             ad = ftb(z_lo + z_hi, dz_lo + dz_hi, _TAU_FTB)
-            du = [du[t] + ap * ddu[t] for t in range(T)]
+            du = [
+                [du[t][r_] + ap * ddu[t][r_] for r_ in range(nu)]
+                for t in range(T)
+            ]
             dxs = [
-                [dxs[t][i] + ap * ddx[t][i] for i in range(NX)] for t in range(T)
+                [dxs[t][i] + ap * ddx[t][i] for i in range(nx)]
+                for t in range(T)
             ]
-            s_lo = [s_lo[t] + ap * ds_lo[t] for t in range(T)]
-            s_hi = [s_hi[t] + ap * ds_hi[t] for t in range(T)]
+            s_lo = [
+                [s_lo[t][r_] + ap * ds_lo[t][r_] for r_ in range(nu)]
+                for t in range(T)
+            ]
+            s_hi = [
+                [s_hi[t][r_] + ap * ds_hi[t][r_] for r_ in range(nu)]
+                for t in range(T)
+            ]
             y = [
-                [y[t][i] + ad * ddy[t][i] for i in range(NX)] for t in range(T)
+                [y[t][i] + ad * ddy[t][i] for i in range(nx)] for t in range(T)
             ]
-            z_lo = [z_lo[t] + ad * dz_lo[t] for t in range(T)]
-            z_hi = [z_hi[t] + ad * dz_hi[t] for t in range(T)]
+            z_lo = [
+                [z_lo[t][r_] + ad * dz_lo[t][r_] for r_ in range(nu)]
+                for t in range(T)
+            ]
+            z_hi = [
+                [z_hi[t][r_] + ad * dz_hi[t][r_] for r_ in range(nu)]
+                for t in range(T)
+            ]
             comp = zero
             for t in range(T):
-                comp = comp + s_lo[t] * z_lo[t] + s_hi[t] * z_hi[t]
-            mu = 0.1 * (comp / (2 * T))
+                for r_ in range(nu):
+                    comp = (
+                        comp
+                        + s_lo[t][r_] * z_lo[t][r_]
+                        + s_hi[t][r_] * z_hi[t][r_]
+                    )
+            mu = 0.1 * (comp / ncon)
             return (du, dxs, s_lo, s_hi, y, z_lo, z_hi, mu, bad)
 
         carry = (du, dxs, s_lo, s_hi, y, z_lo, z_hi, one, bad)
@@ -473,14 +728,15 @@ def _make_mpc_kernel(
 
         y_abs = jnp.abs(y[0][0])
         for t in range(T):
-            for i in range(NX):
+            for i in range(nx):
                 y_abs = jnp.maximum(y_abs, jnp.abs(y[t][i]))
         # Non-finite steps fold into the failure flag like the general path's
         # isfinite(delta) check (qp.py iterate()).
-        fin = jnp.isfinite(du[0])
+        fin = jnp.isfinite(du[0][0])
         for t in range(T):
-            fin = fin & jnp.isfinite(du[t])
-            for i in range(NX):
+            for r_ in range(nu):
+                fin = fin & jnp.isfinite(du[t][r_])
+            for i in range(nx):
                 fin = fin & jnp.isfinite(dxs[t][i])
         bad = jnp.maximum(bad, jnp.where(fin, zero, one))
         return du, dxs, y_abs, bad
@@ -488,10 +744,10 @@ def _make_mpc_kernel(
     def core(x0, u, xs):
         """The whole solve as pure register math: works on ANY array shape
         per register (a (8, 128) tile inside the Pallas kernel; a scalar
-        under vmap in the compiled-XLA oracle path used by tests).  Returns
-        (u, xs, f, eq, flags, hist_rows)."""
-        one = jnp.ones_like(u[0])
-        zero = jnp.zeros_like(u[0])
+        under vmap in the compiled-XLA oracle path used by tests).  ``u`` is
+        list[T] of list[nu].  Returns (u, xs, f, eq, flags, hist_rows)."""
+        one = jnp.ones_like(u[0][0])
+        zero = jnp.zeros_like(u[0][0])
         hist_rows = []
 
         # MPC-family solver constants (default_mpc_params, models/mpc.py).
@@ -499,12 +755,12 @@ def _make_mpc_kernel(
         # best-merit tracker (branch-free for the fori_loop form).
         inf = jnp.full_like(one, jnp.inf)
         carry0 = (
-            list(u),  # u
+            [list(row) for row in u],  # u
             [list(row) for row in xs],  # xs
             1e-6 * one,  # lam
             1.0 * one,  # penalty
             zero,  # restore
-            list(u),  # best_u
+            [list(row) for row in u],  # best_u
             [list(row) for row in xs],  # best_xs
             inf,  # f_best
             zero,  # eq_best
@@ -524,9 +780,12 @@ def _make_mpc_kernel(
             ) = carry
             # -- stagewise linearization (the LinearizeAndFillQP analog) ----
             f_pre = None
-            c_u = [r_u * u[t] for t in range(T)]
+            c_u = [
+                [r_u[r_] * (u[t][r_] - u_ref[r_]) for r_ in range(nu)]
+                for t in range(T)
+            ]
             c_x = [
-                [w2[t][i] * (xs[t][i] - goal[i]) for i in range(NX)]
+                [w2[t][i] * (xs[t][i] - goal[i]) for i in range(nx)]
                 for t in range(T)
             ]
             r = [None] * T
@@ -536,27 +795,32 @@ def _make_mpc_kernel(
             for t in range(T):
                 xin = x0 if t == 0 else xs[t - 1]
                 pred, At, Bt = _rk4_linearized(fam, xin, u[t], one, zero)
-                r[t] = [xs[t][i] - pred[i] for i in range(NX)]
+                r[t] = [xs[t][i] - pred[i] for i in range(nx)]
                 # defect = x_{t+1} - f(x_t, u_t): d/dx_t = -A_t, and after the
                 # N_t = I normalization Abar_t = +A_t (riccati.py:33-36).
                 # Row 0's state coefficient acts on the PARAMETER x_0, not a
                 # variable, so it is structurally zero (riccati.py C_0 = 0).
-                A[t] = [[zero] * NX for _ in range(NX)] if t == 0 else At
+                A[t] = [[zero] * nx for _ in range(nx)] if t == 0 else At
                 B[t] = Bt
-                for i in range(NX):
+                for i in range(nx):
                     d = jnp.abs(r[t][i])
                     eq_pre = d if eq_pre is None else eq_pre + d
             for t in range(T):
-                for i in range(NX):
+                for i in range(nx):
                     rr = xs[t][i] - goal[i]
                     term = 0.5 * w2[t][i] * rr * rr
                     f_pre = term if f_pre is None else f_pre + term
-                f_pre = f_pre + 0.5 * r_u * u[t] * u[t]
+                for r_ in range(nu):
+                    dr = u[t][r_] - u_ref[r_]
+                    f_pre = f_pre + 0.5 * r_u[r_] * dr * dr
 
             better = f_pre + penalty * eq_pre < f_best + penalty * eq_best
-            best_u = [jnp.where(better, u[t], best_u[t]) for t in range(T)]
+            best_u = [
+                [jnp.where(better, u[t][r_], best_u[t][r_]) for r_ in range(nu)]
+                for t in range(T)
+            ]
             best_xs = [
-                [jnp.where(better, xs[t][i], best_xs[t][i]) for i in range(NX)]
+                [jnp.where(better, xs[t][i], best_xs[t][i]) for i in range(nx)]
                 for t in range(T)
             ]
             f_best = jnp.where(better, f_pre, f_best)
@@ -570,20 +834,23 @@ def _make_mpc_kernel(
             # Directional derivative + penalty (nonlinear.cc:457-502).
             d_f = zero
             for t in range(T):
-                d_f = d_f + c_u[t] * du[t]
-                for i in range(NX):
+                for r_ in range(nu):
+                    d_f = d_f + c_u[t][r_] * du[t][r_]
+                for i in range(nx):
                     d_f = d_f + c_x[t][i] * dxs_step[t][i]
             d_eq = zero
             for t in range(T):
-                for i in range(NX):
+                for i in range(nx):
                     adx = (
-                        sum(A[t][i][j] * dxs_step[t - 1][j] for j in range(NX))
+                        sum(A[t][i][j] * dxs_step[t - 1][j] for j in range(nx))
                         if t > 0
                         else zero
                     )
                     # A_eq row: -A_t dx_t - B_t du_t + dx_{t+1}.
                     d_eq = d_eq + jnp.sign(r[t][i]) * (
-                        -adx - B[t][i] * du[t] + dxs_step[t][i]
+                        -adx
+                        - sum(B[t][i][r_] * du[t][r_] for r_ in range(nu))
+                        + dxs_step[t][i]
                     )
             penalty = jnp.where(y_abs > penalty, y_abs * 1.01, penalty)
             dd = d_f + penalty * d_eq
@@ -592,16 +859,19 @@ def _make_mpc_kernel(
             # -- Armijo backtracking line search (tau = 0.5) ----------------
             alpha = one
             accepted = zero
-            bu = list(u)
+            bu = [list(row) for row in u]
             bxs = [list(row) for row in xs]
             f_acc = f_pre
             eq_acc = eq_pre
             for probe in range(ls_iterations + 1):
                 if probe > 0:
                     alpha = alpha * 0.5
-                cand_u = [u[t] + alpha * du[t] for t in range(T)]
+                cand_u = [
+                    [u[t][r_] + alpha * du[t][r_] for r_ in range(nu)]
+                    for t in range(T)
+                ]
                 cand_x = [
-                    [xs[t][i] + alpha * dxs_step[t][i] for i in range(NX)]
+                    [xs[t][i] + alpha * dxs_step[t][i] for i in range(nx)]
                     for t in range(T)
                 ]
                 f_c, eq_c = errors(cand_u, cand_x, x0)
@@ -610,11 +880,17 @@ def _make_mpc_kernel(
                     merit_c <= merit_pre + 1e-4 * alpha * jnp.minimum(dd, zero)
                 ).astype(one.dtype)
                 take = ok * (1.0 - accepted)
-                bu = [take * cand_u[t] + (1.0 - take) * bu[t] for t in range(T)]
+                bu = [
+                    [
+                        take * cand_u[t][r_] + (1.0 - take) * bu[t][r_]
+                        for r_ in range(nu)
+                    ]
+                    for t in range(T)
+                ]
                 bxs = [
                     [
                         take * cand_x[t][i] + (1.0 - take) * bxs[t][i]
-                        for i in range(NX)
+                        for i in range(nx)
                     ]
                     for t in range(T)
                 ]
@@ -622,9 +898,12 @@ def _make_mpc_kernel(
                 eq_acc = take * eq_c + (1.0 - take) * eq_acc
                 accepted = jnp.minimum(accepted + take, 1.0)
 
-            u = [jnp.where(accepted > 0, bu[t], u[t]) for t in range(T)]
+            u = [
+                [jnp.where(accepted > 0, bu[t][r_], u[t][r_]) for r_ in range(nu)]
+                for t in range(T)
+            ]
             xs = [
-                [jnp.where(accepted > 0, bxs[t][i], xs[t][i]) for i in range(NX)]
+                [jnp.where(accepted > 0, bxs[t][i], xs[t][i]) for i in range(nx)]
                 for t in range(T)
             ]
             hist_row = (f_pre, eq_pre, penalty, lam, dd, accepted, alpha)
@@ -662,9 +941,12 @@ def _make_mpc_kernel(
         f_fin = jnp.where(accepted > 0, f_acc, f_pre)
         eq_fin = jnp.where(accepted > 0, eq_acc, eq_pre)
         better = f_fin + penalty * eq_fin < f_best + penalty * eq_best
-        u_out = [jnp.where(better, u[t], best_u[t]) for t in range(T)]
+        u_out = [
+            [jnp.where(better, u[t][r_], best_u[t][r_]) for r_ in range(nu)]
+            for t in range(T)
+        ]
         xs_out = [
-            [jnp.where(better, xs[t][i], best_xs[t][i]) for i in range(NX)]
+            [jnp.where(better, xs[t][i], best_xs[t][i]) for i in range(nx)]
             for t in range(T)
         ]
         f_out = jnp.where(better, f_fin, f_best)
@@ -673,16 +955,20 @@ def _make_mpc_kernel(
         return u_out, xs_out, f_out, eq_out, flags, hist_rows
 
     def kernel(x0_ref, z0_ref, out_ref, stat_ref, *hist_refs):
-        x0 = [x0_ref[i, 0] for i in range(NX)]
-        u = [z0_ref[t, 0] for t in range(T)]
+        x0 = [x0_ref[i, 0] for i in range(nx)]
+        u = [
+            [z0_ref[t * nu + r_, 0] for r_ in range(nu)] for t in range(T)
+        ]
         xs = [
-            [z0_ref[T + NX * t + i, 0] for i in range(NX)] for t in range(T)
+            [z0_ref[T * nu + nx * t + i, 0] for i in range(nx)]
+            for t in range(T)
         ]
         u_out, xs_out, f_out, eq_out, flags, hist_rows = core(x0, u, xs)
         for t in range(T):
-            out_ref[t, 0] = u_out[t]
-            for i in range(NX):
-                out_ref[T + NX * t + i, 0] = xs_out[t][i]
+            for r_ in range(nu):
+                out_ref[t * nu + r_, 0] = u_out[t][r_]
+            for i in range(nx):
+                out_ref[T * nu + nx * t + i, 0] = xs_out[t][i]
         stat_ref[0, 0] = f_out
         stat_ref[1, 0] = eq_out
         stat_ref[2, 0] = flags
@@ -693,7 +979,6 @@ def _make_mpc_kernel(
 
     kernel.core = core
     return kernel
-
 
 def _make_mpc_servo_kernel(
     fam: MPCFamily,
@@ -709,19 +994,20 @@ def _make_mpc_servo_kernel(
     the one-solve-per-launch rollout (measured: ~0.4 ms fixed overhead per
     period at batch 1024 -- over half the (1,1,1)-budget period time).
 
-    The plant stepped inside is the same RK4 cart-pole model the defects
-    use (models/mpc.py::mpc_rollout semantics with no disturbance).  Stats
+    The plant stepped inside is the same RK4 model the defects use
+    (models/mpc.py::mpc_rollout semantics with no disturbance).  Stats
     emitted per lane: (f, |eq|_1) of the LAST period's solve, sticky flags
     over all periods, and max |u_0| over the rollout (the actuation-bound
-    telemetry the stabilization gate reads)."""
+    telemetry the stabilization gate reads; max over inputs for nu > 1)."""
     solve_kernel = _make_mpc_kernel(
         fam, max_iterations, qp_iterations, ls_iterations, unroll=False
     )
     core = solve_kernel.core
     T = fam.horizon
+    nx, nu = fam.nx, fam.nu
 
     def servo_core(x, u, xs):
-        zero = jnp.zeros_like(u[0])
+        zero = jnp.zeros_like(u[0][0])
 
         def body(carry):
             x, u, xs, maxu, _f, _eq, flags = carry
@@ -730,30 +1016,38 @@ def _make_mpc_servo_kernel(
             x_next = _rk4(fam, x, u0)
             # shift_warm_start semantics (models/mpc.py): u_t <- u_{t+1}
             # (last repeated), x_t <- x_{t+1}, new terminal integrated.
-            un = u_o[1:] + [u_o[T - 1]]
+            un = [list(row) for row in u_o[1:]] + [list(u_o[T - 1])]
             x_term = _rk4(fam, xs_o[T - 1], un[T - 1])
             xsn = [list(row) for row in xs_o[1:]] + [x_term]
+            for r_ in range(nu):
+                maxu = jnp.maximum(maxu, jnp.abs(u0[r_]))
             return (
-                x_next, un, xsn,
-                jnp.maximum(maxu, jnp.abs(u0)), f, eq, jnp.maximum(flags, flg),
+                x_next, un, xsn, maxu, f, eq, jnp.maximum(flags, flg),
             )
 
-        carry0 = (list(x), list(u), [list(r) for r in xs], zero, zero, zero, zero)
+        carry0 = (
+            list(x), [list(row) for row in u], [list(r) for r in xs],
+            zero, zero, zero, zero,
+        )
         return jax.lax.fori_loop(0, periods, lambda _i, c: body(c), carry0)
 
     def kernel(x0_ref, z0_ref, xout_ref, zout_ref, stat_ref):
-        x = [x0_ref[i, 0] for i in range(NX)]
-        u = [z0_ref[t, 0] for t in range(T)]
+        x = [x0_ref[i, 0] for i in range(nx)]
+        u = [
+            [z0_ref[t * nu + r_, 0] for r_ in range(nu)] for t in range(T)
+        ]
         xs = [
-            [z0_ref[T + NX * t + i, 0] for i in range(NX)] for t in range(T)
+            [z0_ref[T * nu + nx * t + i, 0] for i in range(nx)]
+            for t in range(T)
         ]
         xf, uf, xsf, maxu, f, eq, flags = servo_core(x, u, xs)
-        for i in range(NX):
+        for i in range(nx):
             xout_ref[i, 0] = xf[i]
         for t in range(T):
-            zout_ref[t, 0] = uf[t]
-            for i in range(NX):
-                zout_ref[T + NX * t + i, 0] = xsf[t][i]
+            for r_ in range(nu):
+                zout_ref[t * nu + r_, 0] = uf[t][r_]
+            for i in range(nx):
+                zout_ref[T * nu + nx * t + i, 0] = xsf[t][i]
         stat_ref[0, 0] = f
         stat_ref[1, 0] = eq
         stat_ref[2, 0] = flags
@@ -772,8 +1066,8 @@ def _make_mpc_servo_kernel(
 )
 def fused_mpc_servo_batch(
     family: MPCFamily,
-    x_plant: jax.Array,  # (B, NX)
-    z0: jax.Array,  # (B, 5T) warm starts
+    x_plant: jax.Array,  # (B, nx)
+    z0: jax.Array,  # (B, T*(nu+nx)) warm starts
     periods: int,
     max_iterations: int = 1,
     qp_iterations: int = 1,
@@ -781,7 +1075,7 @@ def fused_mpc_servo_batch(
     backend: str = "pallas",
 ):
     """Run ``periods`` receding-horizon control periods for B plants in ONE
-    kernel launch.  Returns (x_final (B, NX), z_final (B, 5T),
+    kernel launch.  Returns (x_final (B, nx), z_final (B, dim),
     stats (B, 4) = [f_last, |eq|_1_last, sticky flags, max |u_0|]).
 
     Feed a COLD-solved, one-step-advanced state (e.g. from
@@ -792,9 +1086,10 @@ def fused_mpc_servo_batch(
     from jax.experimental.pallas import tpu as pltpu
 
     T = family.horizon
+    nx, nu = family.nx, family.nu
     dim = family.dim
     B = x_plant.shape[0]
-    assert x_plant.shape == (B, NX) and z0.shape == (B, dim)
+    assert x_plant.shape == (B, nx) and z0.shape == (B, dim)
     assert backend in ("pallas", "xla")
     kernel = _make_mpc_servo_kernel(
         family, periods, max_iterations, qp_iterations, ls_iterations
@@ -802,12 +1097,15 @@ def fused_mpc_servo_batch(
 
     if backend == "xla":
         def one(xp, z):
-            x = [xp[i] for i in range(NX)]
-            u = [z[t] for t in range(T)]
-            xs = [[z[T + NX * t + i] for i in range(NX)] for t in range(T)]
+            x = [xp[i] for i in range(nx)]
+            u = [[z[t * nu + r_] for r_ in range(nu)] for t in range(T)]
+            xs = [
+                [z[T * nu + nx * t + i] for i in range(nx)] for t in range(T)
+            ]
             xf, uf, xsf, maxu, f, eq, flags = kernel.core(x, u, xs)
             z_o = jnp.stack(
-                uf + [xsf[t][i] for t in range(T) for i in range(NX)]
+                [uf[t][r_] for t in range(T) for r_ in range(nu)]
+                + [xsf[t][i] for t in range(T) for i in range(nx)]
             )
             return jnp.stack(xf), z_o, jnp.stack([f, eq, flags, maxu])
 
@@ -825,16 +1123,16 @@ def fused_mpc_servo_batch(
         kernel,
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((NX, 1, 8, 128), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nx, 1, 8, 128), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((dim, 1, 8, 128), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((NX, 1, 8, 128), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nx, 1, 8, 128), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((dim, 1, 8, 128), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((4, 1, 8, 128), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((NX, grid, 8, 128), x_plant.dtype),
+            jax.ShapeDtypeStruct((nx, grid, 8, 128), x_plant.dtype),
             jax.ShapeDtypeStruct((dim, grid, 8, 128), x_plant.dtype),
             jax.ShapeDtypeStruct((4, grid, 8, 128), x_plant.dtype),
         ],
@@ -866,8 +1164,8 @@ _DBG_CHANNELS = 7  # f, eq, penalty, lam, dd, accepted, alpha
 )
 def fused_mpc_solve_batch(
     family: MPCFamily,
-    x_plant: jax.Array,  # (B, NX) current plant states
-    z0: jax.Array,  # (B, 5T) warm starts (models/mpc.py z layout)
+    x_plant: jax.Array,  # (B, nx) current plant states
+    z0: jax.Array,  # (B, T*(nu+nx)) warm starts (models/mpc.py z layout)
     max_iterations: int = 3,
     qp_iterations: int = 3,
     ls_iterations: int = 2,
@@ -876,9 +1174,9 @@ def fused_mpc_solve_batch(
     backend: str = "pallas",
     unroll: Optional[bool] = None,
 ):
-    """Solve B cart-pole MPC instances with ONE fused blocked kernel.
+    """Solve B MPC instances of ``family`` with ONE fused blocked kernel.
 
-    Returns z (B, 5T); ``return_state`` appends per-lane (f, |eq|_1, flags)
+    Returns z (B, dim); ``return_state`` appends per-lane (f, |eq|_1, flags)
     (B, 3) for fused_termination_status; ``debug_history`` appends
     (B, max_iterations, 7) per-outer-iteration channels
     [f, eq, penalty, lam, dd, accepted, alpha].
@@ -892,9 +1190,10 @@ def fused_mpc_solve_batch(
     from jax.experimental.pallas import tpu as pltpu
 
     T = family.horizon
+    nx, nu = family.nx, family.nu
     dim = family.dim
     B = x_plant.shape[0]
-    assert x_plant.shape == (B, NX) and z0.shape == (B, dim)
+    assert x_plant.shape == (B, nx) and z0.shape == (B, dim)
     assert backend in ("pallas", "xla")
     if unroll is None:
         unroll = debug_history  # fori_loop form unless per-iteration rows asked
@@ -905,14 +1204,15 @@ def fused_mpc_solve_batch(
 
     if backend == "xla":
         def one(xp, z):
-            x0 = [xp[i] for i in range(NX)]
-            u = [z[t] for t in range(T)]
+            x0 = [xp[i] for i in range(nx)]
+            u = [[z[t * nu + r_] for r_ in range(nu)] for t in range(T)]
             xs = [
-                [z[T + NX * t + i] for i in range(NX)] for t in range(T)
+                [z[T * nu + nx * t + i] for i in range(nx)] for t in range(T)
             ]
             u_o, xs_o, f_o, eq_o, flags, hist = kernel.core(x0, u, xs)
             z_o = jnp.stack(
-                u_o + [xs_o[t][i] for t in range(T) for i in range(NX)]
+                [u_o[t][r_] for t in range(T) for r_ in range(nu)]
+                + [xs_o[t][i] for t in range(T) for i in range(nx)]
             )
             outs = [z_o]
             if return_state:
@@ -961,7 +1261,7 @@ def fused_mpc_solve_batch(
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(
-                (NX, 1, 8, 128), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
+                (nx, 1, 8, 128), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
                 (dim, 1, 8, 128), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
