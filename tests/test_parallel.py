@@ -226,3 +226,88 @@ def test_graft_entry_compiles():
     out = jax.jit(fn)(*args)
     assert np.isfinite(np.asarray(out)).all()
     ge.dryrun_multichip(8)
+
+
+def test_shard_blocked_tier_matches_unsharded():
+    """The GENERIC blocked tier (ops/pallas_blocked.py, auto-dispatched past
+    REGISTER_KKT_MAX) under shard_map on the dp mesh == the single-device
+    call (round-4 VERDICT item 5: blocked kernels on the distributed
+    serving surface)."""
+    from mini_opt_tpu.ops.pallas_ik import fused_solve_batch, planar_family
+    from mini_opt_tpu.ops.pallas_blocked import REGISTER_KKT_MAX
+    from mini_opt_tpu.parallel.batch import shard_fused_solve_batch
+
+    mesh = make_mesh({"dp": 8})
+    n, B = 40, 16
+    family = planar_family(n, 0.4)
+    assert family.n + family.m_eq > REGISTER_KKT_MAX
+    rng = np.random.default_rng(13)
+    targets = jnp.asarray(
+        np.stack([rng.uniform(2.0, 6.0, B), rng.uniform(1.0, 4.0, B)], 1)
+    )
+    x0 = jnp.asarray(rng.uniform(0.05, 0.3, size=(B, n)))
+    kw = dict(max_iterations=2, qp_iterations=1, ls_iterations=1)
+    plain = fused_solve_batch(family, targets, x0, **kw)
+    shard = shard_fused_solve_batch(mesh, family, targets, x0, **kw)
+    # Per-device shards are 2 lanes of a 128-lane tile padded by edge
+    # replication; real-lane results must agree exactly with the unsharded
+    # call (identical per-lane register programs).
+    np.testing.assert_allclose(
+        np.asarray(shard), np.asarray(plain), atol=1e-10
+    )
+
+
+def test_shard_fused_mpc_matches_unsharded():
+    """The blocked MPC kernel sharded over the plant fleet == unsharded."""
+    from mini_opt_tpu.models import mpc
+    from mini_opt_tpu.ops.pallas_mpc import (
+        cartpole_mpc_family,
+        fused_mpc_solve_batch,
+    )
+    from mini_opt_tpu.parallel.batch import shard_fused_mpc_solve_batch
+
+    mesh = make_mesh({"dp": 8})
+    T, dt = 3, 0.05
+    fam = cartpole_mpc_family(T, dt)
+    B = 16
+    x0s = jax.random.uniform(
+        jax.random.PRNGKey(7), (B, 4), minval=-0.3, maxval=0.3
+    ).astype(jnp.float64)
+    z0s = jax.vmap(lambda x: mpc.initial_guess(mpc.CartPole(), x, T, dt))(x0s)
+    kw = dict(
+        max_iterations=1, qp_iterations=1, ls_iterations=1,
+        return_state=True, backend="xla",
+    )
+    z_plain, st_plain = fused_mpc_solve_batch(fam, x0s, z0s, **kw)
+    z_shard, st_shard = shard_fused_mpc_solve_batch(mesh, fam, x0s, z0s, **kw)
+    np.testing.assert_allclose(np.asarray(z_shard), np.asarray(z_plain), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(st_shard), np.asarray(st_plain), atol=1e-12)
+
+
+def test_shard_pose_ring_matches_unsharded():
+    """The blocked pose-ring kernel sharded over graph batches == unsharded."""
+    from mini_opt_tpu.ops.pallas_pose_ring import (
+        pose_ring_family,
+        pose_ring_solve_batch,
+    )
+    from mini_opt_tpu.parallel.batch import shard_pose_ring_solve_batch
+
+    N, B = 6, 16
+    mesh = make_mesh({"dp": 8})
+    fam = pose_ring_family(N)
+    rng = np.random.default_rng(17)
+    th = np.cumsum(rng.uniform(-0.4, 0.4, (B, N)), axis=1)
+    data = np.zeros((B, 3 * N))
+    for e in range(N):
+        data[:, 3 * e] = 0.5 + rng.normal(scale=0.02, size=B)
+        data[:, 3 * e + 2] = rng.uniform(-0.3, 0.3, B)
+    x0 = rng.normal(scale=0.2, size=(B, 3 * N))
+    kw = dict(max_iterations=3, ls_iterations=1, return_state=True, backend="xla")
+    x_plain, st_plain = pose_ring_solve_batch(
+        fam, jnp.asarray(data), jnp.asarray(x0), **kw
+    )
+    x_shard, st_shard = shard_pose_ring_solve_batch(
+        mesh, fam, jnp.asarray(data), jnp.asarray(x0), **kw
+    )
+    np.testing.assert_allclose(np.asarray(x_shard), np.asarray(x_plain), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(st_shard), np.asarray(st_plain), atol=1e-12)
