@@ -465,7 +465,7 @@ def run_fused_spatial(dtype, label, B=8192, seeds=(0, 1, 2)):
         # The fused kernels are f32 serving kernels; this script's global
         # x64 mode leaks 64-bit constants into the Mosaic lowering (layout
         # bitwidth check fails) -- scope it off around the kernel call.
-        with jax.experimental.enable_x64(False):
+        with jax.enable_x64(False):
             out = np.asarray(
                 fused_spatial_ik_solve_batch(
                     jnp.asarray(np.asarray(targets, np.float32)),
@@ -524,7 +524,7 @@ def run_fused_pose_graph(dtype, label, B=8192, n_poses=4):
     t0 = time.time()
     # f32 serving kernel: scope the script's global x64 off (see
     # run_fused_spatial).
-    with jax.experimental.enable_x64(False):
+    with jax.enable_x64(False):
         _, state = fused_solve_batch(
             fam, jnp.asarray(data), jnp.asarray(x0),
             max_iterations=6, qp_iterations=1, ls_iterations=2,
