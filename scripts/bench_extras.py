@@ -952,6 +952,422 @@ def pose_ring_bench(B=8192, n_poses=16, iters=6, ls=2, general_B=1024):
     )
 
 
+def blocked_ik_bench(n=48, B=8192, iters=6, qp=2, ls=1, general_B=512):
+    """The GENERIC blocked fused tier (ops/pallas_blocked.py) on a dim-49
+    condensed system no kernel was ever handwritten for: a 48-joint planar
+    chain, dispatched automatically by fused_solve_batch past
+    REGISTER_KKT_MAX.  Measures the kernel AND the general path (nls_solve
+    on make_ik_problem) on the same warm-start distribution at the same
+    budget -- the round-4 VERDICT item-1 '>= 10x the general path at
+    parity' gate."""
+    import dataclasses
+
+    from mini_opt_tpu.models.ik import (
+        default_ik_params,
+        make_ik_problem,
+        make_planar_chain,
+        mod_pi_retraction,
+    )
+    from mini_opt_tpu.nonlinear import nls_solve
+    from mini_opt_tpu.ops.pallas_ik import fused_solve_batch, planar_family
+    from mini_opt_tpu.structs import BarrierStrategy
+
+    fam = planar_family(n, 0.4)
+    rng = np.random.default_rng(0)
+    # Warm-start serving distribution: a smooth reference arm pose per lane
+    # plus a small perturbation; targets at the reference effector plus a
+    # task-step offset (the receding-target serving pattern).
+    th_ref = np.clip(
+        rng.uniform(0.02, 0.10, (B, n)) + rng.normal(0, 0.01, (B, n)),
+        0.01, np.pi - 0.01,
+    )
+    th_ref[:, 0] = rng.uniform(-0.3, 0.3, B)
+    phi = np.cumsum(th_ref, axis=1)
+    eff = np.stack([0.4 * np.cos(phi).sum(1), 0.4 * np.sin(phi).sum(1)], 1)
+    tgt = eff + rng.uniform(-0.05, 0.05, (B, 2))
+    data = jnp.asarray(tgt.astype(np.float32))
+    x0 = jnp.asarray(th_ref.astype(np.float32))
+
+    def solve(x):
+        return fused_solve_batch(
+            fam, data, x, max_iterations=iters, qp_iterations=qp,
+            ls_iterations=ls,
+        )
+
+    t0 = time.time()
+    out = jax.block_until_ready(solve(x0))
+    log(f"blocked ik{n} compile+run {time.time()-t0:.1f}s")
+    per_batch = chained_time(solve, x0, K=65)
+    xk = np.asarray(out)
+    phik = np.cumsum(xk, axis=1)
+    effk = np.stack(
+        [0.4 * np.cos(phik).sum(1), 0.4 * np.sin(phik).sum(1)], 1
+    )
+    err_k = np.abs(effk - tgt).max(1)
+
+    params = dataclasses.replace(
+        default_ik_params(jnp.float32, max_iterations=iters,
+                          max_qp_iterations=qp),
+        max_line_search_iterations=ls,
+        termination_kkt_tolerance=1e-12,
+        absolute_exit_tol=1e-30,
+        relative_exit_tol=0.0,
+        absolute_first_derivative_tol=0.0,
+        early_exit=False,
+        record_history=False,
+        qp_barrier_strategy=BarrierStrategy.PREDICTOR_CORRECTOR,
+    )
+    chain = make_planar_chain(n, dtype=jnp.float32)
+
+    def gen_solve(t_b, x_b):
+        def one(t, x):
+            problem = make_ik_problem(chain, t, with_joint_limits=True)
+            return nls_solve(
+                problem, params, x, retraction=mod_pi_retraction
+            ).x
+
+        return jax.vmap(one)(t_b, x_b)
+
+    dg, xg = data[:general_B], x0[:general_B]
+    gen_jit = jax.jit(gen_solve)
+    t0 = time.time()
+    xgen = jax.block_until_ready(gen_jit(dg, xg))
+    log(f"general ik{n} compile+run {time.time()-t0:.1f}s")
+    per_batch_gen = chained_time(lambda x: gen_jit(dg, x), xg, K=9)
+    xg_np = np.asarray(xgen)
+    phig = np.cumsum(xg_np, axis=1)
+    effg = np.stack(
+        [0.4 * np.cos(phig).sum(1), 0.4 * np.sin(phig).sum(1)], 1
+    )
+    err_g = np.abs(effg - tgt[:general_B]).max(1)
+    print(
+        json.dumps(
+            {
+                "metric": "blocked_ik48_solves_per_s_per_chip",
+                "value": round(B / per_batch, 1),
+                "unit": "solves/s",
+                "batch": B,
+                "joints": n,
+                "iters": [iters, qp, ls],
+                "per_batch_ms": round(per_batch * 1e3, 3),
+                "conv_1e3": float(np.mean(err_k < 1e-3)),
+                "err_p50": float(np.median(err_k)),
+                "general_solves_per_s": round(general_B / per_batch_gen, 1),
+                "general_conv_1e3": float(np.mean(err_g < 1e-3)),
+                "speedup_vs_general": round(
+                    (B / per_batch) / (general_B / per_batch_gen), 1
+                ),
+                "dtype": "float32",
+            }
+        ),
+        flush=True,
+    )
+
+
+def blocked_pose16_bench(N=16, B=8192, iters=5, ls=2, general_B=512):
+    """A NEVER-hand-fused dim-48 family through the generic blocked tier:
+    16-pose SE(2) graphs with a chain + one OFF-ring closure (4, 12),
+    compiled by family_from_problem (no handwritten kernel exists for this
+    topology in the register or pose-ring tiers at this dim) and dispatched
+    to ops/pallas_blocked.py.  General path on the same instances/budget."""
+    from mini_opt_tpu.models.pose_graph import (
+        make_pose_graph_problem,
+        scalar_pose_graph_builder,
+    )
+    from mini_opt_tpu.nonlinear import NLSParams, nls_solve
+    from mini_opt_tpu.ops.fused_auto import family_from_problem
+    from mini_opt_tpu.ops.pallas_ik import fused_solve_batch
+    from mini_opt_tpu.structs import BarrierStrategy, LineSearchStrategy
+
+    edges = tuple((t, t + 1) for t in range(N - 1)) + ((4, 12),)
+    E = len(edges)
+    builder = scalar_pose_graph_builder(N, edges)
+    fam = family_from_problem(builder, data_rows=3 * E)
+
+    rng = np.random.default_rng(0)
+    th_gt = np.cumsum(rng.uniform(-0.5, 0.5, (B, N)), axis=1)
+    xy_gt = np.cumsum(
+        np.stack([np.cos(th_gt), np.sin(th_gt)], -1) * 0.5, axis=1
+    )
+    poses = np.concatenate([xy_gt, th_gt[..., None]], -1)
+
+    def edge_meas(pi, pj):
+        c, s = np.cos(pi[..., 2]), np.sin(pi[..., 2])
+        dx = pj[..., 0] - pi[..., 0]
+        dy = pj[..., 1] - pi[..., 1]
+        return np.stack(
+            [c * dx + s * dy, -s * dx + c * dy, pj[..., 2] - pi[..., 2]], -1
+        )
+
+    meas = np.stack(
+        [edge_meas(poses[:, i], poses[:, j]) for (i, j) in edges], 1
+    )
+    meas += rng.normal(scale=0.02, size=meas.shape)
+    data = jnp.asarray(meas.reshape(B, 3 * E).astype(np.float32))
+    x0n = poses + rng.normal(scale=0.08, size=poses.shape)
+    x0n[:, 0] = 0.0
+    x0 = jnp.asarray(x0n.reshape(B, 3 * N).astype(np.float32))
+
+    def solve(x):
+        return fused_solve_batch(
+            fam, data, x, max_iterations=iters, qp_iterations=1,
+            ls_iterations=ls,
+        )
+
+    t0 = time.time()
+    jax.block_until_ready(solve(x0))
+    log(f"blocked pose{N} compile+run {time.time()-t0:.1f}s")
+    per_batch = chained_time(solve, x0, K=65)
+    _, state = fused_solve_batch(
+        fam, data, x0, max_iterations=iters, qp_iterations=1,
+        ls_iterations=ls, return_state=True,
+    )
+    f_fin = np.asarray(state[:, 0])
+
+    params = NLSParams(
+        max_iterations=iters, max_qp_iterations=1,
+        max_line_search_iterations=ls,
+        line_search_strategy=LineSearchStrategy.ARMIJO_BACKTRACK,
+        armijo_search_tau=0.5, record_history=False, early_exit=False,
+        qp_barrier_strategy=BarrierStrategy.PREDICTOR_CORRECTOR,
+    )
+
+    def gen_solve(d_b, x_b):
+        def one(d, x):
+            r = nls_solve(builder(d), params, x)
+            return r.x, r.errors.f
+
+        return jax.vmap(one)(d_b, x_b)
+
+    dg, xg = data[:general_B], x0[:general_B]
+    gen_jit = jax.jit(gen_solve)
+    t0 = time.time()
+    _, fg = jax.block_until_ready(gen_jit(dg, xg))
+    log(f"general pose{N} compile+run {time.time()-t0:.1f}s")
+    per_batch_gen = chained_time(lambda x: gen_jit(dg, x)[0], xg, K=9)
+    fg = np.asarray(fg)
+    print(
+        json.dumps(
+            {
+                "metric": "blocked_pose16_chain_closure_graphs_per_s_per_chip",
+                "value": round(B / per_batch, 1),
+                "unit": "graphs/s",
+                "batch": B,
+                "poses": N,
+                "closure": [4, 12],
+                "iters": [iters, 1, ls],
+                "per_batch_ms": round(per_batch * 1e3, 3),
+                "cost_median": float(np.median(f_fin)),
+                "cost_p99": float(np.quantile(f_fin, 0.99)),
+                "general_graphs_per_s": round(general_B / per_batch_gen, 1),
+                "general_cost_median": float(np.median(fg)),
+                "speedup_vs_general": round(
+                    (B / per_batch) / (general_B / per_batch_gen), 1
+                ),
+                "dtype": "float32",
+            }
+        ),
+        flush=True,
+    )
+
+
+def mpc_quadrotor_bench(B=1024, horizon=12, dt=0.05, periods=64,
+                        budget=(2, 1, 1), cold=(8, 3, 2)):
+    """The generalized blocked MPC kernel's SECOND plant on-chip: planar
+    quadrotor (nx=6, nu=2) servo loop -- cold solve at a verification
+    budget, then the whole receding-horizon loop in one fused launch
+    (fused_mpc_servo_batch).  Stabilization gate: hover recovered."""
+    from mini_opt_tpu.models import mpc as mpc_model
+    from mini_opt_tpu.ops.pallas_mpc import (
+        fused_mpc_servo_batch,
+        fused_mpc_solve_batch,
+        quadrotor_mpc_family,
+    )
+
+    fam = quadrotor_mpc_family(horizon, float(dt))
+    rng = np.random.default_rng(0)
+    x0 = np.zeros((B, 6), np.float32)
+    x0[:, 0] = rng.uniform(-0.4, 0.4, B)
+    x0[:, 1] = rng.uniform(-0.4, 0.4, B)
+    x0[:, 2] = rng.uniform(-0.25, 0.25, B)
+    x0j = jnp.asarray(x0)
+    z0 = jax.vmap(lambda x: mpc_model.family_initial_guess(fam, x))(x0j)
+
+    t0 = time.time()
+    z1 = jax.block_until_ready(
+        fused_mpc_solve_batch(
+            fam, x0j, z0, max_iterations=cold[0], qp_iterations=cold[1],
+            ls_iterations=cold[2],
+        )
+    )
+    log(f"quadrotor cold solve compile+run {time.time()-t0:.1f}s")
+
+    def servo(x, z):
+        xf, zf, stats = fused_mpc_servo_batch(
+            fam, x, z, periods, max_iterations=budget[0],
+            qp_iterations=budget[1], ls_iterations=budget[2],
+        )
+        return xf, zf, stats
+
+    t0 = time.time()
+    xf, zf, stats = jax.block_until_ready(servo(x0j, z1))
+    wall = time.time() - t0
+    log(f"quadrotor servo compile+first-run {wall:.1f}s")
+    # Chained timing over the servo launch (x feeds back).
+    def chained(x, k):
+        def body(carry, _):
+            xc, zc = carry
+            xn, zn, _ = servo(xc, zc)
+            return (xn, zn), ()
+
+        (xl, _), _ = jax.lax.scan(body, (x, z1), None, length=k)
+        return xl
+
+    cj = jax.jit(chained, static_argnames=("k",))
+    for K in (1, 5):
+        t0 = time.time()
+        jax.block_until_ready(cj(x0j, K))
+        if K == 1:
+            t_one = time.time() - t0
+        else:
+            t_k = time.time() - t0
+    per_launch = max(t_k - t_one, 1e-9) / 4
+    xf = np.asarray(xf)
+    stats = np.asarray(stats)
+    hover = (
+        (np.abs(xf[:, :2]) < 0.1).all(axis=1)
+        & (np.abs(xf[:, 2]) < 0.05)
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "mpc_quadrotor_control_solves_per_s_per_chip",
+                "value": round(B * periods / per_launch, 1),
+                "unit": "control solves/s",
+                "batch": B,
+                "horizon": horizon,
+                "nx": 6,
+                "nu": 2,
+                "periods": periods,
+                "budget": list(budget),
+                "per_period_us": round(per_launch / periods * 1e6, 2),
+                "hover_frac": float(hover.mean()),
+                "flags_nonzero": int((stats[:, 2] != 0).sum()),
+                "dtype": "float32",
+            }
+        ),
+        flush=True,
+    )
+
+
+
+def pose_ring_chain_closure_bench(N=16, B=8192, iters=5, ls=2,
+                                  closure=(12, 4), general_B=1024):
+    """The GENERALIZED bordered block-Thomas kernel on a NON-ring topology
+    (round-4 VERDICT item 3): odometry chain + off-ring closure, border =
+    min(closure), two chain segments.  Same O(N) register stages as the
+    canonical ring; general path on the same instances for the speedup."""
+    from mini_opt_tpu.models.pose_graph import make_pose_graph_problem
+    from mini_opt_tpu.nonlinear import NLSParams, nls_solve
+    from mini_opt_tpu.ops.pallas_pose_ring import (
+        pose_ring_family,
+        pose_ring_solve_batch,
+    )
+    from mini_opt_tpu.structs import LineSearchStrategy
+
+    fam = pose_ring_family(N, closure=closure)
+    edges = tuple((t, t + 1) for t in range(N - 1)) + (closure,)
+    rng = np.random.default_rng(0)
+    th_gt = np.cumsum(rng.uniform(-0.5, 0.5, (B, N)), axis=1)
+    xy_gt = np.cumsum(
+        np.stack([np.cos(th_gt), np.sin(th_gt)], -1) * 0.5, axis=1
+    )
+    poses = np.concatenate([xy_gt, th_gt[..., None]], -1)
+
+    def edge_meas(pi, pj):
+        c, s_ = np.cos(pi[..., 2]), np.sin(pi[..., 2])
+        dx = pj[..., 0] - pi[..., 0]
+        dy = pj[..., 1] - pi[..., 1]
+        return np.stack(
+            [c * dx + s_ * dy, -s_ * dx + c * dy, pj[..., 2] - pi[..., 2]], -1
+        )
+
+    meas = np.stack(
+        [edge_meas(poses[:, i], poses[:, j]) for (i, j) in edges], 1
+    )
+    meas += rng.normal(scale=0.02, size=meas.shape)
+    data = jnp.asarray(meas.reshape(B, 3 * N).astype(np.float32))
+    x0n = poses + rng.normal(scale=0.08, size=poses.shape)
+    x0n[:, 0] = 0.0
+    x0 = jnp.asarray(x0n.reshape(B, 3 * N).astype(np.float32))
+
+    def solve(x):
+        return pose_ring_solve_batch(
+            fam, data, x, max_iterations=iters, ls_iterations=ls
+        )
+
+    t0 = time.time()
+    jax.block_until_ready(solve(x0))
+    log(f"pose_ring chain+closure N={N} compile+run {time.time()-t0:.1f}s")
+    per_batch = chained_time(solve, x0, K=513)
+    _, state = pose_ring_solve_batch(
+        fam, data, x0, max_iterations=iters, ls_iterations=ls,
+        return_state=True,
+    )
+    f_fin = np.asarray(state[:, 0])
+    flags = np.asarray(state[:, 2])
+
+    params = NLSParams(
+        max_iterations=iters, max_qp_iterations=1,
+        max_line_search_iterations=ls,
+        line_search_strategy=LineSearchStrategy.ARMIJO_BACKTRACK,
+        armijo_search_tau=0.5, record_history=False, early_exit=False,
+    )
+
+    def gen_solve(d_b, x_b):
+        def one(d, x):
+            prob = make_pose_graph_problem(
+                N, edges, d.reshape(N, 3),
+                jnp.ones((N,), jnp.float32), anchor_weight=100.0,
+            )
+            r = nls_solve(prob, params, x)
+            return r.x, r.errors.f
+
+        return jax.vmap(one)(d_b, x_b)
+
+    dg, xg = data[:general_B], x0[:general_B]
+    gen_jit = jax.jit(gen_solve)
+    t0 = time.time()
+    _, fg = jax.block_until_ready(gen_jit(dg, xg))
+    log(f"general chain+closure N={N} compile+run {time.time()-t0:.1f}s")
+    per_batch_gen = chained_time(lambda x: gen_jit(dg, x)[0], xg, K=9)
+    fg = np.asarray(fg)
+    print(
+        json.dumps(
+            {
+                "metric": "pose_ring_chain_closure_graphs_per_s_per_chip",
+                "value": round(B / per_batch, 1),
+                "unit": "graphs/s",
+                "batch": B,
+                "poses": N,
+                "closure": list(closure),
+                "iters": [iters, ls],
+                "per_batch_ms": round(per_batch * 1e3, 3),
+                "cost_median": float(np.median(f_fin)),
+                "cost_p99": float(np.quantile(f_fin, 0.99)),
+                "flags_nonzero": int((flags != 0).sum()),
+                "general_graphs_per_s": round(general_B / per_batch_gen, 1),
+                "general_cost_median": float(np.median(fg)),
+                "speedup_vs_general": round(
+                    (B / per_batch) / (general_B / per_batch_gen), 1
+                ),
+                "dtype": "float32",
+            }
+        ),
+        flush=True,
+    )
+
+
 def long_chain_bench(L=512, B=1024):
     """Long-axis scaling (SURVEY.md §5): batched forward passes over an
     L-link chain, lax.scan (O(L) depth) vs lax.associative_scan (O(log L)
@@ -1198,6 +1614,8 @@ if __name__ == "__main__":
         "fused_pose_graph_8": lambda: fused_pose_graph_bench(n_poses=8),
         # Blocked (block-Thomas) ring kernel beyond the register class.
         "pose_ring_16": pose_ring_bench,
+        # Non-ring closure through the generalized bordered block-Thomas.
+        "pose_ring_chain_closure": pose_ring_chain_closure_bench,
         "pose_ring_32": lambda: pose_ring_bench(n_poses=32, general_B=512),
         "pose_ring_8": lambda: pose_ring_bench(n_poses=8),
         "mpc": mpc_bench,
@@ -1205,6 +1623,11 @@ if __name__ == "__main__":
         # The blocked fused tier (ops/pallas_mpc.py): whole fleet per kernel
         # launch. Fleet sizes bracket the padding (1024 = one register tile).
         "mpc_fused": mpc_fused_bench,
+        # Round-5: the GENERIC blocked tier (ops/pallas_blocked.py) and the
+        # generalized MPC kernel's second plant.
+        "blocked_ik48": blocked_ik_bench,
+        "blocked_pose16": blocked_pose16_bench,
+        "mpc_quadrotor": mpc_quadrotor_bench,
         "mpc_fused_8192": lambda: mpc_fused_bench(B=8192),
         "mpc_fused_111": lambda: mpc_fused_bench(budget=(1, 1, 1)),
         # Whole servo loop in one launch (solve+step+shift x K periods).

@@ -191,11 +191,107 @@ def tune_pose_graph(B: int, n_poses: int = 4):
     _emit(f"pose_graph_n{N}", res, time.time() - t0)
 
 
+def tune_mpc(B: int = 1024, horizon: int = 20, periods: int = 40):
+    """Blocked MPC kernel (round-4 VERDICT item 7): tune the WARM per-period
+    servo budget under the bench's stabilization gate (|theta_final| <= 0.05
+    for every plant after ``periods`` periods from a cold-solved start) --
+    the gate is absolute (what the fleet serves), not anchor-relative."""
+    from mini_opt_tpu.models import mpc as mpc_model
+    from mini_opt_tpu.ops.pallas_mpc import (
+        cartpole_mpc_family,
+        fused_mpc_servo_batch,
+        fused_mpc_solve_batch,
+    )
+
+    fam = cartpole_mpc_family(horizon, 0.05)
+    rng = np.random.default_rng(0)
+    x0 = np.zeros((B, 4), np.float32)
+    x0[:, 0] = rng.uniform(-0.5, 0.5, B)
+    x0[:, 2] = rng.uniform(-0.35, 0.35, B)
+    x0j = jnp.asarray(x0)
+    z0 = jax.vmap(
+        lambda x: mpc_model.initial_guess(mpc_model.CartPole(), x, horizon, 0.05)
+    )(x0j)
+    z1 = jax.block_until_ready(
+        fused_mpc_solve_batch(
+            fam, x0j, z0, max_iterations=8, qp_iterations=3, ls_iterations=2
+        )
+    )
+
+    def solve(outer, qp, ls):
+        xf, _, _ = fused_mpc_servo_batch(
+            fam, x0j, z1, periods, max_iterations=outer, qp_iterations=qp,
+            ls_iterations=ls,
+        )
+        return np.asarray(jax.block_until_ready(xf))[:, 2]  # theta_final
+
+    t0 = time.time()
+    res = tune_serving_budget(
+        solve,
+        parity_gate(0.05, frac=1.0, metric=lambda sol, ref: np.abs(sol)),
+        max_budget=(4, 3, 2),
+        min_budget=(1, 1, 0),
+        verbose=True,
+    )
+    _emit(f"mpc_servo_T{horizon}", res, time.time() - t0)
+
+
+def tune_pose_ring(B: int = 8192, n_poses: int = 16):
+    """Blocked pose-ring kernel: (outer, ls) lattice (no inner-QP axis --
+    the kernel is plain damped GN), gated on the bench's absolute noise-floor
+    cost for every graph."""
+    from mini_opt_tpu.ops.pallas_pose_ring import (
+        pose_ring_family,
+        pose_ring_solve_batch,
+    )
+
+    N = n_poses
+    fam = pose_ring_family(N)
+    turn = 2 * np.pi / N
+    meas = np.tile([1.0, 0.0, turn], (N, 1))
+    th = np.arange(N) * turn
+    pts = np.zeros((N, 2))
+    for i in range(1, N):
+        pts[i] = pts[i - 1] + [np.cos(th[i - 1]), np.sin(th[i - 1])]
+    truth = np.column_stack([pts, np.where(th > np.pi, th - 2 * np.pi, th)])
+    rng = np.random.default_rng(0)
+    data = jnp.asarray(
+        (meas.ravel() + rng.normal(0, 0.02, (B, 3 * N))).astype(np.float32)
+    )
+    x0 = jnp.asarray(
+        (truth.ravel() + rng.normal(0, 0.15, (B, 3 * N))).astype(np.float32)
+    )
+
+    def solve(outer, qp, ls):
+        del qp  # no inner-QP axis in the GN ring kernel
+        _, state = pose_ring_solve_batch(
+            fam, data, x0, max_iterations=outer, ls_iterations=ls,
+            return_state=True,
+        )
+        return np.asarray(jax.block_until_ready(state))[:, 0]
+
+    t0 = time.time()
+    res = tune_serving_budget(
+        solve,
+        parity_gate(
+            2e-3 * N, frac=1.0, metric=lambda sol, ref: np.asarray(sol)
+        ),
+        max_budget=(10, 1, 2),
+        min_budget=(1, 1, 0),
+        verbose=True,
+    )
+    _emit(f"pose_ring_n{N}", res, time.time() - t0)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8192)
     ap.add_argument(
-        "--only", default=None, choices=[None, "planar", "spatial", "pose_graph"]
+        "--only",
+        default=None,
+        choices=[
+            None, "planar", "spatial", "pose_graph", "mpc", "pose_ring",
+        ],
     )
     args = ap.parse_args()
 
@@ -206,6 +302,10 @@ def main():
         tune_spatial(args.batch)
     if args.only in (None, "pose_graph"):
         tune_pose_graph(args.batch)
+    if args.only in (None, "mpc"):
+        tune_mpc()
+    if args.only in (None, "pose_ring"):
+        tune_pose_ring(args.batch)
 
 
 if __name__ == "__main__":

@@ -10,6 +10,8 @@ qp_test.cc:99-138 oracle-everything.
 
 import dataclasses
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -60,6 +62,7 @@ def test_blocked_kkt_solve_matches_ldlt():
             assert np.max(np.abs(x[i] - ref)) / scale < 1e-10, (n, m, i)
 
 
+@pytest.mark.slow
 def test_blocked_matches_register_kernel():
     """Same family, both tiers, matched budgets: converged lanes agree and
     the convergence fractions match (chaotic unconverged lanes may wrap
@@ -116,6 +119,7 @@ def _matched_params(iters, qp, ls):
     )
 
 
+@pytest.mark.slow
 def test_blocked_dim49_ik_matches_general_solver():
     """A 48-joint planar chain (D = 49 condensed system) -- far past the
     register tier's cap, never hand-fused -- must land on nls_solve's states
@@ -247,6 +251,7 @@ def test_blocked_flags_singular_factorization():
     assert np.isfinite(x[1:]).all()
 
 
+@pytest.mark.slow
 def test_blocked_pose_graph_16_chain_closure_matches_general():
     """A NEVER-hand-fused medium-N family: 16-pose SE(2) graph with a chain
     + one NON-ring loop closure (4, 12) -- dim 48, no handwritten kernel,

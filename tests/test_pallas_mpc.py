@@ -232,3 +232,61 @@ def test_nonfinite_lane_contained_and_flagged():
         (status[ok] != NLSTerminationState.MAX_LAMBDA)
         & (status[ok] != NLSTerminationState.QP_INDEFINITE)
     ).all(), status
+
+
+def test_serving_budget_regression_gate():
+    """Standing distribution gate for the blocked MPC tier (round-4 VERDICT
+    item 7; nonlinear_test.cc:350-373 SummarizeCounts semantics): on a FIXED
+    seeded plant distribution at the warm serving budget (2, 2, 1), the
+    per-lane terminal stats must stay inside the recorded band -- a solver
+    or distribution drift trips this before it reaches the chip."""
+    x0s, z0s = _instances(32, key=6)
+    z, state = fused_mpc_solve_batch(
+        FAM, x0s, z0s, max_iterations=2, qp_iterations=2, ls_iterations=1,
+        return_state=True, backend="xla",
+    )
+    st = np.asarray(state)
+    # Recorded band (f64, T=3, budget 2/2/1, key 6, B=32): measured defect
+    # max 2.6e-6 / median well below 1e-7 at the lean budget from cold
+    # constant-state starts; zero failure flags; bounded cost.
+    assert (st[:, 1] < 1e-5).all(), st[:, 1].max()
+    assert np.median(st[:, 1]) < 1e-6, np.median(st[:, 1])
+    assert (st[:, 2] == 0.0).all()
+    assert np.median(st[:, 0]) < 4.0 and st[:, 0].max() < 20.0, (
+        np.median(st[:, 0]), st[:, 0].max(),
+    )
+
+
+@pytest.mark.slow
+def test_full_solve_matches_general_path_T8():
+    """Step-level parity at a MID/PRODUCTION horizon (round-4 VERDICT item
+    6): the fori-loop kernel form keeps program size budget-independent, so
+    T = 8 (dim 40, 32 defect rows) is compilable on XLA-CPU -- whole
+    fixed-trip solves against nls_solve at a matched budget.  ~10 min of
+    compile; the chip serves T = 20 with the same T-generic stage code."""
+    T8 = 8
+    fam8 = cartpole_mpc_family(T8, DT)
+    x0s = jax.random.uniform(
+        jax.random.PRNGKey(0), (4, 4), minval=-0.3, maxval=0.3
+    ).astype(jnp.float64)
+    z0s = jax.vmap(lambda x: mpc.initial_guess(CP, x, T8, DT))(x0s)
+    it, qp, ls = 2, 2, 1
+    z_f = fused_mpc_solve_batch(
+        fam8, x0s, z0s, max_iterations=it, qp_iterations=qp,
+        ls_iterations=ls, backend="xla",
+    )
+    params = dataclasses.replace(
+        mpc.default_mpc_params(jnp.float64, early_exit=False, horizon=T8),
+        max_iterations=it,
+        max_qp_iterations=qp,
+        max_line_search_iterations=ls,
+        qp_barrier_strategy=BarrierStrategy.PREDICTOR_CORRECTOR,
+    )
+
+    def gen(x0, z0):
+        return mpc.nls_solve(
+            mpc.make_cartpole_mpc_problem(CP, x0, T8, DT), params, z0
+        ).x
+
+    xg = jax.jit(jax.vmap(gen))(x0s, z0s)
+    np.testing.assert_allclose(np.asarray(z_f), np.asarray(xg), atol=1e-9)

@@ -12,6 +12,7 @@ T=20; scripts/bench_extras.py --only mpc_quadrotor measures it).
 import dataclasses
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -55,6 +56,7 @@ def _general_params(it, qp, ls):
     )
 
 
+@pytest.mark.slow
 def test_quadrotor_qp_step_matches_general_interior_point():
     """One outer iteration at ls=0: the nu=2 register-Riccati Mehrotra inner
     QP (dense F blocks through the unrolled LDL^T) == qp_ip_solve on the
@@ -88,6 +90,7 @@ def test_quadrotor_qp_step_matches_general_interior_point():
         )
 
 
+@pytest.mark.slow
 def test_quadrotor_full_solve_matches_general_path():
     """Whole fixed-trip solves against nls_solve on the generic
     transcription at matched budgets."""
@@ -183,6 +186,7 @@ def test_quadrotor_servo_matches_manual_rollout():
     np.testing.assert_allclose(np.asarray(zf), np.asarray(z), atol=1e-12)
 
 
+@pytest.mark.slow
 def test_quadrotor_stabilizes_hover():
     """End-to-end control sanity: from position/attitude/spin perturbations
     the receding-horizon loop recovers hover.  The T = 3 / dt = 0.05 oracle

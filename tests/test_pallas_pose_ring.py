@@ -309,3 +309,20 @@ def test_mid_chain_closure_border_cases():
             np.asarray(x1), np.asarray(xd), atol=1e-11,
             err_msg=f"closure={closure}",
         )
+
+
+def test_serving_budget_regression_gate():
+    """Standing distribution gate for the blocked pose-ring tier (round-4
+    VERDICT item 7): fixed seeded ring distribution at the serving budget
+    (6, 2) -- terminal cost stats and flags must stay in the recorded band."""
+    data, x0 = _instances(64, seed=21)
+    _, st = pose_ring_solve_batch(
+        FAM, data, x0, max_iterations=6, ls_iterations=2,
+        return_state=True, backend="xla",
+    )
+    st = np.asarray(st)
+    noise_gate = 2e-3 * N
+    # Recorded band (f64, N=8, budget 6/2, seed 21, B=64).
+    assert (st[:, 0] < noise_gate).all(), st[:, 0].max()
+    assert np.median(st[:, 0]) < 1e-3, np.median(st[:, 0])
+    assert (st[:, 2] == 0.0).all()
