@@ -1,19 +1,28 @@
-"""Fused whole-solver Pallas kernel for the MPC family (blocked tier).
+"""Fused whole-solver Pallas kernel for MPC families (blocked tier).
 
 The register-class fused kernels (ops/pallas_ik.py) stop at small N: their
 inner QP factors the dense condensed system with an O(N^3) fully-unrolled
-scalar LDL^T, which at the MPC family's dim 5T (= 100 at horizon 20, plus
-T*NX equality rows) would unroll to ~10^6 register ops.  This module is the
-BLOCKED kernel tier that closes that gap (round-3 VERDICT item 1): it fuses
-the ENTIRE cart-pole MPC period -- stagewise RK4-defect linearization,
-Gauss-Newton assembly, the Mehrotra interior-point inner loop on the
-actuation bounds, and the L1-merit Armijo line search -- into one Pallas
-kernel, but replaces the dense register LDL^T with a **register Riccati
-recursion**: T stages of (NX+NU)-sized block algebra (the exact math of
-ops/riccati.py, which is itself pinned dense-vs-structured to 1e-8 by
-tests/test_riccati.py).  Per interior-point iteration that is O(T * NX^3)
-multiply-adds instead of O((T*(NX+NU+NX))^3) -- the structure of the problem
-IS the blocking.
+scalar LDL^T, which at an MPC family's dim T*(nu+nx) (= 100 at horizon 20,
+plus T*nx equality rows) would unroll to ~10^6 register ops.  This module
+is the structure-exploiting BLOCKED kernel tier that closes that gap
+(round-3 VERDICT item 1): it fuses the ENTIRE MPC period -- stagewise
+RK4-defect linearization, Gauss-Newton assembly, the Mehrotra
+interior-point inner loop on the actuation bounds, and the L1-merit Armijo
+line search -- into one Pallas kernel, but replaces the dense register
+LDL^T with a **register Riccati recursion**: T stages of (nx+nu)-sized
+block algebra (the exact math of ops/riccati.py, which is itself pinned
+dense-vs-structured to 1e-8 by tests/test_riccati.py).  Per interior-point
+iteration that is O(T * nx^3) multiply-adds instead of
+O((T*(nx+nu+nx))^3) -- the structure of the problem IS the blocking.
+
+Round-5 generalization (round-4 VERDICT item 4): the plant is a PLUG-IN.
+``MPCFamily`` carries (nx, nu, xdot, bounds); dynamics are a register-style
+``f(x, u)`` whose stage Jacobians come from ``jax.linearize``, and the
+Riccati recursion factors dense nu x nu F blocks -- so any direct-
+transcription optimal-control family (the reference's generic problem
+statement, nonlinear.hpp:11-32) rides the same kernel.  Built-ins:
+``cartpole_mpc_family`` (the original, nu = 1) and ``quadrotor_mpc_family``
+(planar quadrotor, nx = 6, nu = 2, asymmetric thrust bounds).
 
 Layout is the standard fused-kernel register convention (see
 ops/pallas_ik.py): each scalar of the per-instance state is one sublane-packed
