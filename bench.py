@@ -436,11 +436,20 @@ def main():
         parity = fetch.get(args.parity_timeout)
         log(f"parity fetch: {time.perf_counter()-t0:.1f}s -> {parity}")
 
+    # Headline variance annotation (round-4 VERDICT weak #5: a real
+    # regression must be distinguishable from tunnel timing noise). The
+    # spread of the per-repeat chained differences bounds the run-to-run
+    # noise of THIS record; BENCH_r03 -> r04 moved 4.7% on identical code,
+    # within the spread typically reported here.
+    t_arr = np.asarray(times, float)
+    spread = float((t_arr.max() - t_arr.min()) / max(np.median(t_arr), 1e-12))
     record = {
         "metric": "batched_ik_solves_per_s_per_chip",
         "value": round(solves_per_s, 1),
         "unit": "solves/s",
         "vs_baseline": round(solves_per_s / NORTH_STAR, 3),
+        "timing_spread_frac": round(spread, 4),
+        "repeats": len(times),
     }
 
     if args.native_baseline:

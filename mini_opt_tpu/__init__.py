@@ -64,6 +64,11 @@ from .ops.fused_auto import (
     family_from_problem,
     fused_nls_solve_batch,
 )
+from .ops.pallas_blocked import (
+    REGISTER_KKT_MAX,
+    blocked_kkt_solve,
+    blocked_solve_batch,
+)
 from .ops.pallas_ik import (
     FusedFamily,
     fused_ik_solve_batch,
@@ -73,6 +78,13 @@ from .ops.pallas_ik import (
     fused_solve_refined,
     fused_spatial_ik_solve_batch,
     fused_termination_status,
+)
+from .ops.pallas_mpc import (
+    MPCFamily,
+    cartpole_mpc_family,
+    fused_mpc_servo_batch,
+    fused_mpc_solve_batch,
+    quadrotor_mpc_family,
 )
 from .ops.pallas_qp import make_fused_qp_solver
 from .qp import (
