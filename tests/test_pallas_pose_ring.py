@@ -326,3 +326,123 @@ def test_serving_budget_regression_gate():
     assert (st[:, 0] < noise_gate).all(), st[:, 0].max()
     assert np.median(st[:, 0]) < 1e-3, np.median(st[:, 0])
     assert (st[:, 2] == 0.0).all()
+
+
+def test_multi_closure_matches_general_path():
+    """MULTI-closure graphs (round-4 VERDICT item 3, final part): ring
+    closure PLUS an inner chord -- border set {0, 3, 8, 11}, three chain
+    segments, dense 12x12 Schur on the borders.  One GN step pinned
+    machine-exact against the dense normal-equation solve; full solves
+    against nls_solve."""
+    Nc = 12
+    closures = ((11, 0), (3, 8))
+    famc = pose_ring_family(Nc, closures=closures)
+    assert famc.n_edges == Nc - 1 + 2
+
+    rng = np.random.default_rng(5)
+    B = 8
+    th = np.cumsum(rng.uniform(-0.5, 0.5, (B, Nc)), axis=1)
+    xy = np.cumsum(np.stack([np.cos(th), np.sin(th)], -1) * 0.8, axis=1)
+    poses = np.concatenate([xy, th[..., None]], -1)
+    edges = tuple((t, t + 1) for t in range(Nc - 1)) + closures
+
+    def edge_meas(pi, pj):
+        c, s = np.cos(pi[..., 2]), np.sin(pi[..., 2])
+        dx = pj[..., 0] - pi[..., 0]
+        dy = pj[..., 1] - pi[..., 1]
+        return np.stack(
+            [c * dx + s * dy, -s * dx + c * dy, pj[..., 2] - pi[..., 2]], -1
+        )
+
+    meas = np.stack([edge_meas(poses[:, i], poses[:, j]) for (i, j) in edges], 1)
+    meas += rng.normal(scale=0.02, size=meas.shape)
+    data = jnp.asarray(meas.reshape(B, 3 * len(edges)))
+    x0n = poses + rng.normal(scale=0.1, size=poses.shape)
+    x0n[:, 0] = 0.0
+    x0 = jnp.asarray(x0n.reshape(B, 3 * Nc))
+
+    x1 = pose_ring_solve_batch(
+        famc, data, x0, max_iterations=1, ls_iterations=0, backend="xla"
+    )
+
+    def dense_step(d, x):
+        prob = make_pose_graph_problem(
+            Nc, edges, d.reshape(len(edges), 3), jnp.ones((len(edges),)),
+            anchor_weight=100.0,
+        )
+        qp, _ = linearize_and_fill_qp(prob, x, 0.0)
+        return x + jnp.linalg.solve(qp.G, -qp.c)
+
+    xd = jax.jit(jax.vmap(dense_step))(data, x0)
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(xd), atol=1e-11)
+
+    # Full fixed-trip solves == nls_solve at matched budgets.
+    def gen_solve(params):
+        def gen(d, x):
+            prob = make_pose_graph_problem(
+                Nc, edges, d.reshape(len(edges), 3),
+                jnp.ones((len(edges),)), anchor_weight=100.0,
+            )
+            r = nls_solve(prob, params, x)
+            return r.x, r.errors.f
+
+        return jax.jit(jax.vmap(gen))
+
+    xk = pose_ring_solve_batch(
+        famc, data, x0, max_iterations=2, ls_iterations=1, backend="xla"
+    )
+    xg, _ = gen_solve(_general_params(2, 1))(data, x0)
+    np.testing.assert_allclose(np.asarray(xk), np.asarray(xg), atol=1e-11)
+
+    _, st = pose_ring_solve_batch(
+        famc, data, x0, max_iterations=6, ls_iterations=2,
+        return_state=True, backend="xla",
+    )
+    _, fg = gen_solve(_general_params(6, 2))(data, x0)
+    np.testing.assert_allclose(
+        np.asarray(st[:, 0]), np.asarray(fg), rtol=1e-3, atol=1e-8
+    )
+    assert (np.asarray(st[:, 2]) == 0.0).all()
+
+
+def test_three_closures_gn_step_matches_dense():
+    """Three closures / five borders, including a shared-endpoint pair:
+    the Schur assembly accumulates overlapping couplings correctly."""
+    Nc = 14
+    closures = ((13, 0), (4, 10), (0, 6))
+    famc = pose_ring_family(Nc, closures=closures)
+    rng = np.random.default_rng(9)
+    B = 4
+    th = np.cumsum(rng.uniform(-0.4, 0.4, (B, Nc)), axis=1)
+    xy = np.cumsum(np.stack([np.cos(th), np.sin(th)], -1) * 0.7, axis=1)
+    poses = np.concatenate([xy, th[..., None]], -1)
+    edges = tuple((t, t + 1) for t in range(Nc - 1)) + closures
+
+    def edge_meas(pi, pj):
+        c, s = np.cos(pi[..., 2]), np.sin(pi[..., 2])
+        dx = pj[..., 0] - pi[..., 0]
+        dy = pj[..., 1] - pi[..., 1]
+        return np.stack(
+            [c * dx + s * dy, -s * dx + c * dy, pj[..., 2] - pi[..., 2]], -1
+        )
+
+    meas = np.stack([edge_meas(poses[:, i], poses[:, j]) for (i, j) in edges], 1)
+    meas += rng.normal(scale=0.02, size=meas.shape)
+    data = jnp.asarray(meas.reshape(B, 3 * len(edges)))
+    x0n = poses + rng.normal(scale=0.08, size=poses.shape)
+    x0 = jnp.asarray(x0n.reshape(B, 3 * Nc))
+
+    x1 = pose_ring_solve_batch(
+        famc, data, x0, max_iterations=1, ls_iterations=0, backend="xla"
+    )
+
+    def dense_step(d, x):
+        prob = make_pose_graph_problem(
+            Nc, edges, d.reshape(len(edges), 3), jnp.ones((len(edges),)),
+            anchor_weight=100.0,
+        )
+        qp, _ = linearize_and_fill_qp(prob, x, 0.0)
+        return x + jnp.linalg.solve(qp.G, -qp.c)
+
+    xd = jax.jit(jax.vmap(dense_step))(data, x0)
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(xd), atol=1e-11)
