@@ -152,22 +152,27 @@ def ring_edges(n_poses: int):
 
 
 def solve_pose_graph_rings(
-    measurements: jax.Array,  # (B, N, 3) edge measurements, edge t = (t, t+1 mod N)
+    measurements: jax.Array,  # (B, E, 3) edge measurements (chain first)
     x0: jax.Array,  # (B, N, 3) initial poses
     anchor_weight: float = 100.0,
     max_iterations: int = 6,
     ls_iterations: int = 2,
     return_state: bool = False,
     backend: str = "pallas",
+    closures=None,  # tuple of (from, to) pairs; None = canonical ring
 ):
-    """Serving tier for BATCHES of N-pose ring graphs (odometry chain + one
-    loop closure, unit edge weights, soft pose-0 anchor): dispatches the
-    blocked block-Thomas Pallas kernel (ops/pallas_pose_ring.py), the
-    medium-N tier that replaces the register class's O((3N)^3) dense LDLT
-    unroll (the fused family caps at N~8; this runs N=16 at 46.8M graphs/s
-    on-chip, 323x the general path). Semantics are exactly
-    ``make_pose_graph_problem(N, ring_edges(N), ...)`` + ``nls_solve`` at
-    the matched fixed-trip budget (pinned by tests/test_pallas_pose_ring.py).
+    """Serving tier for BATCHES of N-pose chain-plus-closure graphs (unit
+    edge weights, soft pose-0 anchor): dispatches the blocked bordered
+    block-Thomas Pallas kernel (ops/pallas_pose_ring.py), the medium-N tier
+    that replaces the register class's O((3N)^3) dense LDLT unroll (the
+    fused family caps at N~8; the canonical N=16 ring runs at 51.2M
+    graphs/s on-chip, 312x the general path). ``closures`` selects the
+    topology: ``None`` is the canonical ring (chain + (N-1, 0)); one or
+    more (from, to) pairs run the generalized border-set elimination.
+    Edge order in ``measurements``: chain edges (t, t+1) for t < N-1, then
+    the closures in declaration order (E = N-1 + len(closures)). Semantics
+    are exactly ``make_pose_graph_problem(N, edges, ...)`` + ``nls_solve``
+    at the matched fixed-trip budget (tests/test_pallas_pose_ring.py).
 
     Returns x (B, N, 3); with ``return_state`` also the per-lane (B, 3)
     (f, 0, flags) channel accepted by ``fused_termination_status``."""
@@ -175,17 +180,30 @@ def solve_pose_graph_rings(
 
     if measurements.ndim != 3 or measurements.shape[-1] != 3:
         raise ValueError(
-            f"measurements must have shape (B, N, 3); got {measurements.shape}"
+            f"measurements must have shape (B, E, 3); got {measurements.shape}"
         )
-    B, N, _ = measurements.shape
-    if x0.shape != (B, N, 3):
+    B, E, _ = measurements.shape
+    if x0.ndim != 3 or x0.shape[0] != B or x0.shape[-1] != 3:
         raise ValueError(
-            f"x0 must have shape {(B, N, 3)} matching measurements; got {x0.shape}"
+            f"x0 must have shape (B, N, 3) with B={B}; got {x0.shape}"
         )
-    fam = pose_ring_family(N, anchor_weight=anchor_weight)
+    N = x0.shape[1]
+    if closures is not None and len(closures) > 1:
+        fam = pose_ring_family(
+            N, anchor_weight=anchor_weight,
+            closures=tuple(tuple(int(v) for v in c) for c in closures),
+        )
+    else:
+        closure = tuple(int(v) for v in closures[0]) if closures else None
+        fam = pose_ring_family(N, anchor_weight=anchor_weight, closure=closure)
+    if E != fam.n_edges:
+        raise ValueError(
+            f"measurements carry {E} edges; topology needs {fam.n_edges} "
+            f"(chain {N - 1} + closures {len(fam.closure_list)})"
+        )
     res = pose_ring_solve_batch(
         fam,
-        measurements.reshape(B, 3 * N),
+        measurements.reshape(B, 3 * E),
         x0.reshape(B, 3 * N),
         max_iterations=max_iterations,
         ls_iterations=ls_iterations,

@@ -1278,7 +1278,8 @@ def mpc_quadrotor_bench(B=1024, horizon=12, dt=0.05, periods=64,
 
 
 def pose_ring_chain_closure_bench(N=16, B=8192, iters=5, ls=2,
-                                  closure=(12, 4), general_B=1024):
+                                  closure=(12, 4), closures=None,
+                                  general_B=1024):
     """The GENERALIZED bordered block-Thomas kernel on a NON-ring topology
     (round-4 VERDICT item 3): odometry chain + off-ring closure, border =
     min(closure), two chain segments.  Same O(N) register stages as the
@@ -1291,8 +1292,12 @@ def pose_ring_chain_closure_bench(N=16, B=8192, iters=5, ls=2,
     )
     from mini_opt_tpu.structs import LineSearchStrategy
 
-    fam = pose_ring_family(N, closure=closure)
-    edges = tuple((t, t + 1) for t in range(N - 1)) + (closure,)
+    if closures is not None:
+        fam = pose_ring_family(N, closures=closures)
+        edges = tuple((t, t + 1) for t in range(N - 1)) + tuple(closures)
+    else:
+        fam = pose_ring_family(N, closure=closure)
+        edges = tuple((t, t + 1) for t in range(N - 1)) + (closure,)
     rng = np.random.default_rng(0)
     th_gt = np.cumsum(rng.uniform(-0.5, 0.5, (B, N)), axis=1)
     xy_gt = np.cumsum(
@@ -1312,7 +1317,8 @@ def pose_ring_chain_closure_bench(N=16, B=8192, iters=5, ls=2,
         [edge_meas(poses[:, i], poses[:, j]) for (i, j) in edges], 1
     )
     meas += rng.normal(scale=0.02, size=meas.shape)
-    data = jnp.asarray(meas.reshape(B, 3 * N).astype(np.float32))
+    E = len(edges)
+    data = jnp.asarray(meas.reshape(B, 3 * E).astype(np.float32))
     x0n = poses + rng.normal(scale=0.08, size=poses.shape)
     x0n[:, 0] = 0.0
     x0 = jnp.asarray(x0n.reshape(B, 3 * N).astype(np.float32))
@@ -1343,8 +1349,8 @@ def pose_ring_chain_closure_bench(N=16, B=8192, iters=5, ls=2,
     def gen_solve(d_b, x_b):
         def one(d, x):
             prob = make_pose_graph_problem(
-                N, edges, d.reshape(N, 3),
-                jnp.ones((N,), jnp.float32), anchor_weight=100.0,
+                N, edges, d.reshape(len(edges), 3),
+                jnp.ones((len(edges),), jnp.float32), anchor_weight=100.0,
             )
             r = nls_solve(prob, params, x)
             return r.x, r.errors.f
@@ -1361,12 +1367,20 @@ def pose_ring_chain_closure_bench(N=16, B=8192, iters=5, ls=2,
     print(
         json.dumps(
             {
-                "metric": "pose_ring_chain_closure_graphs_per_s_per_chip",
+                "metric": (
+                    "pose_ring_multi_closure_graphs_per_s_per_chip"
+                    if closures is not None
+                    else "pose_ring_chain_closure_graphs_per_s_per_chip"
+                ),
                 "value": round(B / per_batch, 1),
                 "unit": "graphs/s",
                 "batch": B,
                 "poses": N,
-                "closure": list(closure),
+                "closure": (
+                    [list(c) for c in closures]
+                    if closures is not None
+                    else list(closure)
+                ),
                 "iters": [iters, ls],
                 "per_batch_ms": round(per_batch * 1e3, 3),
                 "cost_median": float(np.median(f_fin)),
@@ -1632,6 +1646,9 @@ if __name__ == "__main__":
         "pose_ring_16": pose_ring_bench,
         # Non-ring closure through the generalized bordered block-Thomas.
         "pose_ring_chain_closure": pose_ring_chain_closure_bench,
+        "pose_ring_multi_closure": lambda: pose_ring_chain_closure_bench(
+            closures=((15, 0), (4, 11))
+        ),
         "pose_ring_32": lambda: pose_ring_bench(n_poses=32, general_B=512),
         "pose_ring_8": lambda: pose_ring_bench(n_poses=8),
         "mpc": mpc_bench,
@@ -1648,6 +1665,11 @@ if __name__ == "__main__":
         "mpc_fused_111": lambda: mpc_fused_bench(budget=(1, 1, 1)),
         # Whole servo loop in one launch (solve+step+shift x K periods).
         "mpc_servo": mpc_servo_bench,
+        # Tuned budgets (scripts/tune_budgets.py round-5 on-chip rows).
+        "mpc_servo_110": lambda: mpc_servo_bench(budget=(1, 1, 0)),
+        "pose_ring_16_tuned": lambda: pose_ring_bench(
+            n_poses=16, iters=2, ls=0
+        ),
         "mpc_servo_221": lambda: mpc_servo_bench(budget=(2, 2, 1)),
         "mpc_servo_8192": lambda: mpc_servo_bench(B=8192),
         # Budget study (VERDICT round-2 item 1b): warm-started receding

@@ -191,7 +191,7 @@ def tune_pose_graph(B: int, n_poses: int = 4):
     _emit(f"pose_graph_n{N}", res, time.time() - t0)
 
 
-def tune_mpc(B: int = 1024, horizon: int = 20, periods: int = 40):
+def tune_mpc(B: int = 1024, horizon: int = 20, periods: int = 64):
     """Blocked MPC kernel (round-4 VERDICT item 7): tune the WARM per-period
     servo budget under the bench's stabilization gate (|theta_final| <= 0.05
     for every plant after ``periods`` periods from a cold-solved start) --
