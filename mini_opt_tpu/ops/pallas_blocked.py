@@ -598,7 +598,7 @@ def blocked_solve_batch(
     line_search: str = "armijo",
     barrier: str = "mpc",
     return_state: bool = False,
-    lanes: int = 128,
+    lanes: "int | None" = None,
 ) -> jax.Array:
     """Solve B instances of a medium-N family with the blocked fused kernel.
 
@@ -606,8 +606,9 @@ def blocked_solve_batch(
     here automatically past REGISTER_KKT_MAX): returns (B, n); with
     ``return_state`` also the per-lane (B, 3) (f, |eq|_1, flags) channel
     accepted by ``fused_termination_status``.  ``lanes`` instances are
-    solved per grid step (128 keeps a D = 128 system under ~10 MB of VMEM;
-    raise to 256 for small D to halve the grid).
+    solved per grid step; ``None`` picks 256 for D <= 64 (the (D, D, lanes)
+    factor stays ~4 MB and the grid halves) and 128 above (a D = 128
+    system stays under ~10 MB of VMEM).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -617,6 +618,8 @@ def blocked_solve_batch(
     D = n + family.m_eq
     t_rows = family.data_rows
     assert data.shape == (B, t_rows) and x0.shape == (B, n)
+    if lanes is None:
+        lanes = 256 if D <= 64 else 128
     assert lanes % 128 == 0
     kernel = _make_blocked_kernel(
         family, max_iterations, qp_iterations, ls_iterations,
