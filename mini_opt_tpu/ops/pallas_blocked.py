@@ -606,9 +606,10 @@ def blocked_solve_batch(
     here automatically past REGISTER_KKT_MAX): returns (B, n); with
     ``return_state`` also the per-lane (B, 3) (f, |eq|_1, flags) channel
     accepted by ``fused_termination_status``.  ``lanes`` instances are
-    solved per grid step; ``None`` picks 256 for D <= 64 (the (D, D, lanes)
-    factor stays ~4 MB and the grid halves) and 128 above (a D = 128
-    system stays under ~10 MB of VMEM).
+    solved per grid step; ``None`` = 128 (measured FASTER on-chip than 256
+    at D = 49 -- 11.8 vs 13.8 ms/batch-8192 -- despite half the grid
+    steps; wider tiles also double the (D, D, lanes) VMEM footprint, which
+    a D = 128 system cannot afford).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -619,7 +620,7 @@ def blocked_solve_batch(
     t_rows = family.data_rows
     assert data.shape == (B, t_rows) and x0.shape == (B, n)
     if lanes is None:
-        lanes = 256 if D <= 64 else 128
+        lanes = 128
     assert lanes % 128 == 0
     kernel = _make_blocked_kernel(
         family, max_iterations, qp_iterations, ls_iterations,
