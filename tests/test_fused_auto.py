@@ -288,6 +288,7 @@ def test_block_residual_family_register_linearization():
     assert worst < 1e-12
 
 
+@pytest.mark.slow
 def test_block_residual_family_matches_nls_solve():
     """Levels 2+3: the fused kernel compiled from the BlockResidual family
     agrees with step-identical nls_solve and satisfies the constraints."""
@@ -850,6 +851,7 @@ def test_fused_chain_ik_solve_one_call():
     assert len(_CHAIN_BUILDER_CACHE) == n_before  # no rebuild on reuse
 
 
+@pytest.mark.slow
 def test_six_dof_arm_one_call():
     """A realistic 6-DOF industrial-arm layout (z-y-y-z-y-z axes + tool
     offset) through the one-call compiler path: 1024 warm-started instances

@@ -14,6 +14,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mini_opt_tpu import Var, make_residual
 from mini_opt_tpu.models.ik import default_ik_params, mod_pi_retraction
@@ -225,6 +226,7 @@ def _reach_instances(B, seed=0):
     return targets, x0
 
 
+@pytest.mark.slow
 def test_custom_family_two_equality_rows_state_parity():
     """m_eq=2: the fused kernel's per-iteration (f, |eq|) trajectory must
     match nls_solve's recorded history on identical instances (both use the

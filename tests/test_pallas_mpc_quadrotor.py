@@ -145,6 +145,7 @@ def test_quadrotor_pallas_backend_matches_xla():
     np.testing.assert_allclose(np.asarray(z_p), np.asarray(z_x), atol=2e-4)
 
 
+@pytest.mark.slow
 def test_quadrotor_servo_matches_manual_rollout():
     """Servo kernel (solve + plant step + shift per period, one launch) ==
     manual composition, with the nu=2 u_0 applied and the warm start
