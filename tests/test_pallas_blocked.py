@@ -322,3 +322,32 @@ def test_blocked_pose_graph_16_chain_closure_matches_general():
     scale = 1.0 + np.abs(gen).max()
     dev = np.abs(blk - gen).max() / scale
     assert dev < 1e-8, dev
+
+
+def test_serving_wrappers_compose_with_blocked_dispatch():
+    """fused_solve_refined / fused_solve_multi_start reach the blocked tier
+    through the same fused_solve_batch dispatch (the serving wrappers are
+    tier-agnostic)."""
+    from mini_opt_tpu.ops.pallas_ik import (
+        fused_solve_multi_start,
+        fused_solve_refined,
+    )
+
+    rng = np.random.default_rng(4)
+    n, B = 40, 64
+    fam = planar_family(n, 0.4)
+    tgt = jnp.asarray(
+        np.stack([rng.uniform(2.0, 6.0, B), rng.uniform(1.0, 4.0, B)], 1)
+    )
+    x0 = jnp.asarray(rng.uniform(0.05, 0.3, size=(B, n)))
+    kw = dict(max_iterations=2, qp_iterations=1, ls_iterations=1)
+
+    def refine(d64, x64):
+        return x64  # identity refiner: wrapper plumbing only
+
+    xr = fused_solve_refined(fam, tgt, x0, refine, refine_k=8, **kw)
+    assert xr.shape == (B, n) and np.isfinite(np.asarray(xr)).all()
+
+    starts = jnp.stack([x0, x0 * 0.5], axis=1)  # (B, 2, n)
+    xm = fused_solve_multi_start(fam, tgt, starts, **kw)
+    assert xm.shape == (B, n) and np.isfinite(np.asarray(xm)).all()
