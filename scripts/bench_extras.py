@@ -1666,7 +1666,7 @@ if __name__ == "__main__":
         # Whole servo loop in one launch (solve+step+shift x K periods).
         "mpc_servo": mpc_servo_bench,
         # Tuned budgets (scripts/tune_budgets.py round-5 on-chip rows).
-        "mpc_servo_110": lambda: mpc_servo_bench(budget=(1, 1, 0)),
+        "mpc_servo_110": lambda: mpc_servo_bench(budget=(1, 1, 0), n_steps_chain=4097),
         "pose_ring_16_tuned": lambda: pose_ring_bench(
             n_poses=16, iters=2, ls=0
         ),
