@@ -95,6 +95,35 @@ def _probe_structure(problem_builder, data_rows):
     return probe, n, tuple(lower), tuple(upper), m_eq
 
 
+def _static_blocks(res):
+    """The static (global-index-tuple, dim) list of a Residual /
+    static-index BlockResidual, in _iter_blocks emission order."""
+    if isinstance(res, BlockResidual):
+        return [(tuple(res.indices[b]), res.dim) for b in range(res.num_blocks)]
+    return [(tuple(res.index), res.dim)]
+
+
+def _sparsity_patterns(probe, n):
+    """Read the Hessian lower-triangle pattern and per-equality-row variable
+    sets off the probe Problem's static block structure.  Must mirror
+    ``linearize``'s accumulation/emission order exactly: G[ga][gb] cells are
+    touched for every (ga, gb) pair within a cost block (gb <= ga); equality
+    rows are emitted block by block, ``dim`` rows per block, each touching
+    exactly the block's index set."""
+    g = set()
+    for cost in probe.costs:
+        for idx, _dim in _static_blocks(cost):
+            for ga in idx:
+                for gb in idx:
+                    if gb <= ga:
+                        g.add((ga, gb))
+    eq_rows = []
+    for con in probe.equality_constraints:
+        for idx, dim in _static_blocks(con):
+            eq_rows.extend([frozenset(idx)] * dim)
+    return frozenset(g), tuple(eq_rows)
+
+
 def _basis_tangents(p, one, zero):
     """P one-hot (P, 8, 128) tangents, built by stacking (no scatter)."""
     return [
@@ -125,7 +154,8 @@ def family_from_problem(
     Returns a family for :func:`fused_solve_batch`; construct ONCE at module
     level (each instance is a distinct kernel specialization).
     """
-    _, n, lower, upper, m_eq = _probe_structure(problem_builder, data_rows)
+    probe, n, lower, upper, m_eq = _probe_structure(problem_builder, data_rows)
+    g_pattern, eq_patterns = _sparsity_patterns(probe, n)
 
     def _eval_one(fn, dim, idx, x_regs, with_jac):
         """Evaluate one residual block ``fn(xl) -> (dim,)`` on registers.
@@ -231,6 +261,8 @@ def family_from_problem(
         lower=lower,
         upper=upper,
         retract=retract,
+        g_pattern=g_pattern,
+        eq_patterns=eq_patterns,
     )
 
 

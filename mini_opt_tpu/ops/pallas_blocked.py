@@ -72,6 +72,27 @@ def _rows(st):
     return [st[i : i + 1] for i in range(st.shape[0])]
 
 
+def _coalesced_row(present_cols, reg_fn, n, zero):
+    """One (n, L) stacked row with structural-zero RUNS coalesced into single
+    broadcast segments: O(nnz_row) trace elements instead of O(n).  The
+    register values are identical to the dense ``_cat`` form (skipped cells
+    are exact zeros), so the downstream program is bit-identical -- pinned by
+    tests/test_pallas_blocked.py::test_sparse_assembly_matches_dense."""
+    parts = []
+    run = 0
+    for j in range(n):
+        if j in present_cols:
+            if run:
+                parts.append(jnp.broadcast_to(zero, (run, zero.shape[-1])))
+                run = 0
+            parts.append(reg_fn(j))
+        else:
+            run += 1
+    if run:
+        parts.append(jnp.broadcast_to(zero, (run, zero.shape[-1])))
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+
+
 def _make_blocked_kernel(
     family: FusedFamily,
     max_iterations,
@@ -92,6 +113,16 @@ def _make_blocked_kernel(
     ncon = n_lo + n_hi
     lo_idx = [i for i, _ in lo_list]
     hi_idx = [i for i, _ in hi_list]
+    # Static sparsity hints (family_from_problem fills them): per-row column
+    # sets for the symmetric G stack and per-equality-row variable sets.
+    # None = dense assembly (handwritten families without hints).
+    g_cols = None
+    if family.g_pattern is not None:
+        g_cols = [set() for _ in range(n)]
+        for a, b in family.g_pattern:
+            g_cols[a].add(b)
+            g_cols[b].add(a)
+    eq_pats = family.eq_patterns
 
     def gather(v_st, idx):
         """(n, L) -> (len(idx), L) rows at the static index list."""
@@ -412,15 +443,46 @@ def _make_blocked_kernel(
             assert len(r_eq) == m and len(Jeq_n) == m
             c = _cat(c_l)
             beq = _cat(r_eq) if m else None
-            Jeq = jnp.stack([_cat(row) for row in Jeq_n]) if m else None
+            if not m:
+                Jeq = None
+            elif eq_pats is not None:
+                Jeq = jnp.stack(
+                    [
+                        _coalesced_row(
+                            eq_pats[r],
+                            lambda j, _row=Jeq_n[r]: _row[j],
+                            n,
+                            zero,
+                        )
+                        for r in range(m)
+                    ]
+                )
+            else:
+                Jeq = jnp.stack([_cat(row) for row in Jeq_n])
             # Full symmetric G from the lower-triangle register lists (each
             # register referenced twice; no transpose op -- Mosaic-friendly).
-            G_sym = jnp.stack(
-                [
-                    _cat([G0[max(i, j)][min(i, j)] for j in range(n)])
-                    for i in range(n)
-                ]
-            )
+            # With a sparsity hint, structural-zero runs coalesce to single
+            # broadcasts: O(nnz) trace elements per outer iteration instead
+            # of O(n^2) -- the blocked tier's program-size ceiling item.
+            if g_cols is not None:
+                G_sym = jnp.stack(
+                    [
+                        _coalesced_row(
+                            g_cols[i],
+                            lambda j, _i=i: G0[max(_i, j)][min(_i, j)],
+                            n,
+                            zero,
+                        )
+                        for i in range(n)
+                    ]
+                )
+            else:
+                G_sym = jnp.stack(
+                    [
+                        _cat([G0[max(i, j)][min(i, j)] for j in range(n)])
+                        for i in range(n)
+                    ]
+                )
             eq_pre = (
                 jnp.sum(jnp.abs(beq), axis=0, keepdims=True) if m else zero
             )

@@ -166,9 +166,24 @@ class FusedFamily:
     lower: Tuple[Optional[float], ...]
     upper: Tuple[Optional[float], ...]
     retract: Optional[Callable] = None
+    # Optional static sparsity hints, used ONLY by the blocked tier
+    # (ops/pallas_blocked.py) to coalesce structural-zero runs when stacking
+    # the register lists into VMEM tensors -- trace size O(nnz) instead of
+    # O(n^2) per outer iteration (the round-5 program-size ceiling).  Values
+    # are bit-identical with or without them (the skipped cells are exact
+    # zeros).  ``g_pattern``: frozenset of lower-triangle (i, j), i >= j,
+    # pairs that MAY be nonzero in the cost Hessian G (None = treat dense).
+    # ``eq_patterns``: per equality row, the frozenset of variable indices
+    # its Jacobian row touches (None = treat dense).  family_from_problem
+    # fills both from the Problem's static block structure
+    # (residual.hpp:204-224's index lists, read at build time).
+    g_pattern: "Optional[frozenset]" = None
+    eq_patterns: "Optional[Tuple[frozenset, ...]]" = None
 
     def __post_init__(self):
         assert len(self.lower) == self.n and len(self.upper) == self.n
+        if self.eq_patterns is not None:
+            assert len(self.eq_patterns) == self.m_eq
 
 
 @functools.lru_cache(maxsize=None)

@@ -324,6 +324,188 @@ def test_blocked_pose_graph_16_chain_closure_matches_general():
     assert dev < 1e-8, dev
 
 
+def _pose_graph_instances(N, edges, B, seed, noise=0.1):
+    """Noisy odometry batch for a pose-graph family (same synthesis as the
+    16-pose oracle above): returns (data (B, 3E), x0 (B, 3N))."""
+    rng = np.random.default_rng(seed)
+    th_gt = np.cumsum(rng.uniform(-0.5, 0.5, (B, N)), axis=1)
+    xy_gt = np.cumsum(
+        np.stack([np.cos(th_gt), np.sin(th_gt)], -1) * 0.5, axis=1
+    )
+    poses = np.concatenate([xy_gt, th_gt[..., None]], -1)
+
+    def edge_meas(pi, pj):
+        c, s = np.cos(pi[..., 2]), np.sin(pi[..., 2])
+        dx = pj[..., 0] - pi[..., 0]
+        dy = pj[..., 1] - pi[..., 1]
+        return np.stack(
+            [c * dx + s * dy, -s * dx + c * dy, pj[..., 2] - pi[..., 2]], -1
+        )
+
+    meas = np.stack(
+        [edge_meas(poses[:, i], poses[:, j]) for (i, j) in edges], 1
+    )
+    meas += rng.normal(scale=0.03, size=meas.shape)
+    x0 = poses + rng.normal(scale=noise, size=poses.shape)
+    x0[:, 0] = 0.0
+    return meas.reshape(B, -1), x0.reshape(B, -1)
+
+
+def test_sparse_assembly_matches_dense_bitexact():
+    """The sparsity-hinted stacking (g_pattern / eq_patterns, the round-5
+    program-size item) must be algorithmically INVISIBLE: the skipped cells
+    are exact structural zeros, so the kernel with hints is bit-identical to
+    the same kernel with the hints stripped (dense assembly)."""
+    from mini_opt_tpu.models.pose_graph import scalar_pose_graph_builder
+    from mini_opt_tpu.ops.fused_auto import family_from_problem
+
+    N = 12
+    edges = tuple((t, t + 1) for t in range(N - 1)) + ((2, 9),)
+    builder = scalar_pose_graph_builder(N, edges)
+    fam = family_from_problem(builder, data_rows=3 * len(edges))
+    assert fam.g_pattern is not None and len(fam.g_pattern) < fam.n * (
+        fam.n + 1
+    ) // 2  # the hint is genuinely sparse for this family
+    dense_fam = dataclasses.replace(fam, g_pattern=None, eq_patterns=None)
+
+    data, x0 = _pose_graph_instances(N, edges, B=16, seed=11)
+    kw = dict(max_iterations=3, qp_iterations=1, ls_iterations=1)
+    sp, sp_state = blocked_solve_batch(
+        fam, jnp.asarray(data), jnp.asarray(x0), return_state=True, **kw
+    )
+    de, de_state = blocked_solve_batch(
+        dense_fam, jnp.asarray(data), jnp.asarray(x0), return_state=True, **kw
+    )
+    assert np.array_equal(np.asarray(sp), np.asarray(de))
+    assert np.array_equal(np.asarray(sp_state), np.asarray(de_state))
+
+
+def test_sparse_assembly_matches_dense_with_equalities():
+    """Same invisibility claim on a family WITH equality rows (the chain-IK
+    compiler output): exercises the eq_patterns branch of the stacking."""
+    from mini_opt_tpu.models.ik import (
+        make_planar_chain,
+        scalar_chain_ik_builder,
+    )
+    from mini_opt_tpu.ops.fused_auto import family_from_problem
+
+    n = 8
+    chain = make_planar_chain(n, dtype=jnp.float64)
+    builder = scalar_chain_ik_builder(chain)
+    fam = family_from_problem(builder, data_rows=2)
+    assert fam.m_eq >= 1 and fam.eq_patterns is not None
+    dense_fam = dataclasses.replace(fam, g_pattern=None, eq_patterns=None)
+
+    rng = np.random.default_rng(12)
+    B = 16
+    tgt = np.stack([rng.uniform(1.0, 2.5, B), rng.uniform(0.5, 2.0, B)], 1)
+    x0 = rng.uniform(0.1, 0.5, size=(B, n))
+    kw = dict(max_iterations=4, qp_iterations=2, ls_iterations=1)
+    sp = np.asarray(
+        blocked_solve_batch(fam, jnp.asarray(tgt), jnp.asarray(x0), **kw)
+    )
+    de = np.asarray(
+        blocked_solve_batch(
+            dense_fam, jnp.asarray(tgt), jnp.asarray(x0), **kw
+        )
+    )
+    assert np.array_equal(sp, de)
+
+
+def test_sparse_assembly_trace_size_reduction():
+    """The point of the hints: the stacked-G trace at n = 120 (40-pose
+    graph) must carry O(nnz) equations, not O(n^2).  Counted on the pure
+    stacking functions (the same code the kernel runs), outside Pallas."""
+    from mini_opt_tpu.models.pose_graph import scalar_pose_graph_builder
+    from mini_opt_tpu.ops.fused_auto import family_from_problem
+    from mini_opt_tpu.ops.pallas_blocked import _cat, _coalesced_row
+
+    N = 40
+    edges = tuple((t, t + 1) for t in range(N - 1)) + ((5, 34), (12, 27))
+    fam = family_from_problem(
+        scalar_pose_graph_builder(N, edges), data_rows=3 * len(edges)
+    )
+    n = fam.n
+    g_cols = [set() for _ in range(n)]
+    for a, b in fam.g_pattern:
+        g_cols[a].add(b)
+        g_cols[b].add(a)
+
+    rng = np.random.default_rng(13)
+    L = 128
+    tri = {
+        (i, j): jnp.asarray(rng.normal(size=(1, L)))
+        for (i, j) in fam.g_pattern
+    }
+    zero = jnp.zeros((1, L))
+
+    def reg(i, j):
+        return tri.get((max(i, j), min(i, j)), zero)
+
+    def stack_sparse():
+        return jnp.stack(
+            [
+                _coalesced_row(g_cols[i], lambda j, _i=i: reg(_i, j), n, zero)
+                for i in range(n)
+            ]
+        )
+
+    def stack_dense():
+        return jnp.stack([_cat([reg(i, j) for j in range(n)]) for i in range(n)])
+
+    def operands(fn):
+        # Program size is operand references, not equation count (one dense
+        # row is a single 120-operand concatenate).
+        return sum(len(e.invars) for e in jax.make_jaxpr(fn)().eqns)
+
+    sp_ops = operands(stack_sparse)
+    de_ops = operands(stack_dense)
+    assert np.array_equal(np.asarray(stack_sparse()), np.asarray(stack_dense()))
+    # 120 rows x ~9 nonzero cols vs 120 x 120 cells: at least a 5x cut.
+    assert sp_ops * 5 < de_ops, (sp_ops, de_ops)
+
+
+@pytest.mark.slow
+def test_blocked_pose_graph_40_matches_general():
+    """The new scale the sparsity hints buy: a 40-pose SE(2) graph (n = 120,
+    D = 120 -- 2.5x the previous dim-49 record) through the generic blocked
+    tier, pinned against nls_solve on the same Problem at matched budgets
+    (isolated-minimum oracle posture of the 16-pose test above)."""
+    from mini_opt_tpu.models.pose_graph import scalar_pose_graph_builder
+    from mini_opt_tpu.nonlinear import nls_solve
+    from mini_opt_tpu.ops.fused_auto import family_from_problem
+    from mini_opt_tpu.structs import BarrierStrategy
+
+    N = 40
+    edges = tuple((t, t + 1) for t in range(N - 1)) + ((5, 34), (12, 27))
+    builder = scalar_pose_graph_builder(N, edges)
+    fam = family_from_problem(builder, data_rows=3 * len(edges))
+    assert fam.n == 3 * N
+
+    data, x0 = _pose_graph_instances(N, edges, B=8, seed=14)
+    iters, qp, ls = 4, 1, 2
+    blk = np.asarray(
+        blocked_solve_batch(
+            fam, jnp.asarray(data), jnp.asarray(x0),
+            max_iterations=iters, qp_iterations=qp, ls_iterations=ls,
+        )
+    )
+
+    params = dataclasses.replace(
+        _matched_params(iters, qp, ls),
+        qp_barrier_strategy=BarrierStrategy.PREDICTOR_CORRECTOR,
+    )
+
+    def one(d, x):
+        return nls_solve(builder(d), params, x)
+
+    res = jax.vmap(one)(jnp.asarray(data), jnp.asarray(x0))
+    gen = np.asarray(res.x)
+    scale = 1.0 + np.abs(gen).max()
+    dev = np.abs(blk - gen).max() / scale
+    assert dev < 1e-8, dev
+
+
 def test_serving_wrappers_compose_with_blocked_dispatch():
     """fused_solve_refined / fused_solve_multi_start reach the blocked tier
     through the same fused_solve_batch dispatch (the serving wrappers are
