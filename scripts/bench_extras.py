@@ -1080,12 +1080,17 @@ def blocked_ik_bench(n=48, B=8192, iters=6, qp=2, ls=1, general_B=512):
     )
 
 
-def blocked_pose16_bench(N=16, B=8192, iters=5, ls=2, general_B=512):
+def blocked_pose16_bench(
+    N=16, B=8192, iters=5, ls=2, general_B=512, closures=((4, 12),)
+):
     """A NEVER-hand-fused dim-48 family through the generic blocked tier:
     16-pose SE(2) graphs with a chain + one OFF-ring closure (4, 12),
     compiled by family_from_problem (no handwritten kernel exists for this
     topology in the register or pose-ring tiers at this dim) and dispatched
-    to ops/pallas_blocked.py.  General path on the same instances/budget."""
+    to ops/pallas_blocked.py.  General path on the same instances/budget.
+    ``N``/``closures`` scale it: the round-5 sparsity-hinted assembly
+    (FusedFamily.g_pattern) makes N = 40 (D = 120) traceable -- O(nnz)
+    stacking statements instead of O(n^2)."""
     from mini_opt_tpu.models.pose_graph import (
         make_pose_graph_problem,
         scalar_pose_graph_builder,
@@ -1095,7 +1100,7 @@ def blocked_pose16_bench(N=16, B=8192, iters=5, ls=2, general_B=512):
     from mini_opt_tpu.ops.pallas_ik import fused_solve_batch
     from mini_opt_tpu.structs import BarrierStrategy, LineSearchStrategy
 
-    edges = tuple((t, t + 1) for t in range(N - 1)) + ((4, 12),)
+    edges = tuple((t, t + 1) for t in range(N - 1)) + tuple(closures)
     E = len(edges)
     builder = scalar_pose_graph_builder(N, edges)
     fam = family_from_problem(builder, data_rows=3 * E)
@@ -1165,12 +1170,12 @@ def blocked_pose16_bench(N=16, B=8192, iters=5, ls=2, general_B=512):
     print(
         json.dumps(
             {
-                "metric": "blocked_pose16_chain_closure_graphs_per_s_per_chip",
+                "metric": f"blocked_pose{N}_chain_closure_graphs_per_s_per_chip",
                 "value": round(B / per_batch, 1),
                 "unit": "graphs/s",
                 "batch": B,
                 "poses": N,
-                "closure": [4, 12],
+                "closure": [list(c) for c in closures],
                 "iters": [iters, 1, ls],
                 "per_batch_ms": round(per_batch * 1e3, 3),
                 "cost_median": float(np.median(f_fin)),
@@ -1660,6 +1665,14 @@ if __name__ == "__main__":
         # generalized MPC kernel's second plant.
         "blocked_ik48": blocked_ik_bench,
         "blocked_pose16": blocked_pose16_bench,
+        # Round-5 second session: the sparsity-hinted assembly scale point
+        # (n = 120, D = 120 -- 2.5x the dim-49 record; VMEM ~15 MB).
+        "blocked_pose40": lambda: blocked_pose16_bench(
+            N=40, closures=((5, 34), (12, 27)), general_B=256
+        ),
+        "blocked_pose36": lambda: blocked_pose16_bench(
+            N=36, closures=((5, 30), (12, 24)), general_B=256
+        ),
         "mpc_quadrotor": mpc_quadrotor_bench,
         "mpc_fused_8192": lambda: mpc_fused_bench(B=8192),
         "mpc_fused_111": lambda: mpc_fused_bench(budget=(1, 1, 1)),
