@@ -342,6 +342,32 @@ def check_family_against_problem(
             )
         cmp(flat(f)[b], float(errs.f), f"f[{b}]")
         cmp(flat(eqe)[b], float(errs.equality), f"eq_l1[{b}]")
+        # Sparsity-hint SOUNDNESS (the blocked tier zeroes cells outside the
+        # hints -- an unsound pattern would silently corrupt G / J_eq there):
+        # every general-path nonzero must lie inside the declared pattern.
+        if family.g_pattern is not None:
+            tl = np.tril(ref_G)
+            bad = [
+                (i, j)
+                for i, j in zip(*np.nonzero(np.abs(tl) > atol))
+                if (int(i), int(j)) not in family.g_pattern
+            ]
+            assert not bad, (
+                f"g_pattern unsound for instance {b}: general-path G has "
+                f"nonzeros outside the hint at {bad[:5]}"
+            )
+        if family.eq_patterns is not None:
+            A = np.asarray(qp.A_eq)
+            for k in range(family.m_eq):
+                bad = [
+                    int(j)
+                    for j in np.nonzero(np.abs(A[k]) > atol)[0]
+                    if int(j) not in family.eq_patterns[k]
+                ]
+                assert not bad, (
+                    f"eq_patterns[{k}] unsound for instance {b}: nonzero "
+                    f"Jacobian columns {bad[:5]} outside the hint"
+                )
     return worst
 
 

@@ -184,6 +184,27 @@ def test_auto_family_never_hand_fused_matches_nls_solve():
     assert (np.abs(xf[:, 0] - 0.6) < 5e-3).sum() > B // 4  # bound active
 
 
+def test_validator_rejects_unsound_sparsity_hint():
+    """check_family_against_problem must catch a g_pattern / eq_patterns
+    that misses a general-path nonzero (the blocked tier would silently
+    zero those cells)."""
+    import dataclasses
+
+    builder = scalar_planar_ik_builder(2)
+    fam = family_from_problem(builder, data_rows=2)
+    rng = np.random.default_rng(5)
+    data = jnp.asarray(rng.uniform(0.1, 0.7, (4, 2)))
+    x = jnp.asarray(rng.uniform(-1.0, 2.0, (4, 2)))
+    # The true pattern for this family is dense; drop the off-diagonal cell.
+    bad = dataclasses.replace(fam, g_pattern=frozenset({(0, 0), (1, 1)}))
+    with pytest.raises(AssertionError, match="g_pattern unsound"):
+        check_family_against_problem(bad, builder, data, x)
+    # And an equality row claiming to touch only variable 0.
+    bad_eq = dataclasses.replace(fam, eq_patterns=(frozenset({0}),))
+    with pytest.raises(AssertionError, match="eq_patterns\\[0\\] unsound"):
+        check_family_against_problem(bad_eq, builder, data, x)
+
+
 def test_validator_rejects_non_scalar_style_residual():
     def bad_builder(data):
         # jnp.sum over the local-parameter array reduces the lane dims too
