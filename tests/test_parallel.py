@@ -257,6 +257,40 @@ def test_shard_blocked_tier_matches_unsharded():
     )
 
 
+def test_shard_sparse_hinted_family_matches_unsharded():
+    """A SPARSITY-HINTED compiled family (round-5 second session:
+    FusedFamily.g_pattern assembly) through the same sharded dispatch ==
+    unsharded -- the hints ride the distributed serving surface unchanged."""
+    from mini_opt_tpu.models.pose_graph import scalar_pose_graph_builder
+    from mini_opt_tpu.ops.fused_auto import family_from_problem
+    from mini_opt_tpu.ops.pallas_ik import fused_solve_batch
+    from mini_opt_tpu.ops.pallas_blocked import REGISTER_KKT_MAX
+    from mini_opt_tpu.parallel.batch import shard_fused_solve_batch
+
+    mesh = make_mesh({"dp": 8})
+    N = 12
+    edges = tuple((t, t + 1) for t in range(N - 1)) + ((2, 9),)
+    builder = scalar_pose_graph_builder(N, edges)
+    family = family_from_problem(builder, data_rows=3 * len(edges))
+    assert family.n + family.m_eq > REGISTER_KKT_MAX
+    assert family.g_pattern is not None
+
+    rng = np.random.default_rng(17)
+    B = 16
+    meas = rng.normal(scale=0.3, size=(B, 3 * len(edges)))
+    x0 = rng.normal(scale=0.5, size=(B, family.n))
+    kw = dict(max_iterations=2, qp_iterations=1, ls_iterations=1)
+    plain = fused_solve_batch(
+        family, jnp.asarray(meas), jnp.asarray(x0), **kw
+    )
+    shard = shard_fused_solve_batch(
+        mesh, family, jnp.asarray(meas), jnp.asarray(x0), **kw
+    )
+    np.testing.assert_allclose(
+        np.asarray(shard), np.asarray(plain), atol=1e-10
+    )
+
+
 def test_shard_fused_mpc_matches_unsharded():
     """The blocked MPC kernel sharded over the plant fleet == unsharded."""
     from mini_opt_tpu.models import mpc
